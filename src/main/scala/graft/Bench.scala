@@ -1,23 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Each query is forced through the `noop` sink — unlike `count()`, which
+  * Catalyst can collapse to a metadata-ish scan for pure projections, noop
+  * materializes every output row, so timings reflect the real plan. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local()
+    // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
+    // the session startup cost.
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

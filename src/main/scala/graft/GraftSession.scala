@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config so Verify / Bench / tests / the streaming
+  * entry agree on semantics:
+  *  - shuffle partitions sized to the local parallelism (never the 200
+  *    default; on a real cluster this and AQE coalescing govern it),
+  *  - AQE on (runtime join re-planning + skew splitting),
+  *  - UTC session timezone (oracle parity for NTZ timestamps),
+  *  - nanosAsLong so the TIMESTAMP(NANOS) events parquet is readable
+  *    (normalized back to millis in Tables.events).
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

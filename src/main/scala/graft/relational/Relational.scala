@@ -1,0 +1,432 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, TimestampType}
+
+import graft.Tables
+
+/** Relational query surface: aggregation, joins (broadcast / shuffle /
+  * semi / anti), window functions, rollup, set operations, scalar
+  * string/date/math functions, sessionization.
+  *
+  * The reference pipeline itself has none of these (SURVEY.md §2C — its two
+  * streams never meet and it never aggregates); this module supplies the
+  * analytic query surface its fact tables exist for, expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown, join
+  * strategy, and whole-stage codegen.
+  *
+  * Determinism contract with the DuckDB oracle: every money/quantity
+  * aggregate casts its inputs to DECIMAL(18,2) *before* summing (exact,
+  * order-independent) and casts the final aggregate to DOUBLE. Outputs are
+  * BIGINT / INT / DOUBLE / STRING only — no raw double sums, no timestamp
+  * objects (epoch millis instead), so hash comparison cannot be tripped by
+  * float summation order or timezone typing.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+  /** Exact decimal sum surfaced as double: deterministic across engines. */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+  private def one: Column = lit(1).cast(dec)
+  /** l_extendedprice * (1 - l_discount), all-decimal (exact). */
+  private def discPrice(df: DataFrame): Column =
+    df("l_extendedprice").cast(dec) * (one - df("l_discount").cast(dec))
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * Map-side partial aggregation keeps the shuffle at |groups| rows. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.where(li("l_shipdate") <= lit("2000-01-01").cast(TimestampType))
+      .groupBy(li("l_returnflag"), li("l_linestatus"))
+      .agg(
+        dsum(li("l_quantity")).as("sum_qty"),
+        dsum(li("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(li)).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice(li) * (one + li("l_tax").cast(dec)))
+          .cast(DoubleType).as("sum_charge"),
+        (sum(li("l_quantity").cast(dec)).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        (sum(li("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * customer is the small side of customer⋈orders — broadcast it; the
+    * orders⋈lineitem join shuffles on the (high-cardinality) orderkey. */
+  def q03ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        o("o_orderpriority"))
+      .agg(sum(discPrice(li)).cast(DoubleType).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style local-supplier volume: 6-way join. Dimension tables
+    * (region, nation, supplier) are broadcast; the two fact joins shuffle
+    * on orderkey. AQE re-plans the post-filter sides at runtime. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+             col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val li = Tables.lineitem(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(discPrice(li)).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Semi/anti join: customers that ordered at least once but never at
+    * '1-URGENT' priority. LEFT SEMI / LEFT ANTI avoid materializing the
+    * join payload — only the key probe crosses the shuffle. */
+  def q07SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderpriority"))
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o.select(col("o_custkey")),
+        c("c_custkey") === col("o_custkey"), "left_semi")
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q07Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Window top-k: 3 priciest parts per brand (rank within partition —
+    * single shuffle on p_brand, no self-join). */
+  def q09WindowTopK(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val q09Sql: String =
+    """SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+      |  FROM part) t
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Running cumulative sum per supplier over ship time (event-sourced
+    * replay shape — same plan as order-book B2). */
+  def q10RunningSum(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_suppkey") <= 5)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        Tables.epochMs(col("l_shipdate")).as("ship_ms"),
+        sum(col("l_quantity").cast(dec)).over(w).cast(DoubleType)
+          .as("running_qty"))
+      .orderBy(col("l_suppkey"), col("ship_ms"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  val q10Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  epoch_ms(l_shipdate) AS ship_ms,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, ship_ms, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP hierarchy totals (returnflag → linestatus → grand total). */
+  def q11Rollup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val q11Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Set operations: INTERSECT / EXCEPT between two customer-key sets. */
+  def q12SetOps(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val u = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val tagged = b.intersect(u).withColumn("tag", lit("both"))
+      .unionByName(b.except(u).withColumn("tag", lit("building_only")))
+      .unionByName(u.except(b).withColumn("tag", lit("urgent_only")))
+    tagged.groupBy(col("tag")).agg(count(lit(1)).as("n")).orderBy(col("tag"))
+  }
+
+  val q12Sql: String =
+    """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |u AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT tag, COUNT(*) AS n FROM (
+      |  SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM b INTERSECT SELECT * FROM u) t1
+      |  UNION ALL
+      |  SELECT 'building_only' AS tag, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM u) t2
+      |  UNION ALL
+      |  SELECT 'urgent_only' AS tag, c_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM b) t3) t
+      |GROUP BY tag
+      |ORDER BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Scalar string/math function projection (narrow, codegen'd end to
+    * end — stays inside one WholeStageCodegen span with the scan). */
+  def q13ScalarFuncs(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"),
+        abs(col("p_size") - 25).as("size_dev"),
+        round(col("p_retailprice"), 1).as("price_r1"),
+        floor(col("p_retailprice") / 100).as("price_bucket"),
+        when(col("p_size") < 10, "S").when(col("p_size") < 30, "M")
+          .otherwise("L").as("size_class"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_brand) AS brand_up,
+      |  SUBSTR(p_name, 1, 8) AS name_prefix,
+      |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+      |  CONCAT(p_type, '/', p_brand) AS type_brand,
+      |  ABS(p_size - 25) AS size_dev,
+      |  ROUND(p_retailprice, 1) AS price_r1,
+      |  CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+      |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Date/time scalar functions over orders (epoch millis out — no
+    * timestamp objects cross the oracle boundary). */
+  def q14DateFuncs(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).where(col("o_orderkey") % 100 === 0)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        Tables.epochMs(date_trunc("month", col("o_orderdate")))
+          .as("month_start_ms"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+      |  CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+      |  CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+      |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+      |FROM orders
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Tumbling 1-hour event-time windows over the events stream table —
+    * batch twin of the Structured Streaming windowed aggregation. */
+  def q15EventsTumbling(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),  // ts already LTZ-ms from Tables.events
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+
+  val q15Sql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_ms, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Sessionization: a >30-min silence starts a new session (lag +
+    * conditional sum — the standard gaps-and-islands plan). */
+  def q16Sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+             col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q16Sql: String =
+    """WITH x AS (
+      |  SELECT user_id,
+      |    CASE WHEN LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+      |         OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events)
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM x
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Distinct + conditional aggregation per order priority. */
+  def q17DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast(DoubleType).as("f_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q03_shipping_priority" -> (q03ShippingPriority _),
+    "q05_local_supplier" -> (q05LocalSupplier _),
+    "q07_semi_anti" -> (q07SemiAnti _),
+    "q09_window_topk" -> (q09WindowTopK _),
+    "q10_running_sum" -> (q10RunningSum _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_setops" -> (q12SetOps _),
+    "q13_scalar_funcs" -> (q13ScalarFuncs _),
+    "q14_date_funcs" -> (q14DateFuncs _),
+    "q15_events_tumbling" -> (q15EventsTumbling _),
+    "q16_sessionize" -> (q16Sessionize _),
+    "q17_distinct_agg" -> (q17DistinctAgg _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q01_pricing_summary" -> q01Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q05_local_supplier" -> q05Sql,
+    "q07_semi_anti" -> q07Sql,
+    "q09_window_topk" -> q09Sql,
+    "q10_running_sum" -> q10Sql,
+    "q11_rollup" -> q11Sql,
+    "q12_setops" -> q12Sql,
+    "q13_scalar_funcs" -> q13Sql,
+    "q14_date_funcs" -> q14Sql,
+    "q15_events_tumbling" -> q15Sql,
+    "q16_sessionize" -> q16Sql,
+    "q17_distinct_agg" -> q17Sql)
+}
