@@ -14,16 +14,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * B1 order-book reconstruction — the minimum end-to-end slice of
+    * SURVEY.md §7.2: derive → explode → window/agg → full-outer combine. */
   def entry(spark: SparkSession): DataFrame =
-    relational.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    orderbook.Analytics.bookAsOf(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ListMap(relational.Relational.queries: _*)
+    ListMap(relational.Relational.queries ++
+      orderbook.Analytics.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ListMap(relational.Relational.oracles: _*)
+    ListMap(relational.Relational.oracles ++
+      orderbook.Analytics.oracles: _*)
 }

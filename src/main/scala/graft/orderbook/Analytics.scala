@@ -1,0 +1,359 @@
+package graft.orderbook
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** The analytic query surface of the reference's order-book tables
+  * (SURVEY.md §2B, B1–B9) plus the A-operator batch twins (A3 seq
+  * validation, A10 explode, A11 flatten, A15 dedup), over the derived
+  * facts in [[Derive]].
+  *
+  * Scale notes (100 TB): every aggregation here is a single hash-shuffle
+  * on its natural key; "latest snapshot per ticker" is max+semi-join
+  * rather than a global sort; windows partition by (ticker[, side,
+  * price]) which is bounded cardinality (SURVEY.md §7.4-4), so no
+  * partition ever holds more than one ticker's history.
+  */
+object Analytics {
+
+  /** Book-reconstruction as-of instant: 2024-01-15T00:00:00Z (mid-range of
+    * the events table's 2024-01-01..01-30 span at every SF). */
+  val AsOfMs = 1705276800000L
+
+  // ------------------------------------------------------------- A10/A12
+  /** Exploded snapshot fact table — the reference's core transform
+    * (consumer.py:51-96): ladder arrays → one row per (side, level). */
+  def snapshotExplode(s: SparkSession, d: String): DataFrame =
+    Derive.snapshots(s, d)
+      .orderBy(col("event_id"), col("side"), col("price"))
+
+  val snapshotExplodeSql: String = Derive.cte +
+    """SELECT ts_ms, ticker, side, price, contracts, event_id
+      |FROM ob_snapshots
+      |ORDER BY event_id, side, price""".stripMargin
+
+  // ------------------------------------------------------------- A11/A12
+  /** Flattened delta fact table (consumer.py:131-162 rename/cast). */
+  def deltaFlatten(s: SparkSession, d: String): DataFrame =
+    Derive.deltas(s, d)
+      .select(col("ts_ms").as("timestamp"), col("ticker"), col("side"),
+        col("price"), col("delta"), col("seq"))
+      .orderBy(col("ticker"), col("seq"))
+
+  val deltaFlattenSql: String = Derive.cte +
+    """SELECT ts_ms AS timestamp, ticker, side, price, delta, seq
+      |FROM ob_deltas
+      |ORDER BY ticker, seq""".stripMargin
+
+  // ------------------------------------------------------------------ B1
+  /** Book as-of time T: latest snapshot ≤ T per ticker, plus the sum of
+    * deltas after that snapshot (snapshot-reset semantics — a snapshot
+    * supersedes all prior deltas, SURVEY.md §7.4-3). */
+  def bookAsOf(s: SparkSession, d: String): DataFrame = {
+    val snaps = Derive.snapshots(s, d).where(col("ts_ms") <= AsOfMs)
+    val anchor = snaps.groupBy(col("ticker").as("a_ticker"))
+      .agg(max(col("event_id")).as("snap_eid"))
+    val levels = snaps.join(broadcast(anchor),
+        col("ticker") === col("a_ticker") && col("event_id") === col("snap_eid"))
+      .select(col("ticker"), col("side"), col("price"), col("contracts"))
+    val dsums = Derive.deltas(s, d).where(col("ts_ms") <= AsOfMs)
+      .join(broadcast(anchor), col("ticker") === col("a_ticker") &&
+        col("event_id") > col("snap_eid"))
+      .groupBy(col("ticker").as("d_ticker"), col("side").as("d_side"),
+        col("price").as("d_price"))
+      .agg(sum(col("delta")).as("dsum"))
+    levels.join(dsums,
+        col("ticker") === col("d_ticker") && col("side") === col("d_side") &&
+        col("price") === col("d_price"), "full_outer")
+      .select(
+        coalesce(col("ticker"), col("d_ticker")).as("ticker"),
+        coalesce(col("side"), col("d_side")).as("side"),
+        coalesce(col("price"), col("d_price")).as("price"),
+        (coalesce(col("contracts"), lit(0)).cast(LongType) +
+         coalesce(col("dsum"), lit(0L))).as("contracts_now"))
+      .orderBy(col("ticker"), col("side"), col("price"))
+  }
+
+  val bookAsOfSql: String = Derive.cte +
+    s""",
+       |snap_anchor AS (
+       |  SELECT ticker, MAX(event_id) AS snap_eid
+       |  FROM ob_snapshots WHERE ts_ms <= $AsOfMs GROUP BY ticker),
+       |snap_levels AS (
+       |  SELECT s.ticker, s.side, s.price, s.contracts
+       |  FROM ob_snapshots s JOIN snap_anchor a
+       |    ON s.ticker = a.ticker AND s.event_id = a.snap_eid),
+       |delta_sums AS (
+       |  SELECT d.ticker, d.side, d.price, SUM(d.delta) AS dsum
+       |  FROM ob_deltas d JOIN snap_anchor a ON d.ticker = a.ticker
+       |  WHERE d.ts_ms <= $AsOfMs AND d.event_id > a.snap_eid
+       |  GROUP BY d.ticker, d.side, d.price)
+       |SELECT COALESCE(s.ticker, d.ticker) AS ticker,
+       |       COALESCE(s.side, d.side) AS side,
+       |       COALESCE(s.price, d.price) AS price,
+       |       CAST(COALESCE(s.contracts, 0) + COALESCE(d.dsum, 0) AS BIGINT) AS contracts_now
+       |FROM snap_levels s FULL OUTER JOIN delta_sums d
+       |  ON s.ticker = d.ticker AND s.side = d.side AND s.price = d.price
+       |ORDER BY ticker, side, price""".stripMargin
+
+  // ------------------------------------------------------------------ B2
+  /** Event-sourced running book: cumulative depth per (ticker, side,
+    * price) in seq order (one ticker to bound verify output; the window
+    * partitions by the full key so the plan is SF-independent). */
+  def bookRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker"), col("side"), col("price"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Derive.deltas(s, d).where(col("ticker") === "T1")
+      .select(col("ticker"), col("side"), col("price"), col("event_id"),
+        sum(col("delta")).over(w).as("depth_running"))
+      .orderBy(col("ticker"), col("side"), col("price"), col("event_id"))
+  }
+
+  val bookRunningSql: String = Derive.cte +
+    """SELECT ticker, side, price, event_id,
+      |  SUM(delta) OVER (PARTITION BY ticker, side, price ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth_running
+      |FROM ob_deltas WHERE ticker = 'T1'
+      |ORDER BY ticker, side, price, event_id""".stripMargin
+
+  /** Latest snapshot levels per ticker (shared by B3/B4/B5). */
+  private def latestLevels(s: SparkSession, d: String): DataFrame = {
+    val snaps = Derive.snapshots(s, d)
+    val latest = snaps.groupBy(col("ticker").as("l_ticker"))
+      .agg(max(col("event_id")).as("l_eid"))
+    snaps.join(broadcast(latest),
+      col("ticker") === col("l_ticker") && col("event_id") === col("l_eid"))
+      .select(col("ticker"), col("side"), col("price"), col("contracts"))
+  }
+
+  private val latestLevelsCte: String =
+    """,
+      |latest AS (
+      |  SELECT ticker AS l_ticker, MAX(event_id) AS l_eid
+      |  FROM ob_snapshots GROUP BY ticker),
+      |lvl AS (
+      |  SELECT s.ticker, s.side, s.price, s.contracts
+      |  FROM ob_snapshots s JOIN latest l
+      |    ON s.ticker = l.l_ticker AND s.event_id = l.l_eid)
+      |""".stripMargin
+
+  // ------------------------------------------------------------------ B3
+  /** Top-of-book per (ticker, side) on the latest snapshot. */
+  def bestBid(s: SparkSession, d: String): DataFrame =
+    latestLevels(s, d)
+      .groupBy(col("ticker"), col("side"))
+      .agg(max(col("price")).as("best_price"),
+        expr("max_by(contracts, price)").as("contracts_at_best"))
+      .orderBy(col("ticker"), col("side"))
+
+  val bestBidSql: String = Derive.cte + latestLevelsCte +
+    """SELECT ticker, side, MAX(price) AS best_price,
+      |  CAST(arg_max(contracts, price) AS INTEGER) AS contracts_at_best
+      |FROM lvl GROUP BY ticker, side
+      |ORDER BY ticker, side""".stripMargin
+
+  // ------------------------------------------------------------------ B4
+  /** Spread and mid from yes/no duality (yes ≙ 1 − no on Kalshi): integer
+    * cents throughout, mid reported ×2 to stay integral. */
+  def spreadMid(s: SparkSession, d: String): DataFrame =
+    latestLevels(s, d)
+      .groupBy(col("ticker"))
+      .agg(
+        max(when(col("side") === "yes", col("price"))).as("yes_best"),
+        max(when(col("side") === "no", col("price"))).as("no_best"))
+      .withColumn("spread_cents", lit(100) - col("yes_best") - col("no_best"))
+      .withColumn("mid_x2", col("yes_best") + lit(100) - col("no_best"))
+      .orderBy(col("ticker"))
+
+  val spreadMidSql: String = Derive.cte + latestLevelsCte +
+    """SELECT ticker,
+      |  MAX(CASE WHEN side = 'yes' THEN price END) AS yes_best,
+      |  MAX(CASE WHEN side = 'no' THEN price END) AS no_best,
+      |  100 - MAX(CASE WHEN side = 'yes' THEN price END)
+      |      - MAX(CASE WHEN side = 'no' THEN price END) AS spread_cents,
+      |  MAX(CASE WHEN side = 'yes' THEN price END) + 100
+      |      - MAX(CASE WHEN side = 'no' THEN price END) AS mid_x2
+      |FROM lvl GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ------------------------------------------------------------------ B5
+  /** Liquidity: total depth and top-2-level depth per (ticker, side). */
+  def depth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker"), col("side"))
+      .orderBy(col("price").desc)
+    latestLevels(s, d)
+      .withColumn("price_rank", row_number().over(w))
+      .groupBy(col("ticker"), col("side"))
+      .agg(
+        sum(col("contracts")).as("total_contracts"),
+        sum(when(col("price_rank") <= 2, col("contracts")).otherwise(0))
+          .as("top2_contracts"))
+      .orderBy(col("ticker"), col("side"))
+  }
+
+  val depthSql: String = Derive.cte + latestLevelsCte +
+    """SELECT ticker, side,
+      |  CAST(SUM(contracts) AS BIGINT) AS total_contracts,
+      |  CAST(SUM(CASE WHEN price_rank <= 2 THEN contracts ELSE 0 END) AS BIGINT) AS top2_contracts
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY ticker, side ORDER BY price DESC) AS price_rank
+      |      FROM lvl) t
+      |GROUP BY ticker, side
+      |ORDER BY ticker, side""".stripMargin
+
+  // ------------------------------------------------------------------ B6
+  /** Daily OHLC of the delta price stream per ticker. */
+  def ohlcDaily(s: SparkSession, d: String): DataFrame =
+    Derive.deltas(s, d)
+      .groupBy(col("ticker"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+      .agg(
+        expr("min_by(price, event_id)").as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        expr("max_by(price, event_id)").as("close"),
+        count(lit(1)).as("n_msgs"))
+      .orderBy(col("ticker"), col("day"))
+
+  val ohlcDailySql: String = Derive.cte +
+    """SELECT ticker,
+      |  strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS day,
+      |  CAST(arg_min(price, event_id) AS INTEGER) AS open,
+      |  MAX(price) AS high,
+      |  MIN(price) AS low,
+      |  CAST(arg_max(price, event_id) AS INTEGER) AS close,
+      |  COUNT(*) AS n_msgs
+      |FROM ob_deltas
+      |GROUP BY 1, 2
+      |ORDER BY ticker, day""".stripMargin
+
+  // ------------------------------------------------------------------ A3
+  /** Sequence-gap detection (batch twin of the fail-stop validator,
+    * kalshi_ws_client.py:129-146): flag every message whose seq is not
+    * predecessor+1 within its ticker. */
+  def seqGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("seq"))
+    Derive.deltasWithGaps(s, d)
+      .withColumn("prev_seq", lag(col("seq"), 1).over(w))
+      .where(col("prev_seq").isNotNull && col("seq") =!= col("prev_seq") + 1)
+      .select(col("ticker"), col("seq"), col("prev_seq"))
+      .orderBy(col("ticker"), col("seq"))
+  }
+
+  val seqGapsSql: String = Derive.cte +
+    """SELECT ticker, seq, prev_seq FROM (
+      |  SELECT ticker, seq,
+      |    LAG(seq) OVER (PARTITION BY ticker ORDER BY seq) AS prev_seq
+      |  FROM ob_deltas_gappy) t
+      |WHERE prev_seq IS NOT NULL AND seq <> prev_seq + 1
+      |ORDER BY ticker, seq""".stripMargin
+
+  // ------------------------------------------------------------------ B7
+  /** Message-rate / continuity monitoring per ticker over the gappy
+    * stream: counts plus implied missing-message count. */
+  def msgRate(s: SparkSession, d: String): DataFrame =
+    Derive.deltasWithGaps(s, d)
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        (max(col("seq")) - min(col("seq")) + 1 - count(lit(1))).as("n_missing"),
+        countDistinct(col("side")).as("n_sides"))
+      .orderBy(col("ticker"))
+
+  val msgRateSql: String = Derive.cte +
+    """SELECT ticker, COUNT(*) AS n_msgs,
+      |  MAX(seq) - MIN(seq) + 1 - COUNT(*) AS n_missing,
+      |  COUNT(DISTINCT side) AS n_sides
+      |FROM ob_deltas_gappy
+      |GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ------------------------------------------------------------------ B8
+  /** Ingest-latency distribution (exact percentiles; latency is the
+    * deterministic event_id-derived skew so both engines see identical
+    * integer samples). */
+  def latency(s: SparkSession, d: String): DataFrame =
+    Derive.deltas(s, d)
+      .select(col("ticker"), (col("event_id") % 7).cast(IntegerType).as("latency"))
+      .groupBy(col("ticker"))
+      .agg(
+        expr("percentile(latency, 0.5)").as("p50"),
+        expr("percentile(latency, 0.95)").as("p95"),
+        max(col("latency")).as("max_latency"))
+      .orderBy(col("ticker"))
+
+  val latencySql: String = Derive.cte +
+    """SELECT ticker,
+      |  quantile_cont(latency, 0.5) AS p50,
+      |  quantile_cont(latency, 0.95) AS p95,
+      |  MAX(latency) AS max_latency
+      |FROM (SELECT ticker, CAST(event_id % 7 AS INTEGER) AS latency FROM ob_deltas) t
+      |GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ----------------------------------------------------------------- A15
+  /** Replay dedup: full-row dropDuplicates over the at-least-once stream
+    * restores exact per-ticker counts. */
+  def dedupReplay(s: SparkSession, d: String): DataFrame =
+    Derive.deltasWithDups(s, d)
+      .dropDuplicates()
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .orderBy(col("ticker"))
+
+  val dedupReplaySql: String = Derive.cte +
+    """SELECT ticker, COUNT(*) AS n_msgs
+      |FROM (SELECT DISTINCT * FROM ob_deltas_dup) t
+      |GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ------------------------------------------------------------------ B9
+  /** Duplicate audit: with-dups vs distinct counts per ticker. */
+  def dupAudit(s: SparkSession, d: String): DataFrame =
+    Derive.deltasWithDups(s, d)
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_with_dups"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .orderBy(col("ticker"))
+
+  val dupAuditSql: String = Derive.cte +
+    """SELECT ticker, COUNT(*) AS n_with_dups,
+      |  COUNT(DISTINCT event_id) AS n_distinct
+      |FROM ob_deltas_dup
+      |GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "ob01_snapshot_explode" -> (snapshotExplode _),
+    "ob02_delta_flatten" -> (deltaFlatten _),
+    "ob03_book_asof" -> (bookAsOf _),
+    "ob04_book_running" -> (bookRunning _),
+    "ob05_best_bid" -> (bestBid _),
+    "ob06_spread_mid" -> (spreadMid _),
+    "ob07_depth" -> (depth _),
+    "ob08_ohlc_daily" -> (ohlcDaily _),
+    "ob09_seq_gaps" -> (seqGaps _),
+    "ob10_msg_rate" -> (msgRate _),
+    "ob11_latency" -> (latency _),
+    "ob12_dedup_replay" -> (dedupReplay _),
+    "ob13_dup_audit" -> (dupAudit _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "ob01_snapshot_explode" -> snapshotExplodeSql,
+    "ob02_delta_flatten" -> deltaFlattenSql,
+    "ob03_book_asof" -> bookAsOfSql,
+    "ob04_book_running" -> bookRunningSql,
+    "ob05_best_bid" -> bestBidSql,
+    "ob06_spread_mid" -> spreadMidSql,
+    "ob07_depth" -> depthSql,
+    "ob08_ohlc_daily" -> ohlcDailySql,
+    "ob09_seq_gaps" -> seqGapsSql,
+    "ob10_msg_rate" -> msgRateSql,
+    "ob11_latency" -> latencySql,
+    "ob12_dedup_replay" -> dedupReplaySql,
+    "ob13_dup_audit" -> dupAuditSql)
+}
