@@ -23,11 +23,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(relational.Relational.queries ++
-      orderbook.Analytics.queries: _*)
+      orderbook.Analytics.queries ++
+      text.TextAnalysis.queries ++
+      dedup.Dedup.queries ++
+      similarity.Similarity.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ListMap(relational.Relational.oracles ++
-      orderbook.Analytics.oracles: _*)
+      orderbook.Analytics.oracles ++
+      text.TextAnalysis.oracles ++
+      dedup.Dedup.oracles ++
+      similarity.Similarity.oracles: _*)
 }

@@ -1,0 +1,284 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for an LLM training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash
+  * bucketing, embedding-cosine near-dup.
+  *
+  * The corpus has no natural duplicates, so each variant runs over
+  * `docs_aug`: documents ∪ exact copies (doc_id%7) ∪ near copies with a
+  * suffix (doc_id%11) — injected identically in Spark and the oracle CTE.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Exact/simhash
+  * dedup are single hash-shuffles on a fingerprint. Jaccard pairs join
+  * only within (lang, ±20 chars) blocks. MinHash candidates come from
+  * banded-signature equi-joins (the standard shingle→minhash→band→bucket
+  * pipeline), so the shuffle key is the band hash, never a cross join.
+  */
+object Dedup {
+
+  /** documents + injected exact/near duplicates. */
+  def docsAug(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    docs
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" the end")).as("text"), col("lang")))
+  }
+
+  val docsAugCte: String =
+    """WITH docs_aug AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' the end', lang FROM documents WHERE doc_id % 11 = 0)
+      |""".stripMargin
+
+  /** Distinct character-3-gram shingle set (shared by jaccard/minhash). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("shingles", expr(
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
+
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT doc_id, lang, LENGTH(text) AS n_len,
+      |    list_distinct(list_transform(range(1, LENGTH(text) - 1),
+      |                  i -> substr(text, CAST(i AS INT), 3))) AS shingles
+      |  FROM docs_aug)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------- dd01
+  /** Exact duplicate groups by content hash (md5 — same digest function
+    * both engines). One hash-shuffle; never compares texts pairwise. */
+  def exactGroups(s: SparkSession, d: String): DataFrame =
+    docsAug(s, d)
+      .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_id"), max(col("doc_id")).as("dup_id"))
+      .where(col("n_copies") > 1)
+      .orderBy(col("keep_id"))
+
+  val exactGroupsSql: String = docsAugCte +
+    """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_id, MAX(doc_id) AS dup_id
+      |FROM docs_aug GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- dd02
+  /** Exact dedup outcome: keep lowest doc_id per content group, count
+    * survivors per lang. */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast(BinaryType)))
+      .orderBy(col("doc_id"))
+    docsAug(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val exactDedupSql: String = docsAugCte +
+    """SELECT lang, COUNT(*) AS n_docs FROM (
+      |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM docs_aug) t
+      |WHERE rn = 1 GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- dd03
+  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 within
+    * (lang, length±20) blocks — the verification half of shingle dedup;
+    * the blocks keep the join off the full cross product. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = withShingles(docsAug(s, d))
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_len"),
+        col("shingles"))
+    val a = sh.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+      col("n_len").as("len_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("n_len").as("len_b"), col("shingles").as("sh_b"))
+    a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= 20)
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union"))
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ngramJaccardSql: String = docsAugCte + "," + shinglesCte +
+    """SELECT id_a, id_b, n_common, n_union, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.shingles, b.shingles)) AS n_common,
+      |    len(list_distinct(a.shingles || b.shingles)) AS n_union,
+      |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |      / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND abs(a.n_len - b.n_len) <= 20) t
+      |WHERE jaccard >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- dd04
+  /** SimHash bucketing: identical 30-bit signatures → dup bucket.
+    * Single hash-shuffle on the signature (native SimHash expression). */
+  def simhashBuckets(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    docsAug(s, d)
+      .withColumn("sig", call_function("graft_simhash", split(col("text"), " ")))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("sig"))
+  }
+
+  val simhashBucketsSql: String = docsAugCte + "," +
+    """sigs AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(0, 30), bb ->
+      |      CASE WHEN 2 * len(list_filter(
+      |             list_transform(string_split(text, ' '), t ->
+      |               list_reduce(list_transform(range(1, LENGTH(t) + 1),
+      |                 i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
+      |                 (a, b) -> (a * 31 + b) % 1000000007)),
+      |             h -> (h >> CAST(bb AS INT)) & 1 = 1)) >= len(string_split(text, ' '))
+      |      THEN (CAST(1 AS BIGINT) << CAST(bb AS INT)) ELSE CAST(0 AS BIGINT) END),
+      |      (a, c) -> a + c) AS sig
+      |  FROM docs_aug)
+      |SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM sigs GROUP BY sig HAVING COUNT(*) > 1
+      |ORDER BY sig""".stripMargin
+
+  // ---------------------------------------------------------------- dd05
+  /** MinHash + LSH banding: 8 permutations (a·h+b mod p over the shingle
+    * poly-hash), 4 bands × 2 rows; band-equal candidates verified by
+    * exact Jaccard ≥ 0.8. Candidates come from an equi-join on
+    * (band, h1, h2) — the scale path for shingle dedup. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = withShingles(docsAug(s, d)).select(col("doc_id"), col("shingles"))
+    val sig = sh.withColumn("sig", expr(
+      """transform(sequence(0, 7), j -> array_min(transform(shingles,
+        |  s -> ((2 * j + 1) * graft_polyhash(s) + (j * 12345 + 678)) % 1000000007)))""".stripMargin))
+    val bands = sig.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3), b -> struct(
+        |  b as band, element_at(sig, 2 * b + 1) as h1, element_at(sig, 2 * b + 2) as h2))""".stripMargin))
+      .as("bd")).select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h1").as("h1"), col("bd.h2").as("h2"))
+    val ba = bands.select(col("doc_id").as("id_a"), col("band"), col("h1"), col("h2"))
+    val bb = bands.select(col("doc_id").as("id_b"), col("band"), col("h1"), col("h2"))
+    val cand = ba.join(bb, Seq("band", "h1", "h2"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val minhashLshSql: String = docsAugCte + "," + shinglesCte + "," +
+    """sig AS (
+      |  SELECT doc_id, shingles, list_transform(range(0, 8), j ->
+      |    list_min(list_transform(shingles, s ->
+      |      ((2 * CAST(j AS BIGINT) + 1) *
+      |         list_reduce(list_transform(range(1, LENGTH(s) + 1),
+      |           i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
+      |           (a, b) -> (a * 31 + b) % 1000000007)
+      |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b.band,
+      |    sig[CAST(2 * b.band + 1 AS INT)] AS h1,
+      |    sig[CAST(2 * b.band + 2 AS INT)] AS h2
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.h1 = c.h1 AND a.h2 = c.h2
+      |   AND a.doc_id < c.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |    / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |    / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- dd06
+  /** Embedding-cosine near-dup: pairs ≥ 0.9 within label blocks over
+    * embeddings ∪ injected scaled copies (scaling preserves cosine).
+    * Dots are sequential left-folds in both engines → identical doubles. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val aug = v.unionByName(v.where(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("transform(e, x -> x * 1.1d)").as("e")))
+    val n = aug.withColumn("nrm",
+      sqrt(expr("aggregate(e, 0d, (acc, x) -> acc + x * x)")))
+    val a = n.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+      col("e").as("ea"), col("nrm").as("nrm_a"))
+    val b = n.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("e").as("eb"), col("nrm").as("nrm_b"))
+    a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+          / (col("nrm_a") * col("nrm_b")))
+      .where(col("cosine") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embedNearDupSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |aug AS (
+      |  SELECT * FROM v
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, list_transform(e, x -> x * 1.1) FROM v
+      |  WHERE vec_id % 9 = 0),
+      |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM aug)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd01_exact_groups" -> (exactGroups _),
+    "dd02_exact_dedup" -> (exactDedup _),
+    "dd03_ngram_jaccard" -> (ngramJaccard _),
+    "dd04_simhash_buckets" -> (simhashBuckets _),
+    "dd05_minhash_lsh" -> (minhashLsh _),
+    "dd06_embed_neardup" -> (embedNearDup _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "dd01_exact_groups" -> exactGroupsSql,
+    "dd02_exact_dedup" -> exactDedupSql,
+    "dd03_ngram_jaccard" -> ngramJaccardSql,
+    "dd04_simhash_buckets" -> simhashBucketsSql,
+    "dd05_minhash_lsh" -> minhashLshSql,
+    "dd06_embed_neardup" -> embedNearDupSql)
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup operators Spark lacks.
+  *
+  * Both are portable-by-construction: the exact arithmetic is also
+  * expressible in DuckDB SQL (list_reduce/list_transform), so the oracle
+  * can hash-check them. Both codegen to a static call — no interpreted
+  * UDF in the hot path, stays inside whole-stage codegen.
+  */
+object PolyHash {
+  /** Large prime modulus; keeps the hash in 30 bits so SimHash bit math
+    * and the DuckDB BIGINT mirror never overflow. */
+  val Mod = 1000000007L
+
+  /** h ← (h·31 + codepoint) mod p over the string's codepoints — the
+    * classic polynomial rolling hash (document fingerprinting). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** poly_hash(string) → long. DuckDB mirror:
+  * list_reduce(list_transform(range(1, length(s)+1),
+  *   i -> unicode(substr(s, CAST(i AS INT), 1))), (a,b) -> (a*31+b) % 1000000007) */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash"
+}
+
+object SimHash {
+  /** 30 meaningful bits (PolyHash.Mod < 2^30). */
+  val Bits = 30
+
+  /** Charikar simhash over token poly-hashes: bit b of the signature is
+    * set iff at least half the tokens have bit b set (ties → set, i.e.
+    * 2·count ≥ n). Near-duplicate texts land at small Hamming distance. */
+  def hash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      val h = PolyHash.hash(arr.getUTF8String(i))
+      var b = 0
+      while (b < Bits) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (2L * counts(b) >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** simhash(array<string>) → long. */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHash.hash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+object GraftFunctions {
+  /** Idempotent per-session registration; queries call this so the
+    * expressions are usable from SQL text and lambda bodies alike. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      (e: Seq[Expression]) => PolyHash(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (e: Seq[Expression]) => SimHash(e.head), "built-in")
+  }
+}

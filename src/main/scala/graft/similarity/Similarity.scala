@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Similarity search over the embeddings table: brute-force cosine top-k
+  * (the correctness baseline) and an LSH-bucketed ANN variant (the scale
+  * path — signature equi-join instead of a cross join).
+  *
+  * Scale design: queries are the tiny side and are broadcast; scoring is
+  * a map-side fold over each candidate partition; top-k is a window on
+  * the query key (bounded |queries|×k output). For the ANN variant the
+  * probe only touches candidates sharing the signature bucket.
+  */
+object Similarity {
+
+  /** (vec_id, label, e double[], nrm) — dots must be sequential
+    * left-folds so Spark and DuckDB produce bit-identical doubles. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0d, (acc, x) -> acc + x * x)")))
+
+  private val normedCte: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+      |""".stripMargin
+
+  // --------------------------------------------------------------- sim01
+  /** Brute-force cosine top-3 for query vectors (vec_id < 5). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+      col("nrm").as("nrm_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(eq, ec, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+          / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val cosineTopKSql: String = normedCte +
+    """SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim02
+  /** LSH-bucketed ANN: 4 sign-of-dot hyperplane bits (planes = the first
+    * 4 data vectors — deterministic, no RNG), bucket equi-join, cosine
+    * top-3 within bucket. Trades recall for touching ~1/16 of
+    * candidates. */
+  def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val planes = n.where(col("vec_id") < 4)
+      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    val sigs = n.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(expr("aggregate(zip_with(e, pe, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") >= 0,
+          expr("shiftleft(1, cast(pid as int))")).otherwise(0))
+      .groupBy(col("vec_id"), col("label"), col("e"), col("nrm"))
+      .agg(sum(col("bit")).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val c = sigs.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+      col("nrm").as("nrm_c"), col("sig"))
+    broadcast(
+        sigs.where(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+          col("e").as("eq"), col("nrm").as("nrm_q"), col("sig")))
+      .join(c, Seq("sig"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(eq, ec, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+          / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("sig"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val lshAnnSql: String = normedCte + "," +
+    """planes AS (SELECT vec_id AS pid, e AS pe FROM n WHERE vec_id < 4),
+      |sigs AS (
+      |  SELECT v.vec_id, v.label, v.e, v.nrm,
+      |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) >= 0
+      |      THEN (1 << CAST(p.pid AS INT)) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n v CROSS JOIN planes p
+      |  GROUP BY v.vec_id, v.label, v.e, v.nrm)
+      |SELECT query_id, neighbor_id, sig, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.sig AS sig,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM sigs q JOIN sigs c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sim01_cosine_topk" -> (cosineTopK _),
+    "sim02_lsh_ann" -> (lshAnn _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sim01_cosine_topk" -> cosineTopKSql,
+    "sim02_lsh_ann" -> lshAnnSql)
+}

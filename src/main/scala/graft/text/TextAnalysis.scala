@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: token statistics, language-ID scoring, quality
+  * scoring, polynomial fingerprinting, n-gram profiles.
+  *
+  * All narrow ops except the n-gram profile (one hash-agg shuffle on
+  * (lang, gram)); the scans prune to (doc_id, text[, lang]) only. At
+  * 100 TB each of these runs as a single codegen'd map stage per
+  * partition — no driver-side loops, no collects.
+  */
+object TextAnalysis {
+
+  private def tokens: Column = split(col("text"), " ")
+  private val tokensSqlD = "string_split(text, ' ')" // DuckDB spelling
+
+  // ---------------------------------------------------------------- t01
+  /** Token counting: whitespace tokens, distinct tokens, alpha-run
+    * tokens (the BPE-ish regex pass). */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      length(col("text")).as("n_char"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_unique"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_runs"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(LENGTH(text) AS INTEGER) AS n_char,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS n_unique,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Language-ID by stopword-set hit counts (n-gram-heuristic shape:
+    * score per language profile, argmax with a fixed tie order). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val en = "('the','a','value','row')"
+    val es = "('data','query','small')"
+    val zh = "('table','join','window')"
+    def hits(set: String) =
+      size(expr(s"filter(split(text, ' '), t -> t IN $set)"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        hits(en).as("en_hits"), hits(es).as("es_hits"), hits(zh).as("zh_hits"))
+      .withColumn("predicted",
+        when(col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("zh_hits"), "en")
+          .when(col("es_hits") >= col("zh_hits"), "es")
+          .otherwise("zh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($tokensSqlD, t -> t IN ('the','a','value','row'))) AS INTEGER) AS en_hits,
+       |    CAST(len(list_filter($tokensSqlD, t -> t IN ('data','query','small'))) AS INTEGER) AS es_hits,
+       |    CAST(len(list_filter($tokensSqlD, t -> t IN ('table','join','window'))) AS INTEGER) AS zh_hits
+       |  FROM documents)
+       |SELECT doc_id, en_hits, es_hits, zh_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+       |       WHEN es_hits >= zh_hits THEN 'es' ELSE 'zh' END AS predicted
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** Quality scoring: length/uniqueness/stopword ratios + a keep flag.
+    * Ratios are single double divisions of exact ints — deterministic. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (length(col("text")).cast(DoubleType) / nTok).as("chars_per_token"),
+        (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"),
+        (size(array_distinct(toks)).cast(DoubleType) / nTok).as("unique_ratio"))
+      .withColumn("keep",
+        when(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3, 1)
+          .otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len($tokensSqlD) AS INTEGER) AS n_tokens,
+       |    CAST(LENGTH(text) AS DOUBLE) / len($tokensSqlD) AS chars_per_token,
+       |    CAST(len(list_filter($tokensSqlD, t -> t IN ('the','a','of'))) AS DOUBLE) / len($tokensSqlD) AS stopword_ratio,
+       |    CAST(len(list_distinct($tokensSqlD)) AS DOUBLE) / len($tokensSqlD) AS unique_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, chars_per_token, stopword_ratio, unique_ratio,
+       |  CASE WHEN n_tokens >= 10 AND unique_ratio >= 0.3 THEN 1 ELSE 0 END AS keep
+       |FROM q
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprint via the native PolyHash expression (rolling
+    * hash over codepoints — the dedup-key primitive). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        call_function("graft_polyhash", col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(range(1, LENGTH(text) + 1),
+      |                   i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t05
+  /** Character 3-gram profile: top-5 grams per language (the raw
+    * material of n-gram language models). */
+  def ngramProfile(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d).select(
+      col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram"))
+    grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val ngramProfileSql: String =
+    """WITH grams AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, LENGTH(text) - 1),
+      |                          i -> substr(text, CAST(i AS INT), 3))) AS gram
+      |  FROM documents)
+      |SELECT lang, gram, cnt, rnk FROM (
+      |  SELECT lang, gram, COUNT(*) AS cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram) AS INTEGER) AS rnk
+      |  FROM grams GROUP BY lang, gram) t
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "txt01_token_stats" -> (tokenStats _),
+    "txt02_langid" -> (langId _),
+    "txt03_quality" -> (qualityScore _),
+    "txt04_fingerprint" -> (fingerprint _),
+    "txt05_ngram_profile" -> (ngramProfile _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "txt01_token_stats" -> tokenStatsSql,
+    "txt02_langid" -> langIdSql,
+    "txt03_quality" -> qualityScoreSql,
+    "txt04_fingerprint" -> fingerprintSql,
+    "txt05_ngram_profile" -> ngramProfileSql)
+}
