@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.orderbook.{Normalize, Schemas}
+
+/** Structured Streaming twin of the reference's producer/consumer loop
+  * (SURVEY.md §3): file-source replay of wire NDJSON → `from_json` →
+  * type-dispatch router → the SAME batch normalize transforms → parquet
+  * append via `foreachBatch` with checkpointed offsets.
+  *
+  * Reference mapping:
+  *  - A2 source (kalshi_ws_client.py:108-148) → [[readMessages]]: a
+  *    replayable file stream; `maxFilesPerTrigger` plays the role of the
+  *    XRANGE `count=100` micro-batch bound (consumer.py:9).
+  *  - A4 router (producer.py:31-50) → [[routeSnapshots]]/[[routeDeltas]]:
+  *    two filtered branches of one input stream.
+  *  - A5 stamp (redis_client.py:46, :84) → ingestion_ts column.
+  *  - A7/A8/A14 buffer+sink (redis XADD/XRANGE → ADBC append) → one
+  *    Structured Streaming hop: the checkpoint WAL replaces the manual
+  *    exclusive-start cursor (consumer.py:84), `foreachBatch` parquet
+  *    append replaces the ADBC bulk insert.
+  *  - A15 at-least-once commit (insert-before-XDEL, consumer.py:98-107)
+  *    → per-batch `dropDuplicates` on the lineage id before append.
+  *
+  * Every transform is narrow, so each micro-batch is a single fused map
+  * stage; on a cluster the stream scales by input-file parallelism with
+  * zero shuffles on the ingest path.
+  */
+object StreamPipeline {
+
+  /** Merged wire-message schema: the union of snapshot and delta body
+    * fields (FIXTURES.md §1). One stream carries both message types; the
+    * router filters on `type`, and Catalyst prunes the unused half of
+    * the struct per branch. */
+  val wireMsg: StructType = StructType(Seq(
+    StructField("market_ticker", StringType),
+    StructField("market_id", StringType),
+    StructField("yes_dollars", Schemas.ladderWire),
+    StructField("no_dollars", Schemas.ladderWire),
+    StructField("yes", Schemas.ladderWire),
+    StructField("no", Schemas.ladderWire),
+    StructField("price", IntegerType),
+    StructField("price_dollars", DoubleType),
+    StructField("delta", IntegerType),
+    StructField("side", StringType),
+    StructField("ts", LongType)))
+
+  val wireEnvelope: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("sid", LongType),
+    StructField("seq", LongType),
+    StructField("msg", wireMsg)))
+
+  /** A2: streaming scan of wire NDJSON. `ingestion_ts` is wall-clock
+    * epoch millis exactly like the reference (A5); the synthetic
+    * `redis_stream_id` = "sid-seq" is the lineage/dedup key the Redis
+    * entry-ID provided (unique per logical message, stable across
+    * replays — which is what makes A15 dedup work). */
+  def readMessages(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+      .select(from_json(col("value"), wireEnvelope).as("m"))
+      .select(col("m.type").as("type"), col("m.sid").as("sid"),
+        col("m.seq").as("seq"), col("m.msg").as("msg"))
+      .withColumn("ingestion_ts", unix_millis(current_timestamp()))
+      .withColumn("redis_stream_id",
+        concat(col("sid"), lit("-"), col("seq")))
+
+  /** A4 snapshot branch → A10 explode (shared with batch) →
+    * snapshotsTable shape. */
+  def routeSnapshots(messages: DataFrame): DataFrame =
+    Normalize.explodeSnapshots(
+      messages.where(col("type") === "orderbook_snapshot")
+        .select(col("redis_stream_id"), col("ingestion_ts"),
+          col("msg.market_ticker").as("market_ticker"),
+          col("sid"), col("seq"),
+          col("msg.yes_dollars").as("yes_dollars"),
+          col("msg.no_dollars").as("no_dollars")))
+
+  /** A4 delta branch → A11 flatten (shared with batch) → deltasTable
+    * shape. */
+  def routeDeltas(messages: DataFrame): DataFrame =
+    Normalize.flattenDeltas(
+      messages.where(col("type") === "orderbook_delta")
+        .select(col("redis_stream_id"), col("ingestion_ts"),
+          col("msg.market_ticker").as("market_ticker"),
+          col("sid"), col("seq"),
+          col("msg.side").as("side"),
+          col("msg.price_dollars").cast(Schemas.price).as("price_dollars"),
+          col("msg.delta").as("delta")))
+
+  /** A14/A15 sink: checkpointed micro-batch append with replay-dedup
+    * inside each batch. Cross-batch duplicates are impossible for the
+    * file source (exactly-once offsets); the in-batch dedup guards the
+    * at-least-once buffer semantics the reference has. */
+  def writeFacts(facts: DataFrame, outPath: String, checkpoint: String,
+      dedupKeys: Seq[String], trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Normalize.dedupReplays(batch, dedupKeys)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /** A16: the reference's (dead-code) CSV debug sink — header-on-create
+    * append (kalshi_ws_client.py:32-75). */
+  def debugCsvSink(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("header", "true").csv(path)
+
+  /** __main__ equivalent (SURVEY.md §3.1): both branches as concurrent
+    * StreamingQuery instances on one session; returns them for
+    * awaitTermination / test control. */
+  def run(spark: SparkSession, inDir: String, outDir: String)
+      : Seq[StreamingQuery] = {
+    val msgs = readMessages(spark, inDir)
+    Seq(
+      writeFacts(routeSnapshots(msgs), s"$outDir/orderbook_snapshots",
+        s"$outDir/_ckpt_snapshots",
+        Seq("redis_stream_id", "side", "price_dollars")),
+      writeFacts(routeDeltas(msgs), s"$outDir/orderbook_deltas",
+        s"$outDir/_ckpt_deltas",
+        Seq("redis_stream_id")))
+  }
+}
