@@ -26,7 +26,8 @@ object SparkEntry {
       orderbook.Analytics.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
-      similarity.Similarity.queries: _*)
+      similarity.Similarity.queries ++
+      multimodal.Multimodal.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       orderbook.Analytics.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++
-      similarity.Similarity.oracles: _*)
+      similarity.Similarity.oracles ++
+      multimodal.Multimodal.oracles: _*)
 }

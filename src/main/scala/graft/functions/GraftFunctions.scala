@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -90,6 +90,42 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
+object SortedIntersectCount {
+  /** |A ∩ B| for two ascending-sorted distinct long arrays by linear
+    * merge — no per-call hash set, no allocation (array_intersect costs
+    * ~100μs/call on ~300-element arrays; this is ~1μs). The workhorse
+    * of pairwise Jaccard verification over pre-sorted shingle hashes. */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** sorted_intersect_count(array<long>, array<long>) → long.
+  * Both inputs MUST be ascending-sorted and distinct (array_sort ∘
+  * array_distinct); equals size(array_intersect(a, b)) there. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedIntersectCount.count($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect_count"
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; queries call this so the
     * expressions are usable from SQL text and lambda bodies alike. */
@@ -99,5 +135,7 @@ object GraftFunctions {
       (e: Seq[Expression]) => PolyHash(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       (e: Seq[Expression]) => SimHash(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1)), "built-in")
   }
 }
