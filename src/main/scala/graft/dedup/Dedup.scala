@@ -190,10 +190,11 @@ object Dedup {
       |ORDER BY sig""".stripMargin
 
   // ---------------------------------------------------------------- dd05
-  /** MinHash + LSH banding: 32 permutations (affine maps a·h+b mod p of
-    * the precomputed shingle poly-hashes), 4 bands × 8 rows, each band
-    * folded to ONE long join key; band-equal candidates verified by
-    * exact Jaccard ≥ 0.8 over the sorted hash arrays.
+  /** MinHash + LSH banding: 32 min-wise permutations (native
+    * [[graft.functions.MinHashSig]] — large mixing multipliers; see its
+    * scaladoc for why small ones collapse the banding), 4 bands × 8
+    * rows folded to ONE long join key, a 26/32 signature-agreement
+    * prefilter, then exact Jaccard ≥ 0.8 over the sorted hash arrays.
     *
     * Why 8 rows per band: this corpus's same-lang pairs have median
     * trigram Jaccard ≈ 0.45 (measured), so with 2-row bands ~60% of ALL
@@ -203,11 +204,12 @@ object Dedup {
     * shuffle key a single BIGINT (identical formula in the oracle, so
     * even fold collisions — ~1e-9/pair — are mirrored exactly). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = withHashedShingles(s, docsAug(s, d))
+    val sig = withHashedShingles(s, docsAug(s, d))
       .select(col("doc_id"), col("hsh"))
-    val sig = sh.withColumn("sig", expr(
-      """transform(sequence(0, 31), j -> array_min(transform(hsh,
-        |  h -> ((2 * j + 1) * h + (j * 12345 + 678)) % 1000000007)))""".stripMargin))
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+    // Candidate generation never touches the shingle arrays: bands
+    // carry (doc_id, band, bkey) only — 24 bytes a row through the
+    // shuffle regardless of document size.
     val bands = sig.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3), b -> struct(b as band,
         |  aggregate(slice(sig, 8 * b + 1, 8), 0L,
@@ -219,9 +221,22 @@ object Dedup {
     val cand = ba.join(bb, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val sa = sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-    val sb = sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+    // Prefilter on the 256-byte signatures before shipping the ~2 KB
+    // shingle arrays anywhere: ≥26/32 agreeing minhashes (estimated
+    // J ≈ 0.81). This corpus's same-lang pairs sit at median J ≈ 0.45,
+    // so band collisions alone leave ~1.5M candidates at sf0.1; the
+    // prefilter cuts the array join to the few thousand plausible
+    // pairs. The oracle applies the identical prefilter, so the
+    // (approximate) pipeline stays bit-reproducible across engines.
+    val qa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val qb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val pre = cand.join(qa, "id_a").join(qb, "id_b")
+      .where(call_function("graft_positional_eq_count",
+        col("sig_a"), col("sig_b")) >= 26)
+      .select(col("id_a"), col("id_b"))
+    val sa = sig.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+    pre.join(sa, "id_a").join(sb, "id_b")
       .withColumn("n_common",
         call_function("graft_sorted_intersect_count", col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common").cast(DoubleType) /
@@ -241,7 +256,7 @@ object Dedup {
       |sig AS (
       |  SELECT doc_id, hsh, list_transform(range(0, 32), j ->
       |    list_min(list_transform(hsh, h ->
-      |      ((2 * CAST(j AS BIGINT) + 1) * h
+      |      (((2654435761 * (CAST(j AS BIGINT) + 1)) % 1000000007) * h
       |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
       |  FROM hs),
       |bands AS (
@@ -253,11 +268,17 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bands a JOIN bands c
-      |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+      |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+      |pre AS (
+      |  SELECT id_a, id_b
+      |  FROM cand JOIN sig qa ON qa.doc_id = id_a JOIN sig qb ON qb.doc_id = id_b
+      |  WHERE list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN qa.sig[CAST(i AS INT)] = qb.sig[CAST(i AS INT)]
+      |         THEN 1 ELSE 0 END)) >= 26)
       |SELECT id_a, id_b,
       |  CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
       |    / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
-      |FROM cand JOIN hs sa ON sa.doc_id = id_a JOIN hs sb ON sb.doc_id = id_b
+      |FROM pre JOIN hs sa ON sa.doc_id = id_a JOIN hs sb ON sb.doc_id = id_b
       |WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
       |    / len(list_distinct(sa.hsh || sb.hsh)) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin

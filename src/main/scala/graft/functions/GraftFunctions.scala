@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -90,6 +90,81 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
+object MinHashSig {
+  val Perms = 32
+  /** Mixing multiplier base (Knuth's 2654435761); small multipliers
+    * (2j+1…) preserve the ordering of small hash values — no modular
+    * wraparound — so every "permutation" picks the same min-gram and
+    * LSH banding collapses (measured: 11.3M candidate pairs at sf0.1
+    * vs 1.5M with proper mixing). */
+  val A = 2654435761L
+  val Mod: Long = PolyHash.Mod
+
+  /** 32 min-wise signatures: min over the doc's gram hashes of
+    * ((A·(j+1) mod p)·h + j·12345+678) mod p. One tight loop instead of
+    * 32 interpreted higher-order-function passes. */
+  def hash(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](Perms)
+    var j = 0
+    while (j < Perms) {
+      val a = (A * (j + 1)) % Mod
+      val b = j * 12345L + 678L
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * arr.getLong(i) + b) % Mod
+        if (v < min) min = v
+        i += 1
+      }
+      out(j) = min
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** minhash32(array<long>) → array<long> of 32 signature values. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.hash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash32"
+}
+
+object PositionalEqCount {
+  /** #positions where two equal-length long arrays agree — the minhash
+    * similarity estimator (cheap prefilter before exact verification). */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** positional_eq_count(array<long>, array<long>) → long. */
+case class PositionalEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PositionalEqCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PositionalEqCount.count($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PositionalEqCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_positional_eq_count"
+}
+
 object SortedIntersectCount {
   /** |A ∩ B| for two ascending-sorted distinct long arrays by linear
     * merge — no per-call hash set, no allocation (array_intersect costs
@@ -137,5 +212,9 @@ object GraftFunctions {
       (e: Seq[Expression]) => SimHash(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash32",
+      (e: Seq[Expression]) => MinHashSig(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_positional_eq_count",
+      (e: Seq[Expression]) => PositionalEqCount(e(0), e(1)), "built-in")
   }
 }

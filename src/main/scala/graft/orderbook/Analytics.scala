@@ -326,6 +326,44 @@ object Analytics {
       |GROUP BY ticker
       |ORDER BY ticker""".stripMargin
 
+  // ----------------------------------------------------------------- B10
+  /** As-of join — the canonical time-series operator Spark has no
+    * built-in for: for every snapshot anchor, the last delta (per
+    * ticker) at or before it. Implemented as union + ordered window
+    * with `last(ignoreNulls)` — ONE shuffle on ticker and one sort,
+    * instead of a per-row range join; this is the plan that survives
+    * 100 TB (a range join would re-scan the delta side per anchor).
+    * The as-of key is `event_id` (globally unique, per-ticker ordered)
+    * so ties are impossible and both engines pick the same row. */
+  def asofPrice(s: SparkSession, d: String): DataFrame = {
+    val anchors = Derive.snapshots(s, d)
+      .select(col("ticker"), col("event_id")).distinct()
+      .withColumn("is_anchor", lit(1))
+    val quotes = Derive.deltas(s, d)
+      .select(col("ticker"), col("event_id"),
+        col("price").as("q_price"), col("seq").as("q_seq"))
+      .withColumn("is_anchor", lit(0))
+    // deltas sort before anchors at equal event_id → "at or before"
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("event_id"), col("is_anchor"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchors.unionByName(quotes, allowMissingColumns = true)
+      .withColumn("last_price", last(col("q_price"), ignoreNulls = true).over(w))
+      .withColumn("last_seq", last(col("q_seq"), ignoreNulls = true).over(w))
+      .where(col("is_anchor") === 1)
+      .select(col("ticker"), col("event_id"), col("last_price"),
+        col("last_seq"))
+      .orderBy(col("ticker"), col("event_id"))
+  }
+
+  val asofPriceSql: String = Derive.cte +
+    """SELECT s.ticker, s.event_id,
+      |  d.price AS last_price, d.seq AS last_seq
+      |FROM (SELECT DISTINCT ticker, event_id FROM ob_snapshots) s
+      |ASOF LEFT JOIN ob_deltas d
+      |  ON s.ticker = d.ticker AND d.event_id <= s.event_id
+      |ORDER BY s.ticker, s.event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
@@ -340,7 +378,8 @@ object Analytics {
     "ob10_msg_rate" -> (msgRate _),
     "ob11_latency" -> (latency _),
     "ob12_dedup_replay" -> (dedupReplay _),
-    "ob13_dup_audit" -> (dupAudit _))
+    "ob13_dup_audit" -> (dupAudit _),
+    "ob14_asof_price" -> (asofPrice _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -355,5 +394,6 @@ object Analytics {
     "ob10_msg_rate" -> msgRateSql,
     "ob11_latency" -> latencySql,
     "ob12_dedup_replay" -> dedupReplaySql,
-    "ob13_dup_audit" -> dupAuditSql)
+    "ob13_dup_audit" -> dupAuditSql,
+    "ob14_asof_price" -> asofPriceSql)
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: correctness of the ROW SET is the
+  * oracle gate's job; these pin the plan SHAPES that make the same
+  * queries viable at 100 TB — pushdown reaching the scan, column
+  * pruning, broadcast on small dimensions, and the absence of
+  * nested-loop/cartesian fallbacks on the pairwise operators. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.init()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: dimension filters are pushed into the parquet scans") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"customer filter not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,"),
+      s"lineitem date filter not pushed:\n$p")
+  }
+
+  test("q03: small dimension joins are broadcast, fact join shuffles") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("txt04: scan prunes documents to (doc_id, text) only") {
+    val p = plan("txt04_fingerprint")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned 2-column read:\n$p")
+  }
+
+  test("mm01: blob stats never decode — single scan, no shuffle before agg") {
+    val p = plan("mm01_blob_stats")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
+  test("pairwise dedup operators never fall back to nested-loop joins") {
+    Seq("dd03_ngram_jaccard", "dd05_minhash_lsh", "dd06_embed_neardup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q has a nested loop:\n$p")
+      }
+  }
+
+  test("ingest normalize path is shuffle-free (narrow ops only)") {
+    val parsed = orderbook.Normalize.parseSnapshotEntries(
+      orderbook.Fixtures.snapshotEntries(spark))
+    val p = orderbook.Normalize.explodeSnapshots(parsed)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ingest path shuffles:\n$p")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    // AQE prints codegen spans only once stages are final — run first
+    Seq("txt01_token_stats", "ob02_delta_flatten").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // materialize THIS QueryExecution's adaptive stages
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Op" in the compact plan string
+      assert(p.contains("*(1)"), s"$q not codegen'd:\n$p")
+    }
+  }
+}
