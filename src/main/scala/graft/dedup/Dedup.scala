@@ -44,21 +44,16 @@ object Dedup {
       |  SELECT doc_id + 2000000, text || ' the end', lang FROM documents WHERE doc_id % 11 = 0)
       |""".stripMargin
 
-  /** Distinct character-3-gram shingle set (shared by jaccard/minhash). */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("shingles", expr(
-      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
-
-  /** Distinct SORTED poly-hashed 3-gram set. PolyHash is injective on
-    * 3-char grams (max value ≈ cp·(31²+31+1) < 2³¹ ≪ the 1e9+7 modulus,
-    * so the mod never wraps) — set intersections/unions over the long
-    * array are EXACTLY the string-shingle ones; sorting once per doc
-    * lets every pairwise intersection run as an allocation-free merge
+  /** Distinct SORTED poly-hashed 3-gram set, built by the native
+    * [[graft.functions.ShingleHashes]] pass. PolyHash is injective on
+    * BMP 3-char grams (stepwise mod never wraps below the prime), so
+    * set intersections/unions over the long array are EXACTLY the
+    * string-shingle ones; sorting once per doc lets every pairwise
+    * intersection run as an allocation-free merge
     * (graft_sorted_intersect_count) instead of a per-pair hash set. */
   private def withHashedShingles(s: SparkSession, df: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    withShingles(df).withColumn("hsh",
-      expr("array_sort(array_distinct(transform(shingles, g -> graft_polyhash(g))))"))
+    df.withColumn("hsh", call_function("graft_shingle_hashes", col("text")))
   }
 
   private val shinglesCte: String =
@@ -288,20 +283,21 @@ object Dedup {
     * embeddings ∪ injected scaled copies (scaling preserves cosine).
     * Dots are sequential left-folds in both engines → identical doubles. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("e"))
     val aug = v.unionByName(v.where(col("vec_id") % 9 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         expr("transform(e, x -> x * 1.1d)").as("e")))
     val n = aug.withColumn("nrm",
-      sqrt(expr("aggregate(e, 0d, (acc, x) -> acc + x * x)")))
+      sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
     val a = n.select(col("vec_id").as("id_a"), col("label").as("label_a"),
       col("e").as("ea"), col("nrm").as("nrm_a"))
     val b = n.select(col("vec_id").as("id_b"), col("label").as("label_b"),
       col("e").as("eb"), col("nrm").as("nrm_b"))
     a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+        call_function("graft_vec_dot", col("ea"), col("eb"))
           / (col("nrm_a") * col("nrm_b")))
       .where(col("cosine") >= 0.9)
       .select(col("id_a"), col("id_b"), col("cosine"))

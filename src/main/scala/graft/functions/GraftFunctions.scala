@@ -90,6 +90,95 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
+object ShingleHashes {
+  /** Sorted distinct rolling poly-hashes of every 3-codepoint window —
+    * one native pass replacing the interpreted
+    * transform(sequence…substring) → polyhash → array_distinct →
+    * array_sort chain (higher-order functions don't codegen; this was
+    * the dominant cost of the shingle-dedup operators). Stepwise
+    * arithmetic matches PolyHash exactly: h = (h·31 + cp) mod p per
+    * codepoint, windowed. */
+  def hash(s: UTF8String): ArrayData = {
+    val str = s.toString
+    // codepoint array (ASCII fast path is the common case; surrogate
+    // pairs handled the same way PolyHash.hash walks them)
+    val cps = new Array[Int](str.length)
+    var n = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val m = n - 2
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      var h = cps(k).toLong % PolyHash.Mod
+      h = (h * 31 + cps(k + 1)) % PolyHash.Mod
+      h = (h * 31 + cps(k + 2)) % PolyHash.Mod
+      out(k) = h
+      k += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place distinct on the sorted run
+    var w = 1
+    k = 1
+    while (k < m) {
+      if (out(k) != out(w - 1)) { out(w) = out(k); w += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** shingle_hashes(string) → sorted distinct array<long> of 3-gram
+  * poly-hashes. Equals
+  * array_sort(array_distinct(transform(3-gram shingles, polyhash))). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object VecDot {
+  /** Sequential left-fold dot product — the same evaluation order as
+    * aggregate(zip_with(a, b, *), 0d, +), so results are bit-identical
+    * to the higher-order-function spelling (and to the oracle), minus
+    * the interpreted per-element lambda dispatch. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** vec_dot(array<double>, array<double>) → double. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_vec_dot"
+}
+
 object MinHashSig {
   val Perms = 32
   /** Mixing multiplier base (Knuth's 2654435761); small multipliers
@@ -216,5 +305,9 @@ object GraftFunctions {
       (e: Seq[Expression]) => MinHashSig(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_positional_eq_count",
       (e: Seq[Expression]) => PositionalEqCount(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      (e: Seq[Expression]) => ShingleHashes(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_dot",
+      (e: Seq[Expression]) => VecDot(e(0), e(1)), "built-in")
   }
 }

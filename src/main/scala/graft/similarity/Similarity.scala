@@ -19,12 +19,16 @@ import graft.Tables
 object Similarity {
 
   /** (vec_id, label, e double[], nrm) — dots must be sequential
-    * left-folds so Spark and DuckDB produce bit-identical doubles. */
-  private def normed(s: SparkSession, d: String): DataFrame =
+    * left-folds so Spark and DuckDB produce bit-identical doubles
+    * (graft_vec_dot is exactly that fold, natively). */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("nrm", sqrt(expr("aggregate(e, 0d, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+  }
 
   private val normedCte: String =
     """WITH v AS (
@@ -46,7 +50,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(eq, ec, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+        call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
@@ -77,7 +81,7 @@ object Similarity {
       .select(col("vec_id").as("pid"), col("e").as("pe"))
     val sigs = n.crossJoin(broadcast(planes))
       .withColumn("bit",
-        when(expr("aggregate(zip_with(e, pe, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") >= 0,
+        when(call_function("graft_vec_dot", col("e"), col("pe")) >= 0,
           expr("shiftleft(1, cast(pid as int))")).otherwise(0))
       .groupBy(col("vec_id"), col("label"), col("e"), col("nrm"))
       .agg(sum(col("bit")).as("sig"))
@@ -91,7 +95,7 @@ object Similarity {
       .join(c, Seq("sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(eq, ec, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+        call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
