@@ -62,11 +62,20 @@ object StreamPipeline {
     * replays — which is what makes A15 dedup work). */
   def readMessages(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
+    decode(spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(StructType(Seq(StructField("value", StringType))))
-      .text(dir)
-      .select(from_json(col("value"), wireEnvelope).as("m"))
+      .text(dir))
+
+  /** Batch twin of [[readMessages]] — same decode over already-loaded
+    * NDJSON lines (tests, backfills). */
+  def parseMessages(spark: SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    decode(lines.toDF("value"))
+  }
+
+  private def decode(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), wireEnvelope).as("m"))
       .select(col("m.type").as("type"), col("m.sid").as("sid"),
         col("m.seq").as("seq"), col("m.msg").as("msg"))
       .withColumn("ingestion_ts", unix_millis(current_timestamp()))
