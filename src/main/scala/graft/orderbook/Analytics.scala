@@ -364,6 +364,29 @@ object Analytics {
       |  ON s.ticker = d.ticker AND d.event_id <= s.event_id
       |ORDER BY s.ticker, s.event_id""".stripMargin
 
+  // ----------------------------------------------------------------- B11
+  /** VWAP per (ticker, side) over the latest snapshot levels, computed
+    * by a custom typed `Aggregator` (the engine's UDAF surface). The
+    * buffer holds exact integer sums, so partition merge order cannot
+    * perturb the double emitted at the end. */
+  def vwap(s: SparkSession, d: String): DataFrame = {
+    val vwapUdaf = udaf(graft.functions.Vwap.agg)
+    Derive.snapshots(s, d)
+      .groupBy(col("ticker"), col("side"))
+      .agg(vwapUdaf(col("price"), col("contracts")).as("vwap"),
+        sum(col("contracts")).as("volume"))
+      .orderBy(col("ticker"), col("side"))
+  }
+
+  val vwapSql: String = Derive.cte +
+    """SELECT ticker, side,
+      |  CAST(SUM(CAST(price AS BIGINT) * contracts) AS DOUBLE)
+      |    / SUM(contracts) AS vwap,
+      |  SUM(contracts) AS volume
+      |FROM ob_snapshots
+      |GROUP BY ticker, side
+      |ORDER BY ticker, side""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
@@ -379,7 +402,8 @@ object Analytics {
     "ob11_latency" -> (latency _),
     "ob12_dedup_replay" -> (dedupReplay _),
     "ob13_dup_audit" -> (dupAudit _),
-    "ob14_asof_price" -> (asofPrice _))
+    "ob14_asof_price" -> (asofPrice _),
+    "ob15_vwap" -> (vwap _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -395,5 +419,6 @@ object Analytics {
     "ob11_latency" -> latencySql,
     "ob12_dedup_replay" -> dedupReplaySql,
     "ob13_dup_audit" -> dupAuditSql,
-    "ob14_asof_price" -> asofPriceSql)
+    "ob14_asof_price" -> asofPriceSql,
+    "ob15_vwap" -> vwapSql)
 }

@@ -399,6 +399,61 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
+    * one pass (partial aggregation replicates rows per set, still one
+    * shuffle). Grouping-null markers replaced with 'ALL' so the hash
+    * compare never depends on engine null-ordering. */
+  def q18Cube(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, "ALL")
+          .otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, "ALL")
+          .otherwise(col("l_linestatus")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val q18Sql: String =
+    """SELECT
+      |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+      |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Pivot: order counts per year × status as columns (relational pivot
+    * = groupBy().pivot(known values) — a single hash aggregate; the
+    * explicit value list keeps the plan free of a distinct-scan). */
+  def q19Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .groupBy(col("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_year"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("order_year"))
+
+  val q19Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_year""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -413,7 +468,9 @@ object Relational {
     "q14_date_funcs" -> (q14DateFuncs _),
     "q15_events_tumbling" -> (q15EventsTumbling _),
     "q16_sessionize" -> (q16Sessionize _),
-    "q17_distinct_agg" -> (q17DistinctAgg _))
+    "q17_distinct_agg" -> (q17DistinctAgg _),
+    "q18_cube" -> (q18Cube _),
+    "q19_pivot" -> (q19Pivot _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -428,5 +485,7 @@ object Relational {
     "q14_date_funcs" -> q14Sql,
     "q15_events_tumbling" -> q15Sql,
     "q16_sessionize" -> q16Sql,
-    "q17_distinct_agg" -> q17Sql)
+    "q17_distinct_agg" -> q17Sql,
+    "q18_cube" -> q18Sql,
+    "q19_pivot" -> q19Sql)
 }
