@@ -123,12 +123,77 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim03
+  /** IVF (inverted-file) ANN: centroids = the first 4 data vectors
+    * (deterministic, no k-means RNG), every vector assigned to its
+    * nearest centroid by cosine (row_number tie-broken on centroid id),
+    * queries probe ONLY their own cell (nprobe=1). The classic
+    * coarse-quantizer trade: each probe touches |corpus|/k candidates.
+    * At 100 TB the assignment is one broadcast-join map pass and the
+    * probe is an equi-join on cell id — no pairwise blowup anywhere. */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = n.where(col("vec_id") < 4)
+      .select(col("vec_id").as("pid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    broadcast(assigned.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("eq"),
+          col("nrm").as("nrm_q"), col("cell")))
+      .join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val ivfAnnSql: String = normedCte + "," +
+    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1)
+      |SELECT query_id, neighbor_id, cell, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM assigned q JOIN assigned c
+      |    ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
-    "sim02_lsh_ann" -> (lshAnn _))
+    "sim02_lsh_ann" -> (lshAnn _),
+    "sim03_ivf_ann" -> (ivfAnn _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
-    "sim02_lsh_ann" -> lshAnnSql)
+    "sim02_lsh_ann" -> lshAnnSql,
+    "sim03_ivf_ann" -> ivfAnnSql)
 }
