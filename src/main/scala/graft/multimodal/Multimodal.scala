@@ -125,16 +125,43 @@ object Multimodal {
       |FROM media
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm04
+  /** Resize: the metadata half of a real image resize — target dims =
+    * halved (min 1), aspect preserved, payload untouched (a real codec
+    * would rewrite it inside the same mapPartitions slot as mm03; the
+    * md5 column proves the blob passed through unmodified). */
+  def resizeMeta(s: SparkSession, d: String): DataFrame =
+    media(s, d).where(col("kind") === "image")
+      .select(col("media_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        greatest(lit(1), (col("meta.width") / 2).cast(IntegerType))
+          .as("out_width"),
+        greatest(lit(1), (col("meta.height") / 2).cast(IntegerType))
+          .as("out_height"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("media_id"))
+
+  val resizeMetaSql: String = mediaCte +
+    """SELECT media_id, width, height,
+      |  GREATEST(1, CAST(width // 2 AS INTEGER)) AS out_width,
+      |  GREATEST(1, CAST(height // 2 AS INTEGER)) AS out_height,
+      |  md5(text) AS payload_md5
+      |FROM media
+      |WHERE kind = 'image'
+      |ORDER BY media_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm01_blob_stats" -> (blobStats _),
     "mm02_frame_sample" -> (frameSample _),
-    "mm03_decode_features" -> (decodeFeatures _))
+    "mm03_decode_features" -> (decodeFeatures _),
+    "mm04_resize" -> (resizeMeta _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
     "mm02_frame_sample" -> frameSampleSql,
-    "mm03_decode_features" -> decodeFeaturesSql)
+    "mm03_decode_features" -> decodeFeaturesSql,
+    "mm04_resize" -> resizeMetaSql)
 }
 
 /** STUB DECODER — stands in for libjpeg/ffmpeg/etc., which this

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join: pair each yes-side delta with the
+  * no-side deltas of the same ticker within ±5 s of event time — the
+  * two-sided-flow correlation (book imbalance) query shape.
+  *
+  * Both sides carry a watermark, so the join state store evicts rows
+  * once they can no longer match (bounded memory on an unbounded
+  * stream); the ±5 s band keeps matched state per ticker tiny. Inner
+  * matches emit as soon as both rows arrive — no end-of-window latency.
+  */
+object StreamJoins {
+
+  def yesNoPairs(messages: DataFrame): DataFrame = {
+    def side(tag: String) = messages
+      .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
+      .select(col("msg.market_ticker").as(s"${tag}_ticker"),
+        timestamp_millis(col("msg.ts")).as(s"${tag}_time"),
+        col("msg.price").as(s"${tag}_price"),
+        col("msg.delta").as(s"${tag}_delta"),
+        col("seq").as(s"${tag}_seq"))
+      .withWatermark(s"${tag}_time", "1 minute")
+    side("yes").join(side("no"),
+      col("yes_ticker") === col("no_ticker") &&
+        col("no_time") >= col("yes_time") - expr("INTERVAL 5 SECONDS") &&
+        col("no_time") <= col("yes_time") + expr("INTERVAL 5 SECONDS"))
+      .select(col("yes_ticker").as("ticker"),
+        col("yes_seq"), col("no_seq"),
+        col("yes_price"), col("no_price"),
+        col("yes_delta"), col("no_delta"))
+  }
+}
