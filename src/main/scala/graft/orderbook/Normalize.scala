@@ -76,6 +76,19 @@ object Normalize {
       col("delta"),
       col("redis_stream_id"))
 
+  /** A6: the inverse hop — ladder arrays back to JSON text for a
+    * string-valued buffer (redis_client.py:42-45). `to_json ∘ from_json`
+    * is identity on the ladder domain (see NormalizeSpec roundtrip). */
+  def serializeSnapshotEntries(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("redis_stream_id"),
+      col("ingestion_ts").cast("string").as("ingestion_ts"),
+      col("market_ticker"),
+      col("sid").cast("string").as("sid"),
+      col("seq").cast("string").as("seq"),
+      to_json(col("yes_dollars")).as("yes_dollars"),
+      to_json(col("no_dollars")).as("no_dollars"))
+
   /** A15 replay-dedup: at-least-once delivery (insert-before-XDEL,
     * consumer.py:98-107) means crash-replay duplicates; the
     * redis_stream_id lineage column exists precisely to drop them. */

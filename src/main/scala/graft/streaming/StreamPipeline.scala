@@ -75,12 +75,23 @@ object StreamPipeline {
   }
 
   private def decode(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value"), wireEnvelope).as("m"))
-      .select(col("m.type").as("type"), col("m.sid").as("sid"),
+    raw.select(col("value").as("raw"),
+        from_json(col("value"), wireEnvelope).as("m"))
+      .select(col("raw"), col("m.type").as("type"), col("m.sid").as("sid"),
         col("m.seq").as("seq"), col("m.msg").as("msg"))
       .withColumn("ingestion_ts", unix_millis(current_timestamp()))
       .withColumn("redis_stream_id",
         concat(col("sid"), lit("-"), col("seq")))
+
+  /** A4's `else` branch as data instead of a log line: malformed JSON
+    * (from_json PERMISSIVE → null struct/type) and unknown message
+    * types, with the raw line preserved for replay. The reference
+    * prints and drops these (producer.py:48-50); a pipeline at scale
+    * needs them queryable. */
+  def deadLetters(messages: DataFrame): DataFrame =
+    messages.where(col("type").isNull ||
+        !col("type").isin("orderbook_snapshot", "orderbook_delta"))
+      .select(col("raw"), col("type").as("msg_type"), col("ingestion_ts"))
 
   /** A4 snapshot branch → A10 explode (shared with batch) →
     * snapshotsTable shape. */
