@@ -24,12 +24,15 @@ object Fixtures {
       ingestionTs: Long, streamId: String,
       side: String, priceCents: Int, delta: Int)
 
-  /** Message stream: per ticker, seq 1..20; every 10th (seq 1, 11) is a
-    * full snapshot, the rest are deltas. */
-  lazy val messages: Seq[Either[Snap, Delta]] =
-    tickers.zipWithIndex.flatMap { case (t, ti) =>
-      (1 to msgsPerTicker).map { seq =>
-        val gi = ti * msgsPerTicker + seq // global index, unique
+  /** Deterministic message stream generator: per ticker, seq 1..n;
+    * every 10th (seq 1, 11, …) is a full snapshot, the rest deltas.
+    * Same arithmetic at any size — the 3×20 default feeds the unit
+    * tests, StreamBench scales it up. */
+  def genMessages(tickerNames: Seq[String],
+      perTicker: Int): Seq[Either[Snap, Delta]] =
+    tickerNames.zipWithIndex.flatMap { case (t, ti) =>
+      (1 to perTicker).map { seq =>
+        val gi = ti.toLong * perTicker + seq // global index, unique
         val ts = baseTs + 1000L * gi
         val id = s"$ts-0"
         if (seq % 10 == 1) {
@@ -43,6 +46,9 @@ object Fixtures {
         }
       }
     }
+
+  lazy val messages: Seq[Either[Snap, Delta]] =
+    genMessages(tickers, msgsPerTicker)
 
   lazy val snaps: Seq[Snap] = messages.collect { case Left(s) => s }
   lazy val deltas: Seq[Delta] = messages.collect { case Right(d) => d }

@@ -152,4 +152,27 @@ object StreamPipeline {
         s"$outDir/_ckpt_deltas",
         Seq("redis_stream_id")))
   }
+
+  /** Single-pass variant: ONE streaming query parses each micro-batch
+    * once, persists it, and routes to both sinks inside `foreachBatch`.
+    * Halves the scan+parse work of [[run]] at the cost of coupling the
+    * two sinks' progress (one checkpoint, shared failure domain) —
+    * the right trade for throughput-bound ingest. */
+  def runUnified(spark: SparkSession, inDir: String, outDir: String)
+      : StreamingQuery =
+    readMessages(spark, inDir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_ckpt_unified")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          Normalize.dedupReplays(routeSnapshots(batch),
+              Seq("redis_stream_id", "side", "price_dollars"))
+            .write.mode("append").parquet(s"$outDir/orderbook_snapshots")
+          Normalize.dedupReplays(routeDeltas(batch), Seq("redis_stream_id"))
+            .write.mode("append").parquet(s"$outDir/orderbook_deltas")
+        } finally batch.unpersist()
+      }
+      .start()
 }

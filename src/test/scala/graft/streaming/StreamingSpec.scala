@@ -56,6 +56,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(deltas.agg(sum("delta")).head.getLong(0) === expectedDelta)
   }
 
+  test("unified single-pass pipeline writes the same fact rows") {
+    val in = tmp("graft-in"); val out = tmp("graft-out")
+    writeLines(in, "messages.ndjson", Fixtures.ndjsonLines)
+    StreamPipeline.runUnified(spark, in.toString, out.toString)
+      .awaitTermination()
+    val snaps = spark.read.parquet(s"$out/orderbook_snapshots")
+    val deltas = spark.read.parquet(s"$out/orderbook_deltas")
+    assert(snaps.count() === 36)
+    assert(deltas.count() === Fixtures.deltas.size)
+    assert(deltas.agg(sum("delta")).head.getLong(0) ===
+      Fixtures.deltas.map(_.delta.toLong).sum)
+  }
+
   test("restart with the same checkpoint appends nothing (exactly-once)") {
     val in = tmp("graft-in"); val out = tmp("graft-out")
     writeLines(in, "messages.ndjson", Fixtures.ndjsonLines)
