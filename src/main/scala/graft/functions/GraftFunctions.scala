@@ -152,12 +152,17 @@ object VecDot {
   /** Sequential left-fold dot product — the same evaluation order as
     * aggregate(zip_with(a, b, *), 0d, +), so results are bit-identical
     * to the higher-order-function spelling (and to the oracle), minus
-    * the interpreted per-element lambda dispatch. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * the interpreted per-element lambda dispatch. Length mismatch →
+    * null, exactly like the HOF spelling (zip_with pads with null and
+    * null poisons the sum) — required for [[VecDotRewrite]] to be
+    * semantics-preserving. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null poisons the sum
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -169,10 +174,15 @@ object VecDot {
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}_r = graft.functions.VecDot.dot($a, $b);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
