@@ -399,6 +399,59 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+  /** Scalar subquery: parts priced above the global average retail
+    * price. The subquery is a one-row aggregate Catalyst plans as a
+    * (reused) broadcast — no per-row re-evaluation. Average compared
+    * in exact decimal so both engines cut the same boundary. */
+  def q20ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val avgPrice = p.agg(
+      (sum(col("p_retailprice").cast(dec)) / count(lit(1))).as("a"))
+    p.join(broadcast(avgPrice))
+      .where(col("p_retailprice").cast(dec) > col("a"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above"),
+        dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q20Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_above,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+      |  (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) / COUNT(*) FROM part)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Sliding event-time windows: 10-minute windows sliding by 5 —
+    * every event lands in exactly two windows (Spark's window()
+    * replicates rows per overlapping window; the oracle unnests the
+    * same two window starts). */
+  def q21Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+
+  val q21Sql: String =
+    """WITH slid AS (
+      |  SELECT w.start_ms AS ws, event_type, user_id
+      |  FROM events, unnest([
+      |    epoch_ms(ts) - epoch_ms(ts) % 300000,
+      |    epoch_ms(ts) - epoch_ms(ts) % 300000 - 300000]) AS w(start_ms))
+      |SELECT ws AS window_start_ms, event_type,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM slid
+      |GROUP BY ws, event_type
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q18
   /** CUBE over (returnflag, linestatus): all four grouping-set levels in
     * one pass (partial aggregation replicates rows per set, still one
@@ -470,7 +523,9 @@ object Relational {
     "q16_sessionize" -> (q16Sessionize _),
     "q17_distinct_agg" -> (q17DistinctAgg _),
     "q18_cube" -> (q18Cube _),
-    "q19_pivot" -> (q19Pivot _))
+    "q19_pivot" -> (q19Pivot _),
+    "q20_scalar_subquery" -> (q20ScalarSubquery _),
+    "q21_sliding" -> (q21Sliding _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -487,5 +542,7 @@ object Relational {
     "q16_sessionize" -> q16Sql,
     "q17_distinct_agg" -> q17Sql,
     "q18_cube" -> q18Sql,
-    "q19_pivot" -> q19Sql)
+    "q19_pivot" -> q19Sql,
+    "q20_scalar_subquery" -> q20Sql,
+    "q21_sliding" -> q21Sql)
 }
