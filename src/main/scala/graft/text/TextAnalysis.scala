@@ -161,18 +161,62 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  /** Count-Min sketch of the token-frequency distribution: d=4 hash
+    * rows × w=64 buckets, each cell = Σ occurrences of tokens hashing
+    * there. Construction is one explode + hash-groupBy — exactly how a
+    * CMS is built distributively (cells merge by +, so map-side partial
+    * aggregation does the heavy lifting and the shuffle carries ≤ d·w
+    * rows per partition regardless of corpus size). Point estimates =
+    * min over the d cells of a token; here the sketch itself is the
+    * output, checkable cell-for-cell because the hash family is the
+    * same affine-over-polyhash construction as [[graft.functions.MinHashSig]]. */
+  def countMinSketch(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("hash_row"))
+      .withColumn("bucket",
+        (((lit(2654435761L) * (col("hash_row") + 1)) % 1000000007L) *
+          call_function("graft_polyhash", col("tok")) +
+          (col("hash_row") * 12345L + 678L)) % 1000000007L % 64)
+      .groupBy(col("hash_row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_count"))
+      .orderBy(col("hash_row"), col("bucket"))
+  }
+
+  val countMinSketchSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cells AS (
+      |  SELECT CAST(j.hash_row AS BIGINT) AS hash_row,
+      |    (((2654435761 * (CAST(j.hash_row AS BIGINT) + 1)) % 1000000007) *
+      |      list_reduce(list_transform(range(1, LENGTH(tok) + 1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT)),
+      |        (a, b) -> (a * 31 + b) % 1000000007)
+      |     + (CAST(j.hash_row AS BIGINT) * 12345 + 678)) % 1000000007 % 64 AS bucket
+      |  FROM toks, (SELECT unnest(range(0, 4)) AS hash_row) j
+      |  WHERE tok <> '')
+      |SELECT hash_row, bucket, COUNT(*) AS cell_count
+      |FROM cells
+      |GROUP BY hash_row, bucket
+      |ORDER BY hash_row, bucket""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
     "txt03_quality" -> (qualityScore _),
     "txt04_fingerprint" -> (fingerprint _),
-    "txt05_ngram_profile" -> (ngramProfile _))
+    "txt05_ngram_profile" -> (ngramProfile _),
+    "txt06_countmin" -> (countMinSketch _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
     "txt02_langid" -> langIdSql,
     "txt03_quality" -> qualityScoreSql,
     "txt04_fingerprint" -> fingerprintSql,
-    "txt05_ngram_profile" -> ngramProfileSql)
+    "txt05_ngram_profile" -> ngramProfileSql,
+    "txt06_countmin" -> countMinSketchSql)
 }
