@@ -134,11 +134,13 @@ object TextAnalysis {
   /** Character 3-gram profile: top-5 grams per language (the raw
     * material of n-gram language models). */
   def ngramProfile(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d).select(
-      col("lang"),
-      explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("gram"))
+    // explode the POSITIONS (cheap int sequence) and slice per row in
+    // codegen, instead of materializing a 300-string array per doc in
+    // an interpreted transform() lambda before exploding it
+    val grams = Tables.documents(s, d)
+      .select(col("lang"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("lang"), expr("substring(text, i, 3)").as("gram"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
     grams.groupBy(col("lang"), col("gram"))
