@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connector seam (SURVEY.md §7.1 step 5): the environment-dependent
+  * edges of the reference — market discovery (kalshi_rest_client.py:
+  * 60-74) and the message feed (kalshi_ws_client.py:108-148) — behind
+  * traits, so the engine's pipeline code never knows whether messages
+  * come from a live socket or a replay directory. Offline, the replay
+  * implementations are the default; a live deployment supplies
+  * implementations backed by the real REST/WSS endpoints (driver-side
+  * HTTP for discovery, a custom streaming source for the feed) without
+  * touching anything downstream.
+  */
+object Connectors {
+
+  /** A1: market discovery — returns the tickers to subscribe. */
+  trait TickerDiscovery {
+    def tickers(): Seq[String]
+  }
+
+  /** Offline default: a fixed ticker list (the reference's discovery
+    * reduces to exactly this after its one REST call). */
+  final class StaticTickers(ts: Seq[String]) extends TickerDiscovery {
+    override def tickers(): Seq[String] = ts
+  }
+
+  /** A2: the message feed as an unbounded wire-envelope DataFrame. */
+  trait MessageSource {
+    def messages(spark: SparkSession): DataFrame
+  }
+
+  /** Offline default: NDJSON replay through the file source —
+    * checkpointable, replayable, and schema-identical to a live feed. */
+  final class FileReplaySource(dir: String, maxFilesPerTrigger: Int = 100)
+      extends MessageSource {
+    override def messages(spark: SparkSession): DataFrame =
+      StreamPipeline.readMessages(spark, dir, maxFilesPerTrigger)
+  }
+
+  /** Subscription filter: the WSS subscribe command's ticker list
+    * (kalshi_ws_client.py:119-127) expressed as a pushdown-friendly
+    * predicate on the stream. */
+  def subscribed(messages: DataFrame, discovery: TickerDiscovery): DataFrame =
+    messages.where(col("msg.market_ticker")
+      .isin(discovery.tickers(): _*))
+}
