@@ -91,6 +91,42 @@ class LiveBookSpec extends AnyFunSuite {
     }
   }
 
+  test("live book state runs identically on the RocksDB state store") {
+    // the provider a production cluster runs: state off-heap in RocksDB
+    // (bounded executor memory at any key count) instead of the
+    // HDFS-backed in-memory default
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = Files.createTempDirectory("graft-rdb-in")
+      val ck = Files.createTempDirectory("graft-rdb-ck")
+      Fixtures.ndjsonLines.grouped(10).zipWithIndex.foreach { case (g, i) =>
+        Files.write(in.resolve(f"part-$i%02d.ndjson"), g.asJava)
+      }
+      val q = LiveBook.topOfBook(spark,
+          StreamPipeline.readMessages(spark, in.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName("live_book_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("live_book_rocks").collect()
+      Fixtures.tickers.foreach { t =>
+        val last = rows.filter(_.getAs[String]("ticker") == t)
+          .maxBy(_.getAs[Long]("last_seq"))
+        val (yp, yq, np, nq, n) = expectedTop(t)
+        assert((last.getAs[Int]("best_yes_cents"),
+          last.getAs[Int]("best_yes_qty"),
+          last.getAs[Int]("best_no_cents"),
+          last.getAs[Int]("best_no_qty"),
+          last.getAs[Int]("n_levels")) === ((yp, yq, np, nq, n)), t)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("watermarked per-minute message rate matches the batch rollup") {
     val in = Files.createTempDirectory("graft-wm-in")
     val ck = Files.createTempDirectory("graft-wm-ck")
