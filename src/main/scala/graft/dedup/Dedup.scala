@@ -219,30 +219,30 @@ object Dedup {
     // Candidate generation never touches the shingle arrays: bands
     // carry (doc_id, band, bkey) only — 24 bytes a row through the
     // shuffle regardless of document size.
-    val bands = sig.select(col("doc_id"), explode(expr(
+    // Band rows CARRY their 256-byte signature, so the candidate join
+    // yields (sig_a, sig_b) directly — the ≥26/32 signature-agreement
+    // prefilter (estimated J ≈ 0.81) runs inline on the join output and
+    // the expensive distinct shrinks from ~1.5M band collisions (this
+    // corpus's same-lang pairs sit at median J ≈ 0.45) to the few
+    // thousand plausible pairs. No extra self-joins re-executing the
+    // signature pipeline, and the ~2 KB shingle arrays still only ship
+    // for prefilter survivors. The oracle applies the identical
+    // prefilter, so the (approximate) pipeline stays bit-reproducible.
+    val bands = sig.select(col("doc_id"), col("sig"), explode(expr(
       """transform(sequence(0, 3), b -> struct(b as band,
         |  aggregate(slice(sig, 8 * b + 1, 8), 0L,
         |    (acc, h) -> (acc * 31 + h) % 1000000007) as bkey))""".stripMargin))
-      .as("bd")).select(col("doc_id"), col("bd.band").as("band"),
-        col("bd.bkey").as("bkey"))
-    val ba = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-    val bb = bands.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
-    val cand = ba.join(bb, Seq("band", "bkey"))
-      .where(col("id_a") < col("id_b"))
+      .as("bd")).select(col("doc_id"), col("sig"),
+        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val ba = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bkey"))
+    val bb = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bkey"))
+    val pre = ba.join(bb, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b") &&
+        call_function("graft_positional_eq_count",
+          col("sig_a"), col("sig_b")) >= 26)
       .select(col("id_a"), col("id_b")).distinct()
-    // Prefilter on the 256-byte signatures before shipping the ~2 KB
-    // shingle arrays anywhere: ≥26/32 agreeing minhashes (estimated
-    // J ≈ 0.81). This corpus's same-lang pairs sit at median J ≈ 0.45,
-    // so band collisions alone leave ~1.5M candidates at sf0.1; the
-    // prefilter cuts the array join to the few thousand plausible
-    // pairs. The oracle applies the identical prefilter, so the
-    // (approximate) pipeline stays bit-reproducible across engines.
-    val qa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val qb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val pre = cand.join(qa, "id_a").join(qb, "id_b")
-      .where(call_function("graft_positional_eq_count",
-        col("sig_a"), col("sig_b")) >= 26)
-      .select(col("id_a"), col("id_b"))
     val sa = sig.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
     pre.join(sa, "id_a").join(sb, "id_b")
@@ -269,20 +269,17 @@ object Dedup {
       |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
       |  FROM hs),
       |bands AS (
-      |  SELECT doc_id, b.band,
+      |  SELECT doc_id, sig, b.band,
       |    list_reduce([CAST(0 AS BIGINT)] ||
       |      sig[CAST(8 * b.band + 1 AS INT):CAST(8 * b.band + 8 AS INT)],
       |      (acc, h) -> (acc * 31 + h) % 1000000007) AS bkey
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-      |cand AS (
+      |pre AS (
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bands a JOIN bands c
-      |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-      |pre AS (
-      |  SELECT id_a, id_b
-      |  FROM cand JOIN sig qa ON qa.doc_id = id_a JOIN sig qb ON qb.doc_id = id_b
+      |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
       |  WHERE list_sum(list_transform(range(1, 33), i ->
-      |    CASE WHEN qa.sig[CAST(i AS INT)] = qb.sig[CAST(i AS INT)]
+      |    CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
       |         THEN 1 ELSE 0 END)) >= 26)
       |SELECT id_a, id_b,
       |  CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
