@@ -387,6 +387,33 @@ object Analytics {
       |GROUP BY ticker, side
       |ORDER BY ticker, side""".stripMargin
 
+  // ----------------------------------------------------------------- B12
+  /** Order-flow imbalance per (ticker, day): signed delta volume on the
+    * yes side minus the no side — the standard pressure indicator a
+    * book-event table exists to answer. One hash-shuffle on the
+    * bounded (ticker, day) key. */
+  def flowImbalance(s: SparkSession, d: String): DataFrame =
+    Derive.deltas(s, d)
+      .groupBy(col("ticker"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum(when(col("side") === "yes", col("delta")).otherwise(0))
+          .as("yes_flow"),
+        sum(when(col("side") === "no", col("delta")).otherwise(0))
+          .as("no_flow"))
+      .withColumn("imbalance", col("yes_flow") - col("no_flow"))
+      .orderBy(col("ticker"), col("day"))
+
+  val flowImbalanceSql: String = Derive.cte +
+    """SELECT ticker, strftime(epoch_ms(ts_ms), '%Y-%m-%d') AS day,
+      |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END) AS yes_flow,
+      |  SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS no_flow,
+      |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END)
+      |    - SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS imbalance
+      |FROM ob_deltas
+      |GROUP BY ticker, day
+      |ORDER BY ticker, day""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
@@ -403,7 +430,8 @@ object Analytics {
     "ob12_dedup_replay" -> (dedupReplay _),
     "ob13_dup_audit" -> (dupAudit _),
     "ob14_asof_price" -> (asofPrice _),
-    "ob15_vwap" -> (vwap _))
+    "ob15_vwap" -> (vwap _),
+    "ob16_flow_imbalance" -> (flowImbalance _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -420,5 +448,6 @@ object Analytics {
     "ob12_dedup_replay" -> dedupReplaySql,
     "ob13_dup_audit" -> dupAuditSql,
     "ob14_asof_price" -> asofPriceSql,
-    "ob15_vwap" -> vwapSql)
+    "ob15_vwap" -> vwapSql,
+    "ob16_flow_imbalance" -> flowImbalanceSql)
 }

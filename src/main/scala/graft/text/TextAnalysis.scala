@@ -205,6 +205,99 @@ object TextAnalysis {
       |GROUP BY hash_row, bucket
       |ORDER BY hash_row, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** TF-IDF-style term scoring: top-3 terms per language by
+    * tf · (N / df) with a RATIONAL idf (no logarithm — ln differs by
+    * ulps across engines and would make rank order engine-dependent;
+    * the rational form is a single division of exact integers, so both
+    * engines rank identically). Two bounded hash-shuffles: (lang, tok)
+    * term counts and per-token document frequency. */
+  def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // corpus size as a broadcast one-row aggregate, not a driver action
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok")).where(col("tok") =!= "")
+    val tf = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("lang"), col("tok"), col("tf"), col("df"), col("score"),
+        col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tks AS (SELECT * FROM toks WHERE tok <> ''),
+      |tf AS (SELECT lang, tok, COUNT(*) AS tf FROM tks GROUP BY lang, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, tok FROM tks) GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT lang, tok, tf, df, score, rnk FROM (
+      |  SELECT tf.lang, tf.tok, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.lang
+      |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.tok)
+      |      AS INTEGER) AS rnk
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
+      |WHERE rnk <= 3
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- t08
+  /** End-to-end curation pipeline: quality gate (t03's keep rule) →
+    * exact dedup (keep lowest doc_id per content hash) → per-lang
+    * survivor stats. The composite every training-data pipeline runs;
+    * each stage is the already-verified operator, chained. */
+  def curation(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val kept = Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("unique_ratio",
+        size(array_distinct(toks)).cast(DoubleType) / col("n_tokens"))
+      .where(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3)
+    val w = Window.partitionBy(md5(col("text").cast(org.apache.spark.sql.types.BinaryType)))
+      .orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1)))
+          .as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val curationSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS unique_ratio
+      |  FROM documents),
+      |kept AS (SELECT * FROM q WHERE n_tokens >= 10 AND unique_ratio >= 0.3),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT lang, n_tokens,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM kept) t
+      |  WHERE rn = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM deduped
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -212,7 +305,9 @@ object TextAnalysis {
     "txt03_quality" -> (qualityScore _),
     "txt04_fingerprint" -> (fingerprint _),
     "txt05_ngram_profile" -> (ngramProfile _),
-    "txt06_countmin" -> (countMinSketch _))
+    "txt06_countmin" -> (countMinSketch _),
+    "txt07_tfidf" -> (tfidfTerms _),
+    "txt08_curation" -> (curation _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -220,5 +315,7 @@ object TextAnalysis {
     "txt03_quality" -> qualityScoreSql,
     "txt04_fingerprint" -> fingerprintSql,
     "txt05_ngram_profile" -> ngramProfileSql,
-    "txt06_countmin" -> countMinSketchSql)
+    "txt06_countmin" -> countMinSketchSql,
+    "txt07_tfidf" -> tfidfTermsSql,
+    "txt08_curation" -> curationSql)
 }
