@@ -22,6 +22,14 @@ object Analytics {
     * the events table's 2024-01-01..01-30 span at every SF). */
   val AsOfMs = 1705276800000L
 
+  /** ms-epoch → 'yyyy-MM-dd' day bucket (UTC session), with its single
+    * DuckDB spelling — shared by every day-grained rollup so the two
+    * engines can never disagree on the bucket boundary in one query
+    * but not another. */
+  private def dayCol: Column =
+    date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd")
+  private val daySqlD = "strftime(epoch_ms(ts_ms), '%Y-%m-%d')"
+
   // ------------------------------------------------------------- A10/A12
   /** Exploded snapshot fact table — the reference's core transform
     * (consumer.py:51-96): ladder arrays → one row per (side, level). */
@@ -209,7 +217,7 @@ object Analytics {
   def ohlcDaily(s: SparkSession, d: String): DataFrame =
     Derive.deltas(s, d)
       .groupBy(col("ticker"),
-        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+        dayCol.as("day"))
       .agg(
         expr("min_by(price, event_id)").as("open"),
         max(col("price")).as("high"),
@@ -219,8 +227,8 @@ object Analytics {
       .orderBy(col("ticker"), col("day"))
 
   val ohlcDailySql: String = Derive.cte +
-    """SELECT ticker,
-      |  strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS day,
+    s"""SELECT ticker,
+      |  $daySqlD AS day,
       |  CAST(arg_min(price, event_id) AS INTEGER) AS open,
       |  MAX(price) AS high,
       |  MIN(price) AS low,
@@ -395,7 +403,7 @@ object Analytics {
   def flowImbalance(s: SparkSession, d: String): DataFrame =
     Derive.deltas(s, d)
       .groupBy(col("ticker"),
-        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("day"))
+        dayCol.as("day"))
       .agg(
         sum(when(col("side") === "yes", col("delta")).otherwise(0))
           .as("yes_flow"),
@@ -405,7 +413,7 @@ object Analytics {
       .orderBy(col("ticker"), col("day"))
 
   val flowImbalanceSql: String = Derive.cte +
-    """SELECT ticker, strftime(epoch_ms(ts_ms), '%Y-%m-%d') AS day,
+    s"""SELECT ticker, $daySqlD AS day,
       |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END) AS yes_flow,
       |  SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS no_flow,
       |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END)

@@ -22,6 +22,12 @@ object TextAnalysis {
   private def tokens: Column = split(col("text"), " ")
   private val tokensSqlD = "string_split(text, ' ')" // DuckDB spelling
 
+  /** Quality-gate thresholds (t03's keep rule, reused verbatim by the
+    * t08 curation pipeline — tune here, both queries and both oracle
+    * spellings follow). */
+  val MinTokens = 10
+  val MinUniqueRatio = 0.3
+
   // ---------------------------------------------------------------- t01
   /** Token counting: whitespace tokens, distinct tokens, alpha-run
     * tokens (the BPE-ish regex pass). */
@@ -92,7 +98,8 @@ object TextAnalysis {
         (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"),
         (size(array_distinct(toks)).cast(DoubleType) / nTok).as("unique_ratio"))
       .withColumn("keep",
-        when(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3, 1)
+        when(col("n_tokens") >= MinTokens &&
+             col("unique_ratio") >= MinUniqueRatio, 1)
           .otherwise(0))
       .orderBy(col("doc_id"))
   }
@@ -106,7 +113,7 @@ object TextAnalysis {
        |    CAST(len(list_distinct($tokensSqlD)) AS DOUBLE) / len($tokensSqlD) AS unique_ratio
        |  FROM documents)
        |SELECT doc_id, n_tokens, chars_per_token, stopword_ratio, unique_ratio,
-       |  CASE WHEN n_tokens >= 10 AND unique_ratio >= 0.3 THEN 1 ELSE 0 END AS keep
+       |  CASE WHEN n_tokens >= $MinTokens AND unique_ratio >= $MinUniqueRatio THEN 1 ELSE 0 END AS keep
        |FROM q
        |ORDER BY doc_id""".stripMargin
 
@@ -209,9 +216,10 @@ object TextAnalysis {
   /** TF-IDF-style term scoring: top-3 terms per language by
     * tf · (N / df) with a RATIONAL idf (no logarithm — ln differs by
     * ulps across engines and would make rank order engine-dependent;
-    * the rational form is a single division of exact integers, so both
-    * engines rank identically). Two bounded hash-shuffles: (lang, tok)
-    * term counts and per-token document frequency. */
+    * the rational score is evaluated in the identical double operation
+    * order in both engines). Three shuffles: (lang, tok) term counts,
+    * the (doc_id, tok) distinct feeding per-token document frequency —
+    * the one unbounded-key exchange here — and the df re-aggregation. */
   def tfidfTerms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // corpus size as a broadcast one-row aggregate, not a driver action
@@ -264,7 +272,8 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks))
       .withColumn("unique_ratio",
         size(array_distinct(toks)).cast(DoubleType) / col("n_tokens"))
-      .where(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3)
+      .where(col("n_tokens") >= MinTokens &&
+        col("unique_ratio") >= MinUniqueRatio)
     val w = Window.partitionBy(md5(col("text").cast(org.apache.spark.sql.types.BinaryType)))
       .orderBy(col("doc_id"))
     kept.withColumn("rn", row_number().over(w))
@@ -278,13 +287,13 @@ object TextAnalysis {
   }
 
   val curationSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_tokens,
       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |      / len(string_split(text, ' ')) AS unique_ratio
       |  FROM documents),
-      |kept AS (SELECT * FROM q WHERE n_tokens >= 10 AND unique_ratio >= 0.3),
+      |kept AS (SELECT * FROM q WHERE n_tokens >= $MinTokens AND unique_ratio >= $MinUniqueRatio),
       |deduped AS (
       |  SELECT * FROM (
       |    SELECT lang, n_tokens,
