@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-text face of the engine: register every testdata table as a
+  * temp view so `spark.sql("...")` works against the same data the
+  * DataFrame API sees — including the graft_* native functions, which
+  * resolve from SQL via [[graft.functions.GraftExtensions]] with no
+  * imperative setup. */
+object SqlInterface {
+
+  /** One temp view per table in `dir` (see Tables.names). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** Convenience: register views then run the statement. */
+  def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(statement)
+  }
+}
