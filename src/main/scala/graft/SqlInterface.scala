@@ -9,11 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * imperative setup. */
 object SqlInterface {
 
-  /** One temp view per table in `dir` (see Tables.names). */
-  def registerViews(spark: SparkSession, dir: String): Unit =
+  /** One temp view per table in `dir` (see Tables.names). The `events`
+    * view gets the same ts/ts_ms normalization every DataFrame query
+    * sees via [[Tables.events]] (the raw INT64-nanos frame stays
+    * reachable as `events_raw`), so the two API surfaces never show a
+    * same-named table with different schemas. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
     Tables.names.foreach { t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.eventsRaw(spark, dir).createOrReplaceTempView("events_raw")
+  }
 
   /** Convenience: register views then run the statement. */
   def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {

@@ -187,7 +187,8 @@ object Dedup {
       |    list_reduce(list_transform(range(0, 30), bb ->
       |      CASE WHEN 2 * len(list_filter(
       |             list_transform(string_split(text, ' '), t ->
-      |               list_reduce(list_transform(range(1, LENGTH(t) + 1),
+      |               list_reduce([CAST(0 AS BIGINT)] ||
+      |                 list_transform(range(1, LENGTH(t) + 1),
       |                 i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)),
       |                 (a, b) -> (a * 31 + b) % 1000000007)),
       |             h -> (h >> CAST(bb AS INT)) & 1 = 1)) >= len(string_split(text, ' '))
@@ -258,7 +259,8 @@ object Dedup {
   val minhashLshSql: String = docsAugCte + "," + shinglesCte + "," +
     """hs AS (
       |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
-      |    list_reduce(list_transform(range(1, LENGTH(s) + 1),
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(s) + 1),
       |      i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
       |      (a, b) -> (a * 31 + b) % 1000000007))) AS hsh
       |  FROM sh),
@@ -290,9 +292,22 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- dd06
-  /** Embedding-cosine near-dup: pairs ≥ 0.9 within label blocks over
-    * embeddings ∪ injected scaled copies (scaling preserves cosine).
-    * Dots are sequential left-folds in both engines → identical doubles. */
+  /** Embedding-cosine near-dup: pairs ≥ 0.9 over embeddings ∪ injected
+    * scaled copies (scaling preserves cosine), with candidates generated
+    * by banded hyperplane LSH — NEVER an all-pairs join.
+    *
+    * Scheme: 32 sign-of-dot bits (planes = the first 32 data vectors,
+    * deterministic — no RNG, same trick as sim02), folded into 4 bands
+    * × 8 bits. A pair is a candidate iff some band's full 8-bit key
+    * matches, so the shuffle key is (band, bkey) with 4×256 values per
+    * band family and ~n/256 vectors per bucket — candidate volume
+    * ≈ 4·n²/256 for near-orthogonal corpora (bit-agreement prob ≈ 0.5
+    * for random pairs → 0.5⁸ per band), while an exact-direction dup
+    * agrees on every bit and always collides. Exact-cosine verify runs
+    * only on candidates; arrays attach after the slim pair join.
+    * Dots are sequential left-folds in both engines → identical
+    * doubles, and the oracle mirrors the banding exactly, so the
+    * (approximate) candidate set is bit-reproducible. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -302,11 +317,29 @@ object Dedup {
         expr("transform(e, x -> x * 1.1d)").as("e")))
     val n = aug.withColumn("nrm",
       sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
-    val a = n.select(col("vec_id").as("id_a"), col("label").as("label_a"),
-      col("e").as("ea"), col("nrm").as("nrm_a"))
-    val b = n.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-      col("e").as("eb"), col("nrm").as("nrm_b"))
-    a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
+    val planes = v.where(col("vec_id") < 32)
+      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    // Bit contributions are computed map-side under the broadcast join
+    // and projected to (vec_id, band, bit) before the groupBy, so the
+    // signature shuffle moves 32 narrow rows per vector — the 512-byte
+    // embedding arrays never enter it.
+    val bands = n.select(col("vec_id"), col("e"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), expr("cast(pid div 8 as int)").as("band"),
+        when(call_function("graft_vec_dot", col("e"), col("pe")) >= 0,
+          expr("shiftleft(1L, cast(pid % 8 as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit")).as("bkey"))
+    val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val na = n.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("nrm").as("nrm_a"))
+    val nb = n.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nrm_b"))
+    cand.join(na, "id_a").join(nb, "id_b")
       .withColumn("cosine",
         call_function("graft_vec_dot", col("ea"), col("eb"))
           / (col("nrm_a") * col("nrm_b")))
@@ -324,11 +357,25 @@ object Dedup {
       |  UNION ALL
       |  SELECT vec_id + 100000, label, list_transform(e, x -> x * 1.1) FROM v
       |  WHERE vec_id % 9 = 0),
-      |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM aug)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+      |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM aug),
+      |planes AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 32),
+      |bands AS (
+      |  SELECT a.vec_id, CAST(p.pid // 8 AS INT) AS band,
+      |    CAST(SUM(CASE WHEN list_dot_product(a.e, p.pe) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p.pid % 8 AS INT))
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkey
+      |  FROM n a CROSS JOIN planes p
+      |  GROUP BY a.vec_id, p.pid // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
+      |  list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cosine
+      |FROM cand
+      |JOIN n na ON na.vec_id = id_a
+      |JOIN n nb ON nb.vec_id = id_b
+      |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
   // ----------------------------------------------------------- registry

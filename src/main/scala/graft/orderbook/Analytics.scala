@@ -108,23 +108,25 @@ object Analytics {
 
   // ------------------------------------------------------------------ B2
   /** Event-sourced running book: cumulative depth per (ticker, side,
-    * price) in seq order (one ticker to bound verify output; the window
-    * partitions by the full key so the plan is SF-independent). */
+    * price) in seq order (a modulo sample of tickers — T1/T8/T15 — bounds
+    * verify output while still exercising multi-ticker parallelism; the
+    * window partitions by the full key so the plan is SF-independent). */
   def bookRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("ticker"), col("side"), col("price"))
       .orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Derive.deltas(s, d).where(col("ticker") === "T1")
+    Derive.deltas(s, d)
+      .where(substring(col("ticker"), 2, 3).cast(IntegerType) % 7 === 1)
       .select(col("ticker"), col("side"), col("price"), col("event_id"),
-        sum(col("delta")).over(w).as("depth_running"))
+        sum(col("delta")).over(w).cast(LongType).as("depth_running"))
       .orderBy(col("ticker"), col("side"), col("price"), col("event_id"))
   }
 
   val bookRunningSql: String = Derive.cte +
     """SELECT ticker, side, price, event_id,
-      |  SUM(delta) OVER (PARTITION BY ticker, side, price ORDER BY event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth_running
-      |FROM ob_deltas WHERE ticker = 'T1'
+      |  CAST(SUM(delta) OVER (PARTITION BY ticker, side, price ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth_running
+      |FROM ob_deltas WHERE CAST(SUBSTRING(ticker, 2) AS INTEGER) % 7 = 1
       |ORDER BY ticker, side, price, event_id""".stripMargin
 
   /** Latest snapshot levels per ticker (shared by B3/B4/B5). */
@@ -390,7 +392,7 @@ object Analytics {
     """SELECT ticker, side,
       |  CAST(SUM(CAST(price AS BIGINT) * contracts) AS DOUBLE)
       |    / SUM(contracts) AS vwap,
-      |  SUM(contracts) AS volume
+      |  CAST(SUM(contracts) AS BIGINT) AS volume
       |FROM ob_snapshots
       |GROUP BY ticker, side
       |ORDER BY ticker, side""".stripMargin
@@ -414,10 +416,10 @@ object Analytics {
 
   val flowImbalanceSql: String = Derive.cte +
     s"""SELECT ticker, $daySqlD AS day,
-      |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END) AS yes_flow,
-      |  SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS no_flow,
-      |  SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END)
-      |    - SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS imbalance
+      |  CAST(SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END) AS BIGINT) AS yes_flow,
+      |  CAST(SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS BIGINT) AS no_flow,
+      |  CAST(SUM(CASE WHEN side = 'yes' THEN delta ELSE 0 END)
+      |    - SUM(CASE WHEN side = 'no' THEN delta ELSE 0 END) AS BIGINT) AS imbalance
       |FROM ob_deltas
       |GROUP BY ticker, day
       |ORDER BY ticker, day""".stripMargin

@@ -130,7 +130,7 @@ object TextAnalysis {
 
   val fingerprintSql: String =
     """SELECT doc_id,
-      |  list_reduce(
+      |  list_reduce([CAST(0 AS BIGINT)] ||
       |    list_transform(range(1, LENGTH(text) + 1),
       |                   i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
@@ -144,7 +144,11 @@ object TextAnalysis {
     // explode the POSITIONS (cheap int sequence) and slice per row in
     // codegen, instead of materializing a 300-string array per doc in
     // an interpreted transform() lambda before exploding it
+    // length >= 3 guard: sequence(1, n-2) DESCENDS for n < 3 (e.g.
+    // sequence(1, 0) = [1, 0]) and would emit bogus sub-3-char grams
+    // where DuckDB's range(1, n-1) returns empty
     val grams = Tables.documents(s, d)
+      .where(length(col("text")) >= 3)
       .select(col("lang"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("lang"), expr("substring(text, i, 3)").as("gram"))

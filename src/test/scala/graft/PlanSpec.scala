@@ -40,13 +40,28 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pairwise dedup operators never fall back to nested-loop joins") {
-    Seq("dd03_ngram_jaccard", "dd05_minhash_lsh", "dd06_embed_neardup")
-      .foreach { q =>
-        val p = plan(q)
-        assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$q has a nested loop:\n$p")
-      }
+    Seq("dd03_ngram_jaccard", "dd05_minhash_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested loop:\n$p")
+    }
+  }
+
+  test("dd06: pair candidates come from a (band, bkey) equi-join, " +
+    "not an all-pairs join") {
+    val p = plan("dd06_embed_neardup")
+    assert(!p.contains("CartesianProduct"), s"dd06 has a cartesian:\n$p")
+    // the ONLY nested-loop allowed is the 32-row plane broadcast (a
+    // map-side flatMap); doc×doc candidates must equi-join on the
+    // banded signature key
+    assert(p.contains("hashpartitioning(band"),
+      s"dd06 candidate join is not keyed on (band, bkey):\n$p")
+    // the bands subtree appears once per side of the candidate
+    // self-join, so the plane attach shows up at most twice
+    val nestedLoops = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nestedLoops <= 2,
+      s"dd06 has $nestedLoops nested loops (only the plane attach is allowed):\n$p")
   }
 
   test("ingest normalize path is shuffle-free (narrow ops only)") {
