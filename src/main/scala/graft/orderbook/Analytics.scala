@@ -240,14 +240,47 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY ticker, day""".stripMargin
 
+  /** Bucket width for the two-level window scans (ob09/ob14). A plain
+    * `Window.partitionBy(ticker)` over full history is the classic
+    * low-cardinality skew killer: with ≤1,000 tickers every ticker's
+    * entire history sorts in ONE task no matter how many executors
+    * exist. Instead the heavy rows only ever sort within
+    * (ticker, bucket) — cardinality grows with the data — and the
+    * cross-bucket carry travels through a per-bucket summary ~B× smaller
+    * than the input, whose own prefix scan is a per-ticker window over
+    * #buckets ROWS, not #events. 256 keeps several buckets per ticker
+    * at sf0.01 so the correctness gate exercises the boundary handoff;
+    * at cluster scale raise it (e.g. 1M) so the summary stays tiny. */
+  val ScanBucketWidth = 256L
+
   // ------------------------------------------------------------------ A3
   /** Sequence-gap detection (batch twin of the fail-stop validator,
     * kalshi_ws_client.py:129-146): flag every message whose seq is not
-    * predecessor+1 within its ticker. */
+    * predecessor+1 within its ticker.
+    *
+    * Two-level scan (see [[ScanBucketWidth]]): lag within
+    * (ticker, seq div B), with each bucket's first row checked against
+    * the previous populated bucket's max seq (seq is monotone, so the
+    * running max over preceding buckets IS the predecessor). The
+    * summary join keys match the local window's partitioning, so the
+    * big side shuffles exactly once. */
   def seqGaps(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("ticker")).orderBy(col("seq"))
-    Derive.deltasWithGaps(s, d)
-      .withColumn("prev_seq", lag(col("seq"), 1).over(w))
+    val rows = Derive.deltasWithGaps(s, d)
+      .select(col("ticker"), col("seq"))
+      .withColumn("bucket", expr(s"seq div $ScanBucketWidth"))
+    val wPrefix = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rows.groupBy(col("ticker"), col("bucket"))
+      .agg(max(col("seq")).as("bucket_last_seq"))
+      .withColumn("carry_seq", max(col("bucket_last_seq")).over(wPrefix))
+      .select(col("ticker"), col("bucket"), col("carry_seq"))
+    val wLocal = Window.partitionBy(col("ticker"), col("bucket"))
+      .orderBy(col("seq"))
+    rows
+      .withColumn("prev_in_bucket", lag(col("seq"), 1).over(wLocal))
+      .join(carry, Seq("ticker", "bucket"))
+      .withColumn("prev_seq",
+        coalesce(col("prev_in_bucket"), col("carry_seq")))
       .where(col("prev_seq").isNotNull && col("seq") =!= col("prev_seq") + 1)
       .select(col("ticker"), col("seq"), col("prev_seq"))
       .orderBy(col("ticker"), col("seq"))
@@ -340,11 +373,17 @@ object Analytics {
   /** As-of join — the canonical time-series operator Spark has no
     * built-in for: for every snapshot anchor, the last delta (per
     * ticker) at or before it. Implemented as union + ordered window
-    * with `last(ignoreNulls)` — ONE shuffle on ticker and one sort,
-    * instead of a per-row range join; this is the plan that survives
-    * 100 TB (a range join would re-scan the delta side per anchor).
-    * The as-of key is `event_id` (globally unique, per-ticker ordered)
-    * so ties are impossible and both engines pick the same row. */
+    * with `last(ignoreNulls)` instead of a per-row range join (a range
+    * join would re-scan the delta side per anchor), decomposed as a
+    * two-level scan (see [[ScanBucketWidth]]) so no task ever sorts a
+    * whole ticker's history: the ordered `last` runs within
+    * (ticker, event_id div B), and anchors whose bucket holds no
+    * earlier quote fall back to a carry — the last quote of the
+    * nearest preceding populated bucket, prefix-scanned over the tiny
+    * per-bucket summary (one row per populated bucket). The as-of key
+    * is `event_id` (globally unique, per-ticker ordered) so ties are
+    * impossible and both engines pick the same row; at equal event_id
+    * the quote sorts before the anchor → "at or before". */
   def asofPrice(s: SparkSession, d: String): DataFrame = {
     val anchors = Derive.snapshots(s, d)
       .select(col("ticker"), col("event_id")).distinct()
@@ -353,16 +392,38 @@ object Analytics {
       .select(col("ticker"), col("event_id"),
         col("price").as("q_price"), col("seq").as("q_seq"))
       .withColumn("is_anchor", lit(0))
-    // deltas sort before anchors at equal event_id → "at or before"
-    val w = Window.partitionBy(col("ticker"))
+    val rows = anchors.unionByName(quotes, allowMissingColumns = true)
+      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+    // last quote per populated (ticker, bucket) — max_by is safe on the
+    // globally-unique event_id
+    val summary = quotes
+      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+      .groupBy(col("ticker"), col("bucket"))
+      .agg(expr("max_by(q_price, event_id)").as("b_price"),
+        expr("max_by(q_seq, event_id)").as("b_seq"))
+    // every populated cell (quote- OR anchor-bearing) joins the
+    // summary, so the prefix scan carries across quote-empty buckets
+    val wPrefix = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rows.select(col("ticker"), col("bucket")).distinct()
+      .join(summary, Seq("ticker", "bucket"), "left")
+      .withColumn("carry_price",
+        last(col("b_price"), ignoreNulls = true).over(wPrefix))
+      .withColumn("carry_seq",
+        last(col("b_seq"), ignoreNulls = true).over(wPrefix))
+      .select(col("ticker"), col("bucket"), col("carry_price"),
+        col("carry_seq"))
+    val wLocal = Window.partitionBy(col("ticker"), col("bucket"))
       .orderBy(col("event_id"), col("is_anchor"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    anchors.unionByName(quotes, allowMissingColumns = true)
-      .withColumn("last_price", last(col("q_price"), ignoreNulls = true).over(w))
-      .withColumn("last_seq", last(col("q_seq"), ignoreNulls = true).over(w))
+    rows
+      .withColumn("local_price", last(col("q_price"), ignoreNulls = true).over(wLocal))
+      .withColumn("local_seq", last(col("q_seq"), ignoreNulls = true).over(wLocal))
+      .join(carry, Seq("ticker", "bucket"))
       .where(col("is_anchor") === 1)
-      .select(col("ticker"), col("event_id"), col("last_price"),
-        col("last_seq"))
+      .select(col("ticker"), col("event_id"),
+        coalesce(col("local_price"), col("carry_price")).as("last_price"),
+        coalesce(col("local_seq"), col("carry_seq")).as("last_seq"))
       .orderBy(col("ticker"), col("event_id"))
   }
 

@@ -29,7 +29,12 @@ object Derive {
 
   private def tickerCol = concat(lit("T"), (col("user_id") % 20).cast(StringType))
 
-  /** One delta message per event. */
+  /** One delta message per event. NOTE: the per-ticker row_number
+    * assigning `seq` is DATA SYNTHESIS, not an operator under test —
+    * in the reference the exchange stamps seq on the wire
+    * (kalshi_ws_client.py:129-146), so production plans never contain
+    * this window; the analytic queries must (and do — PlanSpec) avoid
+    * whole-ticker windows of their own. */
   def deltas(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     e.select(

@@ -64,6 +64,23 @@ class PlanSpec extends AnyFunSuite {
       s"dd06 has $nestedLoops nested loops (only the plane attach is allowed):\n$p")
   }
 
+  test("ob09/ob14: gap and as-of windows are bucketed, never whole-ticker") {
+    // the two-level scan contract (Analytics.ScanBucketWidth): the
+    // analytic lag/last over full history must partition by
+    // (ticker, bucket) so no task ever sorts a whole ticker's history.
+    // (The per-ticker windows still present are Derive's synthetic seq
+    // assignment — exchange-provided in production — and the carry
+    // prefix-scan over per-bucket summaries, which is ~B× smaller.)
+    val p09 = plan("ob09_seq_gaps")
+    assert("lag\\(\\w+#\\d+L?, -?1, null\\) windowspecdefinition\\(ticker#\\d+, bucket#".r
+      .findFirstIn(p09).isDefined,
+      s"ob09 gap lag is not bucketed:\n$p09")
+    val p14 = plan("ob14_asof_price")
+    assert("last\\(q_price#\\d+, true\\) windowspecdefinition\\(ticker#\\d+, bucket#".r
+      .findFirstIn(p14).isDefined,
+      s"ob14 as-of last is not bucketed:\n$p14")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
