@@ -39,6 +39,24 @@ object Connectors {
       StreamPipeline.readMessages(spark, dir, maxFilesPerTrigger)
   }
 
+  /** Live-path implementation: the [[WireSocketProvider graft-socket]]
+    * DSv2 source (subscribe handshake + fail-stop seq validation,
+    * kalshi_ws_client.py:108-148), decoded by the SAME
+    * [[StreamPipeline.decode]] the replay path uses — downstream code
+    * cannot tell the feeds apart. */
+  final class SocketMessageSource(host: String, port: Int,
+      tickers: Seq[String], failOnGap: Boolean = true)
+      extends MessageSource {
+    override def messages(spark: SparkSession): DataFrame =
+      StreamPipeline.decode(spark.readStream
+        .format("graft-socket")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("tickers", tickers.mkString(","))
+        .option("failOnGap", failOnGap.toString)
+        .load())
+  }
+
   /** Subscription filter: the WSS subscribe command's ticker list
     * (kalshi_ws_client.py:119-127) expressed as a pushdown-friendly
     * predicate on the stream. */

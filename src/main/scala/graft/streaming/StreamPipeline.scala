@@ -74,7 +74,7 @@ object StreamPipeline {
     decode(lines.toDF("value"))
   }
 
-  private def decode(raw: DataFrame): DataFrame =
+  private[streaming] def decode(raw: DataFrame): DataFrame =
     raw.select(col("value").as("raw"),
         from_json(col("value"), wireEnvelope).as("m"))
       .select(col("raw"), col("m.type").as("type"), col("m.sid").as("sid"),

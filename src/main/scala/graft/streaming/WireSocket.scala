@@ -1,0 +1,219 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A2 live connector: the reference's WebSocket feed
+  * (kalshi_ws_client.py:108-148) as a first-class DataSource V2
+  * micro-batch streaming source — `format("graft-socket")`.
+  *
+  * Wire protocol (line-oriented, mirroring the reference client):
+  *  1. on connect, send ONE subscribe command line —
+  *     `{"id":1,"cmd":"subscribe","params":{"channels":[...],
+  *     "market_tickers":[...]}}` (kalshi_ws_client.py:119-127);
+  *  2. the server replies with NDJSON wire envelopes, one message per
+  *     line (the same envelope schema the file-replay path parses);
+  *  3. the client validates the per-connection monotone `seq` on every
+  *     book message and FAILS THE QUERY on a gap (`failOnGap=true`,
+  *     default) — the reference's fail-stop contract
+  *     (kalshi_ws_client.py:129-146: `raise RuntimeError("Missed
+  *     message! ...")`). Recovery is a restart + re-snapshot, exactly
+  *     like the reference; set `failOnGap=false` to let the downstream
+  *     SeqValidator surface gaps as data instead.
+  *
+  * Scale notes: a socket feed is inherently a single-connection,
+  * driver-buffered source (Spark's own socket source has the same
+  * shape) — the reference's feed is bounded at ~1k msg/s per stream by
+  * its poll cadence, which driver buffering absorbs trivially. At real
+  * fan-in you run one such connection per market shard behind a
+  * durable log; everything downstream of [[Connectors.MessageSource]]
+  * is unchanged. Offsets are monotone line counts, committed batches
+  * are trimmed from the buffer, so memory is bounded by
+  * (uncommitted backlog), not connection lifetime.
+  */
+object WireSocket {
+  /** Single-column raw-line schema — identical to the file-replay
+    * text source, so [[StreamPipeline.decode]] serves both paths. */
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** The subscribe command line (kalshi_ws_client.py:119-127). */
+  def subscribeCommand(tickers: Seq[String],
+      channels: Seq[String] = Seq("orderbook_delta")): String = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    s"""{"id":1,"cmd":"subscribe","params":{"channels":${arr(channels)},""" +
+      s""""market_tickers":${arr(tickers)}}}"""
+  }
+
+  private val SeqField = """"seq"\s*:\s*(\d+)""".r.unanchored
+  private val BookType = """"type"\s*:\s*"orderbook_(snapshot|delta)"""".r.unanchored
+
+  /** The validator loop body (kalshi_ws_client.py:129-146): book
+    * messages must carry seq == expected; returns the next expected.
+    * Non-book messages (acks, errors) pass through unvalidated, like
+    * the reference's `if msg_type in [...]` guard. */
+  private[streaming] def validateSeq(line: String, expected: Long): Long =
+    if (BookType.matches(line)) {
+      val seq = SeqField.findFirstMatchIn(line)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new RuntimeException(
+          s"Book message without seq: $line"))
+      if (seq != expected)
+        throw new RuntimeException(
+          s"Missed message! Expected seq: $expected, Received seq: $seq")
+      expected + 1
+    } else expected
+}
+
+/** `format("graft-socket")` provider (registered via
+  * META-INF/services DataSourceRegister). Options: `host`, `port`,
+  * `tickers` (comma-separated), `channels` (comma-separated, default
+  * orderbook_delta), `failOnGap` (default true). */
+class WireSocketProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-socket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WireSocket.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WireSocketTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-socket(${options.get("host")}:${options.get("port")})"
+  override def schema(): StructType = WireSocket.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = WireSocket.schema
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+          new WireSocketStream(
+            options.get("host"),
+            options.get("port").toInt,
+            Option(options.get("tickers")).map(_.split(",").toSeq)
+              .getOrElse(Seq.empty),
+            Option(options.get("channels")).map(_.split(",").toSeq)
+              .getOrElse(Seq("orderbook_delta")),
+            options.getBoolean("failOnGap", true))
+      }
+    }
+}
+
+private[streaming] case class WireOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Driver-side connection + buffer; offsets are line counts. Modeled
+  * on Spark's TextSocketMicroBatchStream, plus the subscribe handshake
+  * and the reference's fail-stop seq validation. */
+private[streaming] class WireSocketStream(host: String, port: Int,
+    tickers: Seq[String], channels: Seq[String], failOnGap: Boolean)
+    extends MicroBatchStream {
+
+  private val lock = new Object
+  // lines received but not yet committed; head is offset `committed`
+  private val buf = ArrayBuffer.empty[String]
+  private var committed = 0L
+  @volatile private var readerError: Throwable = _
+  @volatile private var socket: Socket = _
+
+  private val reader = new Thread(s"graft-socket-$host:$port") {
+    override def run(): Unit =
+      try {
+        socket = new Socket(host, port)
+        val out = new OutputStreamWriter(socket.getOutputStream,
+          StandardCharsets.UTF_8)
+        out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
+        out.flush()
+        val in = new BufferedReader(new InputStreamReader(
+          socket.getInputStream, StandardCharsets.UTF_8))
+        var expected = 1L
+        var line = in.readLine()
+        while (line != null) {
+          if (failOnGap) expected = WireSocket.validateSeq(line, expected)
+          lock.synchronized { buf += line }
+          line = in.readLine()
+        } // null = server closed: graceful end of feed, not an error
+      } catch {
+        case e: Throwable if socket == null || !socket.isClosed =>
+          readerError = e
+        case _: Throwable => () // closed by stop(): expected
+      }
+  }
+  reader.setDaemon(true)
+  reader.start()
+
+  private def raiseIfFailed(): Unit = {
+    val e = readerError
+    if (e != null) throw new RuntimeException(
+      s"graft-socket reader failed: ${e.getMessage}", e)
+  }
+
+  override def initialOffset(): Offset = WireOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    WireOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    raiseIfFailed()
+    lock.synchronized(WireOffset(committed + buf.size))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    raiseIfFailed()
+    val (s, e) = (start.asInstanceOf[WireOffset].n,
+      end.asInstanceOf[WireOffset].n)
+    val lines = lock.synchronized {
+      buf.slice((s - committed).toInt, (e - committed).toInt).toArray
+    }
+    Array(WireLinesPartition(lines))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WireLinesReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val upTo = end.asInstanceOf[WireOffset].n
+    val drop = (upTo - committed).toInt
+    if (drop > 0) { buf.remove(0, drop); committed = upTo }
+  }
+
+  override def stop(): Unit = {
+    val s = socket
+    if (s != null && !s.isClosed) s.close()
+  }
+}
+
+private[streaming] case class WireLinesPartition(lines: Array[String])
+    extends InputPartition
+
+private[streaming] object WireLinesReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val lines = partition.asInstanceOf[WireLinesPartition].lines
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < lines.length }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(lines(i)))
+      override def close(): Unit = ()
+    }
+  }
+}
