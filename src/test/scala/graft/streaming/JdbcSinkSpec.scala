@@ -27,13 +27,8 @@ class JdbcSinkSpec extends AnyFunSuite {
     // A13: the reference's column DDL (postgres_client.py:41-48) via
     // createTableColumnTypes (Derby would otherwise map strings to
     // CLOB, which is not even comparable); A14: batched append
-    facts.write.mode("append")
-      .option("batchsize", "100")
-      .option("createTableColumnTypes",
-        "timestamp BIGINT, ticker VARCHAR(50), side VARCHAR(10), " +
-        "price_dollars DECIMAL(5,4), delta INTEGER, " +
-        "redis_stream_id VARCHAR(50)")
-      .jdbc(url, "orderbook_deltas", props)
+    JdbcSink.append(facts, url, "orderbook_deltas",
+      JdbcSink.deltaColumnTypes, props)
 
     val back = spark.read.jdbc(url, "orderbook_deltas", props)
     assert(back.count() === facts.count())
