@@ -35,6 +35,20 @@ class ExtensionsSpec extends AnyFunSuite {
       viaNative.agg(sum("norm2")).head.getDouble(0))
   }
 
+  test("VecDotRewrite fires on the pure SQL-text spelling too") {
+    graft.SqlInterface.registerViews(spark, "/root/testdata/sf0.001")
+    val df = spark.sql(
+      """SELECT vec_id,
+        |  aggregate(zip_with(e, e, (x, y) -> x * y), 0d,
+        |            (acc, v) -> acc + v) AS norm2
+        |FROM (SELECT vec_id,
+        |        transform(embedding, x -> cast(x AS double)) AS e
+        |      FROM embeddings)""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_vec_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.count() > 0)
+  }
+
   test("rewrite preserves the null-on-length-mismatch semantics") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
