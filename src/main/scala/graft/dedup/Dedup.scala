@@ -105,7 +105,15 @@ object Dedup {
   /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 within
     * (lang, length±20) blocks — the verification half of shingle dedup;
     * the blocks keep the join off the full cross product. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramPairs(s, d)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** dd03's pair stage without the presentation sort — reused as the
+    * edge generator for connected-components clustering (dd07). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // Joining on lang alone has 5 distinct keys — at most 5 tasks do all
     // the pair work regardless of cluster size. Length-bucket blocking
     // makes the key (lang, len div 20): docs within ±20 chars must land
@@ -151,7 +159,6 @@ object Dedup {
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
         col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   val ngramJaccardSql: String = docsAugCte + "," + shinglesCte +
@@ -378,6 +385,100 @@ object Dedup {
       |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- dd07
+  /** Duplicate-CLUSTER assembly: pair detection (dd03/dd05) emits edges,
+    * but dedup has to act on whole components — A≈B and B≈C must shed
+    * into ONE cluster even when A≉C directly (the injected %77 docs have
+    * exactly that triangle-free shape: exact copy +1M, near copy +2M).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — per
+    * round one equi-join (labels onto edge sources) + one min-agg, i.e.
+    * two hash shuffles over |E| and |V| rows; rounds = component
+    * diameter. Dup clusters are near-stars (diameter ≤ 3), so this
+    * converges in 2–3 rounds; a web-scale graph with long chains would
+    * swap in the large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") on the same
+    * edge frame, and checkpoint every ~5 rounds to cut lineage. The
+    * convergence probe is a scalar DECIMAL(38,0) sum of labels (strictly
+    * decreasing until fixpoint, overflow-proof at any |V|), never a
+    * collect of rows.
+    *
+    * Output: one row per non-singleton cluster — cluster_id = min
+    * doc_id (the survivor dd02-style keep rule would retain), n_docs,
+    * max_id. Reference has no graph stage; this generalizes
+    * consumer.py:98-107's per-row dedup to transitive near-dup groups. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sum0 = checksum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sum1 = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      rounds += 1
+    }
+    require(converged, s"dupClusters did not converge in $rounds rounds")
+    // The cluster summary is orders of magnitude smaller than the input;
+    // localCheckpoint materializes it (still distributed) and truncates
+    // the round-by-round lineage so every iteration cache can drop.
+    val out = labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** DuckDB mirror: same edge CTE as dd03, components via a recursive
+    * walk (every node collects the labels of everything reachable; MIN
+    * per node = component id). */
+  val dupClustersSql: String =
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      shinglesCte + "," +
+      """pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_len - b.n_len) <= 20
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+        |SELECT cluster_id, COUNT(*) AS n_docs, MAX(id) AS max_id
+        |FROM comp GROUP BY cluster_id
+        |ORDER BY cluster_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -385,7 +486,8 @@ object Dedup {
     "dd03_ngram_jaccard" -> (ngramJaccard _),
     "dd04_simhash_buckets" -> (simhashBuckets _),
     "dd05_minhash_lsh" -> (minhashLsh _),
-    "dd06_embed_neardup" -> (embedNearDup _))
+    "dd06_embed_neardup" -> (embedNearDup _),
+    "dd07_dup_clusters" -> (dupClusters _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -393,5 +495,6 @@ object Dedup {
     "dd03_ngram_jaccard" -> ngramJaccardSql,
     "dd04_simhash_buckets" -> simhashBucketsSql,
     "dd05_minhash_lsh" -> minhashLshSql,
-    "dd06_embed_neardup" -> embedNearDupSql)
+    "dd06_embed_neardup" -> embedNearDupSql,
+    "dd07_dup_clusters" -> dupClustersSql)
 }

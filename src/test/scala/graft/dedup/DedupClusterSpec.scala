@@ -1,0 +1,30 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** dd07: components must merge TRANSITIVELY — doc k (k%77==0) has an
+  * exact copy k+1000000 (dd01 pair) and a near copy k+2000000 (suffix
+  * pair); all three belong to one cluster labeled min(id)=k even though
+  * the two copies were never directly compared. */
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.init()
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact + near copies of the same doc land in one cluster") {
+    val rows = Dedup.dupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    // doc 0 is %7, %11 and %77: both injected copies exist
+    val (_, n, maxId) = byId(0L)
+    assert(n >= 3, s"cluster 0 should hold doc 0 + both copies, got $n")
+    assert(maxId === 2000000L)
+    // no doc appears in two clusters: sum of n_docs == distinct members
+    assert(rows.map(_._2).sum ===
+      Dedup.dupClusters(spark, dir).agg(
+        org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0))
+    // every cluster id is its own minimum (the keep-id convention)
+    rows.foreach { case (cid, _, mx) => assert(cid < mx) }
+  }
+}
