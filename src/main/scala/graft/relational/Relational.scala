@@ -507,12 +507,175 @@ object Relational {
       |GROUP BY 1
       |ORDER BY order_year""".stripMargin
 
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style forecast revenue: a pure scan→filter→global-agg with
+    * NO grouping — the whole query is one codegen stage ending in a
+    * single-row partial/final agg, and every predicate (date range,
+    * discount band, quantity cap) pushes to the parquet scan. The
+    * discount/quantity literals compare against the raw doubles both
+    * engines read identically; only the SUM is decimal-exact. */
+  def q06ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.where(li("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        li("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        li("l_discount") >= 0.05 && li("l_discount") <= 0.07 &&
+        li("l_quantity") < 24)
+      .agg(sum(li("l_extendedprice").cast(dec) * li("l_discount").cast(dec))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q06Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** TPC-H Q8-style market share: nation joined in TWO roles (customer's
+    * nation restricts the market to region AMERICA; supplier's nation is
+    * the share numerator), part filtered to one type. All dimensions
+    * broadcast; the only shuffles are the two fact joins on orderkey.
+    * Share = exact-decimal numerator/denominator, divided as doubles so
+    * both engines round identically. */
+  def q08MarketShare(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_type") === "ECONOMY")
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val r = Tables.region(s, d).where(col("r_name") === "AMERICA")
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val vol = discPrice(li)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("c_nkey"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        li("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(o("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_1", vol)
+            .otherwise(lit(0).cast(dec))).cast(DoubleType) /
+          sum(vol).cast(DoubleType)).as("mkt_share"),
+        sum(vol).cast(DoubleType).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val q08Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      |GROUP BY year(o_orderdate)
+      |ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** TPC-H Q22-style sales opportunity: rich customers (acctbal above
+    * the positive-balance average — a scalar aggregate broadcast to
+    * every row) with no RECENT order (left-anti against the 2001+ slice
+    * of orders; the date filter pushes to the scan, and "no orders at
+    * all" would be empty at every shipped SF — lapsed-customer cut
+    * keeps the gate non-trivial), rolled up by nation. The threshold is
+    * exact-decimal sum / count divided in doubles, so the cut line is
+    * bit-identical across engines. */
+  def q22SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val thr = c.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(dec)).cast(DoubleType) /
+        count(lit(1))).as("thr"))
+    val rich = c.join(broadcast(thr))
+      .where(col("c_acctbal") > col("thr"))
+    val never = rich.join(
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType)),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    never
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22Sql: String =
+    """SELECT n_name, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Full outer join — the one join type the rest of the surface doesn't
+    * exercise. Customer presence (BUILDING segment, nations < 20) vs
+    * supplier presence (nations ≥ 10) per nation: the deliberate key
+    * asymmetry guarantees null rows on BOTH sides at any scale factor,
+    * and COALESCE folds them to zero counts. */
+  def q23NationCoverage(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("ckey"))
+      .agg(count(lit(1)).as("cust_n"))
+    val ss = Tables.supplier(s, d)
+      .where(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").as("skey"))
+      .agg(count(lit(1)).as("supp_n"))
+    cs.join(ss, col("ckey") === col("skey"), "full_outer")
+      .select(coalesce(col("ckey"), col("skey")).as("nationkey"),
+        coalesce(col("cust_n"), lit(0L)).as("n_customers"),
+        coalesce(col("supp_n"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q23Sql: String =
+    """WITH cs AS (
+      |  SELECT c_nationkey AS ckey, COUNT(*) AS cust_n FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 20
+      |  GROUP BY 1),
+      |ss AS (
+      |  SELECT s_nationkey AS skey, COUNT(*) AS supp_n FROM supplier
+      |  WHERE s_nationkey >= 10
+      |  GROUP BY 1)
+      |SELECT COALESCE(ckey, skey) AS nationkey,
+      |  COALESCE(cust_n, 0) AS n_customers,
+      |  COALESCE(supp_n, 0) AS n_suppliers
+      |FROM cs FULL OUTER JOIN ss ON ckey = skey
+      |ORDER BY nationkey""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
     "q05_local_supplier" -> (q05LocalSupplier _),
+    "q06_forecast_revenue" -> (q06ForecastRevenue _),
     "q07_semi_anti" -> (q07SemiAnti _),
+    "q08_market_share" -> (q08MarketShare _),
     "q09_window_topk" -> (q09WindowTopK _),
     "q10_running_sum" -> (q10RunningSum _),
     "q11_rollup" -> (q11Rollup _),
@@ -525,13 +688,17 @@ object Relational {
     "q18_cube" -> (q18Cube _),
     "q19_pivot" -> (q19Pivot _),
     "q20_scalar_subquery" -> (q20ScalarSubquery _),
-    "q21_sliding" -> (q21Sliding _))
+    "q21_sliding" -> (q21Sliding _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
+    "q23_nation_coverage" -> (q23NationCoverage _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
     "q03_shipping_priority" -> q03Sql,
     "q05_local_supplier" -> q05Sql,
+    "q06_forecast_revenue" -> q06Sql,
     "q07_semi_anti" -> q07Sql,
+    "q08_market_share" -> q08Sql,
     "q09_window_topk" -> q09Sql,
     "q10_running_sum" -> q10Sql,
     "q11_rollup" -> q11Sql,
@@ -544,5 +711,7 @@ object Relational {
     "q18_cube" -> q18Sql,
     "q19_pivot" -> q19Sql,
     "q20_scalar_subquery" -> q20Sql,
-    "q21_sliding" -> q21Sql)
+    "q21_sliding" -> q21Sql,
+    "q22_sales_opportunity" -> q22Sql,
+    "q23_nation_coverage" -> q23Sql)
 }

@@ -28,6 +28,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q06: every predicate pushes to the lineitem scan; no shuffle " +
+    "before the single-row agg") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"q06 predicates not pushed:\n$p")
+    // global agg = partial agg then a 1-row exchange; the only allowed
+    // shuffle is that SinglePartition gather
+    val exchanges = "Exchange (?!SinglePartition)".r.findAllIn(p).size
+    assert(exchanges === 0, s"q06 shuffles more than the final gather:\n$p")
+  }
+
+  test("q08: all five dimensions broadcast; only fact joins shuffle") {
+    val p = plan("q08_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 5, s"q08 expected 5 broadcast dims, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("txt04: scan prunes documents to (doc_id, text) only") {
     val p = plan("txt04_fingerprint")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
