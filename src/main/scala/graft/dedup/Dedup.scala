@@ -112,8 +112,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
 
   /** dd03's pair stage without the presentation sort — reused as the
-    * edge generator for connected-components clustering (dd07). */
+    * edge generator for connected-components clustering (dd07). The
+    * shingle-hash pass feeds both attach sides, so it's persisted for
+    * the run and the (tiny) surviving pair set is localCheckpoint'ed;
+    * [[ngramPairsPlan]] is the same plan left lazy for plan tests. */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val arr = shingled(s, d)
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = ngramPairsOn(s, d, arr).localCheckpoint()
+    arr.unpersist()
+    out
+  }
+
+  /** The dd03 plan fully lazy (no persist/checkpoint) — plan-shape
+    * tests inspect this; runtime goes through [[ngramPairs]]. */
+  private[graft] def ngramPairsPlan(s: SparkSession, d: String): DataFrame =
+    ngramPairsOn(s, d, shingled(s, d)
+      .select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh")))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    withHashedShingles(s, docsAug(s, d))
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_len"),
+        col("hsh"))
+
+  private def ngramPairsOn(s: SparkSession, d: String,
+      arr: DataFrame): DataFrame = {
     // Joining on lang alone has 5 distinct keys — at most 5 tasks do all
     // the pair work regardless of cluster size. Length-bucket blocking
     // makes the key (lang, len div 20): docs within ±20 chars must land
@@ -121,9 +145,7 @@ object Dedup {
     // its 3 neighbor buckets and each qualifying pair matches exactly
     // once. Key cardinality lang×buckets keeps every core busy, and the
     // ±20 filter below is unchanged — the result set is identical.
-    val sh = withHashedShingles(s, docsAug(s, d))
-      .select(col("doc_id"), col("lang"), length(col("text")).as("n_len"),
-        col("hsh"))
+    //
     // Candidate generation runs on SLIM rows (24 bytes each) — the 2 KB
     // hash arrays never enter the pair join's sort/shuffle. They attach
     // afterwards via shuffle-hash joins on doc_id (hash join: no sort
@@ -131,7 +153,7 @@ object Dedup {
     // intersect-count projects in the same codegen stage, so joined
     // array rows are never materialized. ~35% faster at sf0.1 and the
     // shape that survives 100 TB: pairs stay narrow end to end.
-    val slim = sh.select(col("doc_id"), col("lang"), col("n_len"))
+    val slim = shingled(s, d).select(col("doc_id"), col("lang"), col("n_len"))
     val a = slim.select(col("doc_id").as("id_a"), col("lang"),
       col("n_len").as("len_a"), floor(col("n_len") / 20).as("bucket"))
     val b = slim.select(col("doc_id").as("id_b"), col("lang"),
@@ -142,7 +164,6 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= 20)
       .select(col("id_a"), col("id_b"))
-    val arr = sh.select(col("doc_id"), col("hsh"), size(col("hsh")).as("n_sh"))
     cand
       .join(arr.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"),
         col("n_sh").as("na")).hint("shuffle_hash"), "id_a")
@@ -221,9 +242,29 @@ object Dedup {
     * shuffle key a single BIGINT (identical formula in the oracle, so
     * even fold collisions — ~1e-9/pair — are mirrored exactly). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = withHashedShingles(s, docsAug(s, d))
+    import org.apache.spark.storage.StorageLevel
+    // The shingle+minhash pass is the expensive CPU stage and feeds
+    // FOUR plan branches (two band sides, two verify attaches); without
+    // materialization Spark recomputes it per branch (12 scans in the
+    // executed plan). Persist computes it once; a production pipeline
+    // would checkpoint signatures to parquet at this seam.
+    val sig = minhashSig(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = minhashLshOn(sig).localCheckpoint() // pairs ≪ corpus
+    sig.unpersist()
+    out
+  }
+
+  /** The dd05 plan fully lazy (no persist/checkpoint) — plan-shape
+    * tests inspect this; runtime goes through [[minhashLsh]]. */
+  private[graft] def minhashLshPlan(s: SparkSession, d: String): DataFrame =
+    minhashLshOn(minhashSig(s, d))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    withHashedShingles(s, docsAug(s, d))
       .select(col("doc_id"), col("hsh"))
       .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+
+  private def minhashLshOn(sig: DataFrame): DataFrame = {
     // Candidate generation never touches the shingle arrays: bands
     // carry (doc_id, band, bkey) only — 24 bytes a row through the
     // shuffle regardless of document size.
@@ -419,8 +460,12 @@ object Dedup {
       if (v == null) java.math.BigDecimal.ZERO
       else v.asInstanceOf[java.math.BigDecimal]
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Fold the first propagation round into initialization: the vertex
+    // set and min-neighbor are one aggregation over the (bidirectional)
+    // edges, so label₀ = min(id, neighbors) — one fewer |E|-join round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var sum0 = checksum(labels)
     var converged = false

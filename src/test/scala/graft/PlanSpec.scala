@@ -58,11 +58,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pairwise dedup operators never fall back to nested-loop joins") {
-    Seq("dd03_ngram_jaccard", "dd05_minhash_lsh").foreach { q =>
-      val p = plan(q)
+    // the registry entries materialize through localCheckpoint, so plan
+    // tests inspect the lazy builders the runtime path is built from
+    Seq(
+      "dd03" -> dedup.Dedup.ngramPairsPlan(spark, sf),
+      "dd05" -> dedup.Dedup.minhashLshPlan(spark, sf)
+    ).foreach { case (q, df) =>
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested loop:\n$p")
+      // every join must be a keyed equi-join (hash or sort-merge or, at
+      // tiny SF, broadcast-hash) — any of these scales by key, unlike
+      // the nested-loop shapes excluded above
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q pair join shape missing:\n$p")
     }
   }
 
