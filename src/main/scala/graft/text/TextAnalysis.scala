@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -311,6 +311,103 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** Deterministic train/val/test assignment by CONTENT hash — the same
+    * document always lands in the same split no matter which shard,
+    * run, or engine processed it (hash-mod beats random sampling for
+    * reproducible corpus splits). PolyHash(text) mod 100: <80 train,
+    * <90 val, else test. Pure narrow map + one (lang, split) hash-agg —
+    * 15 output rows at any corpus size. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val h = pmod(call_function("graft_polyhash", col("text")), lit(100))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val splitAssignSql: String =
+    """WITH h AS (
+      |  SELECT lang,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(text) + 1),
+      |                     i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hmod,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN hmod < 80 THEN 'train'
+      |       WHEN hmod < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM h
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------- t10
+  /** Sequence packing: documents concatenated back-to-back in doc_id
+    * order per language, cut into fixed 2048-token training sequences;
+    * a document belongs to the bin where its first token lands
+    * (packing-with-spillover, the standard sample-packing
+    * approximation). Reports per-bin doc count and token mass.
+    *
+    * The per-language running token offset is a prefix scan over the
+    * FULL corpus — partitioning the window by `lang` alone (5 keys)
+    * would funnel everything through 5 sort tasks. Same cure as the
+    * ob09/ob14 scans: two levels — a local cumsum within
+    * (lang, doc_id div 1024) whose key count grows with the data, plus
+    * a carry-in prefix-sum over the per-bucket totals, a frame ~1024×
+    * smaller than the corpus. */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val B = 1024L
+    val BinTokens = 2048L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+      .withColumn("bucket", expr(s"doc_id div $B"))
+    val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = t.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+      .withColumn("carry_in",
+        coalesce(sum(col("bucket_tok")).over(wPrefix), lit(0L)))
+      .select(col("lang"), col("bucket"), col("carry_in"))
+    t.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+      .join(carry, Seq("lang", "bucket"))
+      .withColumn("start_off",
+        col("carry_in") + col("local_cum") - col("n_tok"))
+      .withColumn("bin", expr(s"start_off div $BinTokens"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val seqPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY lang, bin""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -320,7 +417,9 @@ object TextAnalysis {
     "txt05_ngram_profile" -> (ngramProfile _),
     "txt06_countmin" -> (countMinSketch _),
     "txt07_tfidf" -> (tfidfTerms _),
-    "txt08_curation" -> (curation _))
+    "txt08_curation" -> (curation _),
+    "txt09_split_assign" -> (splitAssign _),
+    "txt10_seq_pack" -> (seqPack _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -330,5 +429,7 @@ object TextAnalysis {
     "txt05_ngram_profile" -> ngramProfileSql,
     "txt06_countmin" -> countMinSketchSql,
     "txt07_tfidf" -> tfidfTermsSql,
-    "txt08_curation" -> curationSql)
+    "txt08_curation" -> curationSql,
+    "txt09_split_assign" -> splitAssignSql,
+    "txt10_seq_pack" -> seqPackSql)
 }
