@@ -408,6 +408,112 @@ object TextAnalysis {
       |GROUP BY 1, 2
       |ORDER BY lang, bin""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** Repetition signals (the Gopher-rule family): fraction of word
+    * bigrams occupied by the single most frequent bigram, plus the
+    * duplicate-token fraction, with a keep flag. Catches the
+    * "page of boilerplate repeated 400×" documents that slip past
+    * pure length/stopword gates.
+    *
+    * Bigrams are exploded as POSITIONS over the token array (same
+    * trick as txt05) and counted with one (doc_id, bigram) hash-agg —
+    * key cardinality grows with the corpus, so the shuffle stays flat
+    * per-partition at any scale. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 2) // sequence(1, n-1) descends for n<2
+    val bigrams = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"),
+        col("tk"))
+      .select(col("doc_id"),
+        concat(element_at(col("tk"), col("i")), lit(" "),
+          element_at(col("tk"), col("i") + 1)).as("bigram"))
+    val perDoc = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).cast(LongType).as("top_cnt"),
+        sum(col("cnt")).cast(LongType).as("n_bigrams"))
+    val tokStats = base.select(col("doc_id"),
+      size(col("tk")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("tk"))).cast(LongType).as("n_unique"))
+    tokStats.join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_cnt").cast(DoubleType) / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        (lit(1.0) - col("n_unique").cast(DoubleType) / col("n_tokens"))
+          .as("dup_token_frac"))
+      .withColumn("keep",
+        when(col("top_bigram_frac") <= 0.1, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+      |e AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |           i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])) AS bigram
+      |  FROM toks),
+      |c AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+      |m AS (
+      |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+      |  FROM c GROUP BY 1),
+      |t AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique
+      |  FROM toks)
+      |SELECT t.doc_id, t.n_tokens,
+      |  CAST(m.top_cnt AS DOUBLE) / m.n_bigrams AS top_bigram_frac,
+      |  1.0 - CAST(t.n_unique AS DOUBLE) / t.n_tokens AS dup_token_frac,
+      |  CASE WHEN CAST(m.top_cnt AS DOUBLE) / m.n_bigrams <= 0.1
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM t JOIN m ON t.doc_id = m.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  /** Deterministic stratified (mixture) sampling: each language gets a
+    * target retention rate — downsample the dominant language, keep
+    * the rare ones whole — decided by a salted content hash so the
+    * SAME document survives in every run and on every engine. The
+    * salt decorrelates the decision from txt09's split hash (same
+    * polynomial, different input). Pure narrow map + filter: no
+    * shuffle at all before the (bounded-output) ORDER BY. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val rate = when(col("lang") === "en", 500)
+      .when(col("lang") === "zh", 250).otherwise(800) // per-mille
+    val h = pmod(
+      call_function("graft_polyhash", concat(lit("s12|"), col("text"))),
+      lit(1000))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), h.as("hmod"),
+        rate.as("rate_pm"))
+      .where(col("hmod") < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, source,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH('s12|' || text) + 1),
+      |                     i -> CAST(unicode(substr('s12|' || text, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS hmod,
+      |    CASE WHEN lang = 'en' THEN 500
+      |         WHEN lang = 'zh' THEN 250 ELSE 800 END AS rate_pm
+      |  FROM documents)
+      |SELECT doc_id, lang, source
+      |FROM h WHERE hmod < rate_pm
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -419,7 +525,9 @@ object TextAnalysis {
     "txt07_tfidf" -> (tfidfTerms _),
     "txt08_curation" -> (curation _),
     "txt09_split_assign" -> (splitAssign _),
-    "txt10_seq_pack" -> (seqPack _))
+    "txt10_seq_pack" -> (seqPack _),
+    "txt11_repetition" -> (repetition _),
+    "txt12_stratified_sample" -> (stratifiedSample _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -431,5 +539,7 @@ object TextAnalysis {
     "txt07_tfidf" -> tfidfTermsSql,
     "txt08_curation" -> curationSql,
     "txt09_split_assign" -> splitAssignSql,
-    "txt10_seq_pack" -> seqPackSql)
+    "txt10_seq_pack" -> seqPackSql,
+    "txt11_repetition" -> repetitionSql,
+    "txt12_stratified_sample" -> stratifiedSampleSql)
 }
