@@ -524,6 +524,84 @@ object Dedup {
         |FROM comp GROUP BY cluster_id
         |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd08
+  /** Benchmark decontamination: flag training documents that share
+    * word-5-gram overlap with a held-out eval set (the GPT-3/PaLM-style
+    * n-gram leak check). Eval set = doc_id % 17 == 0; the train side
+    * additionally gets injected "leaks" — eval-text prefixes re-keyed
+    * as doc_id + 3000000 — modelling benchmark text embedded in a
+    * crawl, so the gate provably fires.
+    *
+    * Scale design: each side explodes to DISTINCT (doc_id, gram) rows
+    * (positions exploded in codegen, grams sliced per row — no
+    * materialized per-doc gram arrays). The eval side — benchmark
+    * suites, tiny by construction — is broadcast; the per-doc overlap
+    * count is one hash-agg keyed by doc_id. Nothing is pairwise: cost
+    * is O(|corpus grams|), the 100 TB shape. Grams join as raw strings
+    * (exact, collision-free); a production run would fingerprint them
+    * to 128-bit hashes to slim the broadcast, same plan shape. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val eval_ = docs.where(col("doc_id") % 17 === 0)
+    val train = docs.where(col("doc_id") % 17 =!= 0)
+      .unionByName(eval_.select((col("doc_id") + 3000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text")))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 4)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), col("i"), lit(5)), " ").as("gram"))
+      .distinct()
+    val evalGrams = grams(eval_).select(col("gram")).distinct()
+    val trainGrams = grams(train)
+    val perDoc = trainGrams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_grams"))
+    val hits = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hits"))
+    perDoc.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        when(col("n_hits") >= 3, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH eval_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      |train_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substr(text, 1, 200) FROM eval_docs),
+      |eg AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |        i -> array_to_string(string_split_regex(trim(text), '\s+')
+      |               [CAST(i AS INT):CAST(i AS INT) + 4], ' '))) AS gram
+      |    FROM eval_docs
+      |    WHERE len(string_split_regex(trim(text), '\s+')) >= 5) t),
+      |tg AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |        i -> array_to_string(string_split_regex(trim(text), '\s+')
+      |               [CAST(i AS INT):CAST(i AS INT) + 4], ' '))) AS gram
+      |    FROM train_docs
+      |    WHERE len(string_split_regex(trim(text), '\s+')) >= 5) t),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM tg GROUP BY doc_id),
+      |hits AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_grams, h.n_hits,
+      |  CASE WHEN h.n_hits >= 3 THEN 1 ELSE 0 END AS contaminated
+      |FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -532,7 +610,8 @@ object Dedup {
     "dd04_simhash_buckets" -> (simhashBuckets _),
     "dd05_minhash_lsh" -> (minhashLsh _),
     "dd06_embed_neardup" -> (embedNearDup _),
-    "dd07_dup_clusters" -> (dupClusters _))
+    "dd07_dup_clusters" -> (dupClusters _),
+    "dd08_decontaminate" -> (decontaminate _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -541,5 +620,6 @@ object Dedup {
     "dd04_simhash_buckets" -> simhashBucketsSql,
     "dd05_minhash_lsh" -> minhashLshSql,
     "dd06_embed_neardup" -> embedNearDupSql,
-    "dd07_dup_clusters" -> dupClustersSql)
+    "dd07_dup_clusters" -> dupClustersSql,
+    "dd08_decontaminate" -> decontaminateSql)
 }

@@ -186,14 +186,81 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim04
+  /** Multi-probe IVF ANN (nprobe=2): same coarse quantizer as sim03,
+    * but each query probes its TWO nearest cells — the standard
+    * recall/latency dial. A vector whose true neighbor sits just across
+    * a cell boundary (the sim03 failure mode) is recovered by the
+    * second probe at 2× the candidate cost, still |corpus|·nprobe/k —
+    * no pairwise blowup. Candidates stay assigned to exactly one cell,
+    * so probing two distinct cells never yields duplicate pairs and
+    * needs no distinct. */
+  def ivfMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = n.where(col("vec_id") < 4)
+      .select(col("vec_id").as("pid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val ranked = n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val probes = ranked.where(col("vec_id") < 5 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("pid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    broadcast(probes).join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val ivfMultiProbeSql: String = normedCte + "," +
+    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+      |ranked AS (
+      |  SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |  FROM n v CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, e AS eq, nrm AS nrm_q, pid AS cell
+      |  FROM ranked WHERE vec_id < 5 AND rn <= 2)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.eq, c.e) / (q.nrm_q * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_dot_product(q.eq, c.e) / (q.nrm_q * c.nrm) DESC,
+      |               c.vec_id) AS INTEGER) AS rnk
+      |  FROM probes q JOIN assigned c
+      |    ON q.cell = c.cell AND c.vec_id <> q.query_id) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
-    "sim03_ivf_ann" -> (ivfAnn _))
+    "sim03_ivf_ann" -> (ivfAnn _),
+    "sim04_ivf_multiprobe" -> (ivfMultiProbe _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
     "sim02_lsh_ann" -> lshAnnSql,
-    "sim03_ivf_ann" -> ivfAnnSql)
+    "sim03_ivf_ann" -> ivfAnnSql,
+    "sim04_ivf_multiprobe" -> ivfMultiProbeSql)
 }
