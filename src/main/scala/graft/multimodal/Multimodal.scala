@@ -150,18 +150,116 @@ object Multimodal {
       |WHERE kind = 'image'
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm05
+  /** Perceptual-hash near-dup over blobs: a 32-bit block-mean aHash
+    * (bit c = 1 iff chunk c's mean byte exceeds the global mean —
+    * compared as cross-multiplied exact integers, no floats) computed
+    * in the typed decode path where a real pHash lives, then banded
+    * Hamming candidate generation: 4 × 8-bit bands, pairs that agree
+    * on ANY band verify with bit_count(xor) ≤ 4. (Measured on this
+    * corpus: exact copies sit at Hamming 0, random pairs peak at
+    * 11–12, and appended-suffix near copies scatter to 6–13 because
+    * the chunk grid realigns with length — a block-mean hash is
+    * shift-sensitive by construction; catching those needs a real
+    * DCT pHash in the same decode slot.)
+    *
+    * Dups are injected like dd01's: exact copies (+1M, Hamming 0) and
+    * appended-suffix near copies (+2M, chunk grid shifts a little).
+    * Scale: signatures are 12-byte rows; the blob never leaves its
+    * scan partition; the (band, bkey) equi-join keys have ~4×256
+    * values per corpus shard with candidate volume ≈ 4·n²/256 for
+    * random signatures — the dd06 banding argument verbatim. */
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = media(s, d).select(col("media_id"), col("payload"))
+    val aug = m
+      .unionByName(m.where(col("media_id") % 7 === 0)
+        .select((col("media_id") + 1000000).as("media_id"), col("payload")))
+      .unionByName(m.where(col("media_id") % 11 === 0)
+        .select((col("media_id") + 2000000).as("media_id"),
+          concat(col("payload").cast("string"), lit(" the end"))
+            .cast(BinaryType).as("payload")))
+    val sigs = aug.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, PHashStub.phash(p)) })
+      .toDF("media_id", "sig")
+    val bands = sigs.select(col("media_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("shiftright(sig, cast(8 * band as int)) & 255"))
+    val cand = bands.select(col("media_id").as("id_a"), col("band"),
+        col("bkey"))
+      .join(bands.select(col("media_id").as("id_b"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sigs.select(col("media_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sigs.select(col("media_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .withColumn("hamming",
+        expr("cast(bit_count(sig_a ^ sig_b) as int)"))
+      .where(col("hamming") <= 4)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val phashNearDupSql: String = mediaCte + "," +
+    """aug AS (
+      |  SELECT media_id, text FROM media
+      |  UNION ALL
+      |  SELECT media_id + 1000000, text FROM media WHERE media_id % 7 = 0
+      |  UNION ALL
+      |  SELECT media_id + 2000000, text || ' the end' FROM media
+      |  WHERE media_id % 11 = 0),
+      |codes AS (
+      |  SELECT media_id, LENGTH(text) AS n,
+      |    list_transform(range(1, LENGTH(text) + 1),
+      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+      |  FROM aug),
+      |sums AS (
+      |  SELECT media_id, n, cs, CAST(list_sum(cs) AS BIGINT) AS total
+      |  FROM codes),
+      |sig AS (
+      |  SELECT media_id,
+      |    CAST(list_sum(list_transform(range(0, 32), c ->
+      |      CASE WHEN CAST(list_sum(cs[CAST(c * n // 32 + 1 AS INT)
+      |                                 :CAST((c + 1) * n // 32 AS INT)])
+      |                  AS BIGINT) * n
+      |             > total * ((c + 1) * n // 32 - c * n // 32)
+      |           THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      |  FROM sums),
+      |bands AS (
+      |  SELECT media_id, sig, b.band,
+      |    (sig >> CAST(8 * b.band AS INT)) & 255 AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.bkey = c.bkey AND a.media_id < c.media_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+      |FROM cand
+      |JOIN sig sa ON sa.media_id = id_a
+      |JOIN sig sb ON sb.media_id = id_b
+      |WHERE bit_count(xor(sa.sig, sb.sig)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm01_blob_stats" -> (blobStats _),
     "mm02_frame_sample" -> (frameSample _),
     "mm03_decode_features" -> (decodeFeatures _),
-    "mm04_resize" -> (resizeMeta _))
+    "mm04_resize" -> (resizeMeta _),
+    "mm05_phash_neardup" -> (phashNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
     "mm02_frame_sample" -> frameSampleSql,
     "mm03_decode_features" -> decodeFeaturesSql,
-    "mm04_resize" -> resizeMetaSql)
+    "mm04_resize" -> resizeMetaSql,
+    "mm05_phash_neardup" -> phashNearDupSql)
 }
 
 /** STUB DECODER — stands in for libjpeg/ffmpeg/etc., which this
@@ -191,5 +289,32 @@ object DecodeStub {
     }
     MediaFeatures(m.media_id, m.kind, m.payload.length,
       sum.toDouble / m.payload.length, h)
+  }
+}
+
+/** 32-bit block-mean aHash over a byte payload — the perceptual-hash
+  * stand-in (a real pHash would DCT decoded pixels in the same decode
+  * slot; this one works on the raw bytes so it stays codec-free).
+  * Bit c is set iff chunk c's mean byte exceeds the whole-payload mean,
+  * compared as cross-multiplied exact integers so the oracle's
+  * codepoint arithmetic reproduces it bit-for-bit. */
+object PHashStub {
+  def phash(p: Array[Byte]): Long = {
+    val n = p.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (p(i) & 0xff); i += 1 }
+    var sig = 0L
+    var c = 0
+    while (c < 32) {
+      val start = c * n / 32
+      val end = (c + 1) * n / 32
+      var s = 0L
+      var j = start
+      while (j < end) { s += (p(j) & 0xff); j += 1 }
+      if (s * n > total * (end - start)) sig |= (1L << c)
+      c += 1
+    }
+    sig
   }
 }
