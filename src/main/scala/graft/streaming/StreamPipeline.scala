@@ -133,6 +133,21 @@ object StreamPipeline {
       }
       .start()
 
+  /** A15 across micro-batches: the in-batch dedup in [[writeFacts]]
+    * covers the file source's exactly-once offsets, but an
+    * at-least-once transport (socket reconnect, Redis re-delivery)
+    * can resend a message in a LATER micro-batch. This keys streaming
+    * state by the lineage id and bounds it with a watermark on
+    * ingestion time, so state only remembers ids younger than `delay`
+    * — the reference's insert-before-XDEL vulnerability window
+    * (consumer.py:98-107), made explicit and bounded. */
+  def dedupAcrossBatches(messages: DataFrame,
+      delay: String = "10 minutes"): DataFrame =
+    messages
+      .withColumn("ingest_time", timestamp_millis(col("ingestion_ts")))
+      .withWatermark("ingest_time", delay)
+      .dropDuplicatesWithinWatermark("redis_stream_id")
+
   /** A16: the reference's (dead-code) CSV debug sink — header-on-create
     * append (kalshi_ws_client.py:32-75). */
   def debugCsvSink(df: DataFrame, path: String): Unit =

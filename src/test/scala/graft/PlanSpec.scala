@@ -109,6 +109,43 @@ class PlanSpec extends AnyFunSuite {
       s"ob14 as-of last is not bucketed:\n$p14")
   }
 
+  test("txt09/txt12: hash gates stay narrow — pruned scan, no hash exchange") {
+    // both are map+filter+agg/sort shapes; the only exchanges allowed
+    // are the final agg/sort gathers, never a pre-shuffle of documents
+    val p09 = plan("txt09_split_assign")
+    assert(p09.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"txt09 scan not pruned to (text, lang):\n$p09")
+    val p12 = plan("txt12_stratified_sample")
+    assert(!p12.contains("Exchange hashpartitioning"),
+      s"txt12 should have no hash exchange (narrow map+filter):\n$p12")
+  }
+
+  test("txt10: packing cumsum is bucketed, never whole-language") {
+    // same two-level contract as ob09/ob14: the per-doc running token
+    // offset partitions by (lang, bucket) — 5-key lang-only windows
+    // would funnel the corpus through 5 sort tasks
+    val p = plan("txt10_seq_pack")
+    assert("sum\\(n_tok#\\d+L?\\) windowspecdefinition\\(lang#\\d+, bucket#".r
+      .findFirstIn(p).isDefined,
+      s"txt10 local cumsum is not bucketed:\n$p")
+  }
+
+  test("dd08: eval gram set broadcasts; no cartesian anywhere") {
+    val p = plan("dd08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dd08 eval grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"dd08 pairwise fallback:\n$p")
+  }
+
+  test("mm05: phash candidates come from a (band, bkey) equi-join") {
+    val p = plan("mm05_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"mm05 pairwise fallback:\n$p")
+    assert(p.contains("hashpartitioning(band") || p.contains("BroadcastHashJoin"),
+      s"mm05 candidate join is not keyed on (band, bkey):\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))

@@ -104,6 +104,28 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Long]("seq") === 6L))
   }
 
+  test("cross-batch replay dedup keeps exactly one copy per lineage id") {
+    val in = tmp("graft-in"); val out = tmp("graft-out")
+    // the same wire traffic delivered twice, in different micro-batches
+    // (maxFilesPerTrigger=1 forces one file per batch) — the socket
+    // reconnect / Redis re-delivery scenario in-batch dedup can't catch
+    writeLines(in, "a.ndjson", Fixtures.ndjsonLines)
+    writeLines(in, "b.ndjson", Fixtures.ndjsonLines)
+    val msgs = StreamPipeline.readMessages(spark, in.toString,
+      maxFilesPerTrigger = 1)
+    val q = StreamPipeline.dedupAcrossBatches(msgs)
+      .select("redis_stream_id", "type").writeStream
+      .format("memory").queryName("dedup_xbatch").outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt_dx")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dedup_xbatch").count() ===
+      Fixtures.ndjsonLines.size)
+    assert(spark.table("dedup_xbatch").select("redis_stream_id")
+      .distinct().count() === Fixtures.ndjsonLines.size)
+  }
+
   test("seq validation also runs in batch mode with identical semantics") {
     val batch = SeqValidator.gaps(spark,
       graft.orderbook.Derive.deltasWithGaps(spark, "/root/testdata/sf0.001")
