@@ -514,6 +514,106 @@ object TextAnalysis {
       |FROM h WHERE hmod < rate_pm
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** Context-window chunking: each document cut into 32-token chunks
+    * with an 8-token overlap (stride 24) — the RAG/pretraining
+    * windowing op. Emits (doc_id, chunk_idx, start/end token offsets,
+    * n_tok) plus the chunk's first token as a content spot-check.
+    * Narrow: one explode over the chunk-count sequence per row, chunk
+    * text sliced in the same codegen stage — no shuffle until the
+    * bounded ORDER BY, and chunk count scales with the data, not with
+    * a partition key. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val Chunk = 32
+    val Stride = 24
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .withColumn("n", size(col("tk")))
+    // number of chunks so every token is covered: 1 + ceil(max(0, n-C)/S)
+    t.withColumn("n_chunks",
+        lit(1) + ceil(greatest(lit(0), col("n") - Chunk)
+          .cast(DoubleType) / Stride).cast(IntegerType))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * Stride).as("start_tok"),
+        least(col("n"), col("chunk_idx") * Stride + Chunk).as("end_tok"),
+        element_at(col("tk"), col("chunk_idx") * Stride + 1)
+          .as("first_token"))
+      .withColumn("n_tok", col("end_tok") - col("start_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+      |    len(string_split_regex(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tk, n,
+      |    unnest(range(0, 1 + CAST(ceil(GREATEST(0, n - 32) / 24.0) AS INT)))
+      |      AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(chunk_idx * 24 AS INTEGER) AS start_tok,
+      |  CAST(LEAST(n, chunk_idx * 24 + 32) AS INTEGER) AS end_tok,
+      |  tk[CAST(chunk_idx * 24 + 1 AS INT)] AS first_token,
+      |  CAST(LEAST(n, chunk_idx * 24 + 32) - chunk_idx * 24 AS INTEGER)
+      |    AS n_tok
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- t14
+  /** PII detection + redaction: email and E.164-ish phone patterns
+    * counted and masked with regexp_replace. The corpus carries no PII,
+    * so the query injects synthetic contact lines into doc_id%13 rows —
+    * same CTE in the oracle — and proves (a) the detector counts them,
+    * (b) redaction removes every match, (c) clean docs pass through
+    * byte-identical (md5 column). Pure narrow codegen'd maps. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+[0-9]{7,12}"
+    val injected = when(col("doc_id") % 13 === 0,
+      concat(col("text"), lit(" contact u"), col("doc_id"),
+        lit("@example.com or +1555"), format_string("%04d", col("doc_id") % 10000)))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>").cast("binary")).as("redacted_md5"))
+      .withColumn("has_pii",
+        when(col("n_emails") + col("n_phones") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN text || ' contact u' || doc_id ||
+      |              '@example.com or +1555' || format('{:04d}', doc_id % 10000)
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,12}')) AS INTEGER)
+      |    AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+[0-9]{7,12}', '<PHONE>', 'g')) AS redacted_md5,
+      |  CASE WHEN len(regexp_extract_all(text,
+      |         '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+      |       len(regexp_extract_all(text, '\+[0-9]{7,12}')) > 0
+      |       THEN 1 ELSE 0 END AS has_pii
+      |FROM inj
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -527,7 +627,9 @@ object TextAnalysis {
     "txt09_split_assign" -> (splitAssign _),
     "txt10_seq_pack" -> (seqPack _),
     "txt11_repetition" -> (repetition _),
-    "txt12_stratified_sample" -> (stratifiedSample _))
+    "txt12_stratified_sample" -> (stratifiedSample _),
+    "txt13_chunk_overlap" -> (chunkOverlap _),
+    "txt14_pii_scrub" -> (piiScrub _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -541,5 +643,7 @@ object TextAnalysis {
     "txt09_split_assign" -> splitAssignSql,
     "txt10_seq_pack" -> seqPackSql,
     "txt11_repetition" -> repetitionSql,
-    "txt12_stratified_sample" -> stratifiedSampleSql)
+    "txt12_stratified_sample" -> stratifiedSampleSql,
+    "txt13_chunk_overlap" -> chunkOverlapSql,
+    "txt14_pii_scrub" -> piiScrubSql)
 }
