@@ -668,6 +668,65 @@ object Relational {
       |FROM cs FULL OUTER JOIN ss ON ckey = skey
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** TPC-H Q4-style order-priority check: orders with at least one
+    * LATE lineitem (shipped > 60 days after the order date), counted by
+    * priority. The correlated EXISTS is a left-semi hash join on
+    * l_orderkey with the cross-table date comparison as a residual
+    * condition — still keyed, never nested-loop, and the date slice on
+    * orders pushes to its scan. */
+  def q24LateOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** TPC-H Q13-style customer distribution: orders-per-customer
+    * histogram INCLUDING zero-order customers — the left outer join +
+    * two-level aggregation shape (count non-null keys per customer,
+    * then histogram the counts). Urgent orders are excluded so the
+    * join condition is composite, like Q13's comment filter. */
+  def q25CustDistribution(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q25Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -690,7 +749,9 @@ object Relational {
     "q20_scalar_subquery" -> (q20ScalarSubquery _),
     "q21_sliding" -> (q21Sliding _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
-    "q23_nation_coverage" -> (q23NationCoverage _))
+    "q23_nation_coverage" -> (q23NationCoverage _),
+    "q24_late_orders" -> (q24LateOrders _),
+    "q25_cust_distribution" -> (q25CustDistribution _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -713,5 +774,7 @@ object Relational {
     "q20_scalar_subquery" -> q20Sql,
     "q21_sliding" -> q21Sql,
     "q22_sales_opportunity" -> q22Sql,
-    "q23_nation_coverage" -> q23Sql)
+    "q23_nation_coverage" -> q23Sql,
+    "q24_late_orders" -> q24Sql,
+    "q25_cust_distribution" -> q25Sql)
 }
