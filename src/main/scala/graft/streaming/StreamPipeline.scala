@@ -148,6 +148,26 @@ object StreamPipeline {
       .withWatermark("ingest_time", delay)
       .dropDuplicatesWithinWatermark("redis_stream_id")
 
+  /** B7 as a STREAMING session metric: per-ticker activity sessions
+    * over the wire timestamp — bursts of messages separated by `gap`
+    * of silence collapse into one session row (start, end, count).
+    * `session_window` keeps one merging window per (ticker, session)
+    * in the state store and the watermark bounds how long a quiet
+    * session lingers before it is emitted and evicted — the streaming
+    * twin of the batch q16 sessionization. */
+  def messageSessions(messages: DataFrame, gap: String = "30 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    messages
+      .withColumn("event_ts", timestamp_millis(col("msg.ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("msg.market_ticker").as("ticker"),
+        session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("ticker"),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_msgs"))
+
   /** A16: the reference's (dead-code) CSV debug sink — header-on-create
     * append (kalshi_ws_client.py:32-75). */
   def debugCsvSink(df: DataFrame, path: String): Unit =

@@ -126,6 +126,34 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().count() === Fixtures.ndjsonLines.size)
   }
 
+  test("streaming sessionization splits a silence gap into two sessions") {
+    val in = tmp("graft-in"); val out = tmp("graft-out")
+    // deltas only (snapshot envelopes carry no wire ts → no event time);
+    // drop seq 6..15 per ticker → messages 2-5 and 16-20 sit 11 s apart
+    // (fixture ts ticks 1 s per message), so a 5 s gap closes a session
+    writeLines(in, "messages.ndjson",
+      Fixtures.messages.collect {
+        case Right(d) if d.seq <= 5 || d.seq >= 16 => Fixtures.envelopeJson(Right(d))
+      })
+    val q = StreamPipeline.messageSessions(
+        StreamPipeline.readMessages(spark, in.toString), gap = "5 seconds")
+      .writeStream
+      .format("memory").queryName("msg_sessions").outputMode("complete")
+      .option("checkpointLocation", s"$out/_ckpt_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("msg_sessions").collect()
+    assert(rows.length === Fixtures.tickers.size * 2)
+    // first burst = deltas seq 2..5 (4 msgs over 3 s), second = 16..20
+    // minus the seq-11-pattern… seq 16..20 are all deltas (5 msgs, 4 s)
+    val bySpan = rows.groupBy(r =>
+      r.getAs[Long]("session_end") - r.getAs[Long]("session_start"))
+    assert(bySpan.keySet === Set(3000L + 5000L, 4000L + 5000L))
+    assert(rows.map(_.getAs[Long]("n_msgs")).sorted.toSeq ===
+      Seq(4L, 4L, 4L, 5L, 5L, 5L))
+  }
+
   test("seq validation also runs in batch mode with identical semantics") {
     val batch = SeqValidator.gaps(spark,
       graft.orderbook.Derive.deltasWithGaps(spark, "/root/testdata/sf0.001")
