@@ -251,16 +251,72 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim05
+  /** Scalar-quantized (int8) similarity search: embeddings compressed
+    * 4× by q = round(x·127 / mx) with one GLOBAL max-|x| scale (a
+    * scalar aggregate broadcast to every row — no per-vector scale to
+    * store), then brute-force top-3 by the quantized dot product.
+    * The score is an exact INTEGER sum, so ranking is reproducible to
+    * the bit with no float-order caveats at all — the memory-bound
+    * regime's answer at 100 TB, where the fp32 corpus doesn't fit but
+    * int8 does and candidate ranking happens in quantized space (an
+    * fp32 re-rank of the shortlist would follow; sim01 is that exact
+    * scorer). Ties break on neighbor id, mirrored in the oracle. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).select(col("vec_id"), col("e"))
+    val mx = n.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = n.join(broadcast(mx))
+      .select(col("vec_id"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val c = q.select(col("vec_id").as("neighbor_id"), col("q").as("qc"))
+    broadcast(q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq")))
+      .join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val sq8TopKSql: String = normedCte + "," +
+    """mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx)
+      |SELECT query_id, neighbor_id, qdot, rnk FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |      i -> CAST(a.q[CAST(i AS INT)] AS BIGINT) * b.q[CAST(i AS INT)]))
+      |      AS BIGINT) AS qdot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_sum(list_transform(range(1, len(a.q) + 1),
+      |        i -> CAST(a.q[CAST(i AS INT)] AS BIGINT) * b.q[CAST(i AS INT)])) DESC,
+      |        b.vec_id) AS INTEGER) AS rnk
+      |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
     "sim03_ivf_ann" -> (ivfAnn _),
-    "sim04_ivf_multiprobe" -> (ivfMultiProbe _))
+    "sim04_ivf_multiprobe" -> (ivfMultiProbe _),
+    "sim05_sq8_topk" -> (sq8TopK _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
     "sim02_lsh_ann" -> lshAnnSql,
     "sim03_ivf_ann" -> ivfAnnSql,
-    "sim04_ivf_multiprobe" -> ivfMultiProbeSql)
+    "sim04_ivf_multiprobe" -> ivfMultiProbeSql,
+    "sim05_sq8_topk" -> sq8TopKSql)
 }

@@ -614,6 +614,81 @@ object TextAnalysis {
       |FROM inj
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** KMV (k-minimum-values) distinct-count sketch: estimate the
+    * distinct character-trigram cardinality per language from the
+    * k=64 smallest shingle hashes — the mergeable cardinality sketch
+    * family (HLL's cousin) but fully DETERMINISTIC, so unlike
+    * approx_count_distinct it hash-checks against another engine.
+    * est = (k-1)·M / h_k with M = the PolyHash modulus; an under-filled
+    * sketch returns the exact count. The exact cardinality rides along
+    * to show where the estimate lands (trigram vocab is a few hundred
+    * per language here, so the estimator branch genuinely runs).
+    *
+    * Scale: the (lang, hash) distinct is the only full-width shuffle
+    * (same budget as txt07's distinct); the shingle pass is the native
+    * codegen'd expression dd03/dd05 already use, the top-k window sees
+    * one small sorted slice per language ON the distinct hashes, and
+    * at production scale the same sketch folds as a map-side
+    * min-k-of-union (each partition keeps its k smallest, merge keeps
+    * the k smallest of those) — the property that makes KMV mergeable. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val K = 64
+    val M = 1000000007L
+    // raw trigram polyhashes occupy only ~[2k, 126k] (3 bounded
+    // codepoints never wrap the modulus) — KMV needs hashes uniform on
+    // [0, M), so spread them with the same Knuth-multiplier permutation
+    // family the minhash signatures use (a bijection mod the prime)
+    val tokHash = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(call_function("graft_shingle_hashes", col("text"))).as("h0"))
+      .select(col("lang"), (col("h0") * 2654435761L + 678L) % M as "h")
+      .distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    tokHash
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .groupBy(col("lang"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_used"))
+      .join(tokHash.groupBy(col("lang"))
+        .agg(count(lit(1)).as("exact_distinct")), "lang")
+      .select(col("lang"), col("k_used"), col("h_k"),
+        // under-filled sketch (fewer than K distinct values seen) IS
+        // the exact count — the estimator only kicks in at saturation
+        when(col("k_used") < K, col("k_used").cast(DoubleType))
+          .otherwise((col("k_used") - 1).cast(DoubleType) * M / col("h_k"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col("lang"))
+  }
+
+  val kmvDistinctSql: String =
+    """WITH th AS (
+      |  SELECT DISTINCT lang,
+      |    (list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(g) + 1),
+      |                     i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761 + 678)
+      |      % 1000000007 AS h
+      |  FROM (SELECT lang, unnest(list_transform(range(1, LENGTH(text) - 1),
+      |                i -> substr(text, CAST(i AS INT), 3))) AS g
+      |        FROM documents) t),
+      |topk AS (
+      |  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      |  FROM th),
+      |sk AS (
+      |  SELECT lang, CAST(MAX(h) AS BIGINT) AS h_k, COUNT(*) AS k_used
+      |  FROM topk WHERE rn <= 64 GROUP BY lang),
+      |ex AS (SELECT lang, COUNT(*) AS exact_distinct FROM th GROUP BY lang)
+      |SELECT sk.lang, sk.k_used, sk.h_k,
+      |  CASE WHEN sk.k_used < 64 THEN CAST(sk.k_used AS DOUBLE)
+      |       ELSE CAST(sk.k_used - 1 AS DOUBLE) * 1000000007 / sk.h_k
+      |  END AS est_distinct,
+      |  ex.exact_distinct
+      |FROM sk JOIN ex ON sk.lang = ex.lang
+      |ORDER BY sk.lang""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -629,7 +704,8 @@ object TextAnalysis {
     "txt11_repetition" -> (repetition _),
     "txt12_stratified_sample" -> (stratifiedSample _),
     "txt13_chunk_overlap" -> (chunkOverlap _),
-    "txt14_pii_scrub" -> (piiScrub _))
+    "txt14_pii_scrub" -> (piiScrub _),
+    "txt15_kmv_distinct" -> (kmvDistinct _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -645,5 +721,6 @@ object TextAnalysis {
     "txt11_repetition" -> repetitionSql,
     "txt12_stratified_sample" -> stratifiedSampleSql,
     "txt13_chunk_overlap" -> chunkOverlapSql,
-    "txt14_pii_scrub" -> piiScrubSql)
+    "txt14_pii_scrub" -> piiScrubSql,
+    "txt15_kmv_distinct" -> kmvDistinctSql)
 }
