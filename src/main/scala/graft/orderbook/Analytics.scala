@@ -3,7 +3,7 @@ package graft.orderbook
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** The analytic query surface of the reference's order-book tables
   * (SURVEY.md §2B, B1–B9) plus the A-operator batch twins (A3 seq
@@ -485,6 +485,103 @@ object Analytics {
       |GROUP BY ticker, day
       |ORDER BY ticker, day""".stripMargin
 
+  // ----------------------------------------------------------------- B13
+  /** Microprice (size-weighted mid) per ticker from the latest book:
+    * micro = (ask·q_bid + bid·q_ask) / (q_bid + q_ask) with the
+    * yes/no-duality ask = 100 − no_best — the queue-imbalance-aware
+    * fair value that leads the plain mid when one side of the book is
+    * thick. Numerator stays exact integer; the single final division
+    * is the only float op, so both engines produce the identical
+    * double. Same one-shuffle budget as ob06. */
+  def microprice(s: SparkSession, d: String): DataFrame =
+    latestLevels(s, d)
+      .groupBy(col("ticker"), col("side"))
+      .agg(max(col("price")).as("p"),
+        expr("max_by(contracts, price)").as("q"))
+      .groupBy(col("ticker"))
+      .agg(max(when(col("side") === "yes", col("p"))).as("yes_best"),
+        max(when(col("side") === "yes", col("q"))).as("q_yes"),
+        max(when(col("side") === "no", col("p"))).as("no_best"),
+        max(when(col("side") === "no", col("q"))).as("q_no"))
+      .select(col("ticker"), col("yes_best"),
+        (lit(100) - col("no_best")).as("ask_cents"),
+        col("q_yes"), col("q_no"),
+        (((lit(100) - col("no_best")).cast(LongType) * col("q_yes") +
+          col("yes_best").cast(LongType) * col("q_no")).cast(DoubleType)
+          / (col("q_yes") + col("q_no"))).as("microprice"))
+      .orderBy(col("ticker"))
+
+  val micropriceSql: String = Derive.cte + latestLevelsCte +
+    """,bb AS (
+      |  SELECT ticker, side, MAX(price) AS p,
+      |    CAST(arg_max(contracts, price) AS INTEGER) AS q
+      |  FROM lvl GROUP BY 1, 2),
+      |piv AS (
+      |  SELECT ticker,
+      |    MAX(CASE WHEN side = 'yes' THEN p END) AS yes_best,
+      |    MAX(CASE WHEN side = 'yes' THEN q END) AS q_yes,
+      |    MAX(CASE WHEN side = 'no' THEN p END) AS no_best,
+      |    MAX(CASE WHEN side = 'no' THEN q END) AS q_no
+      |  FROM bb GROUP BY 1)
+      |SELECT ticker, yes_best, 100 - no_best AS ask_cents, q_yes, q_no,
+      |  CAST((100 - no_best) * CAST(q_yes AS BIGINT)
+      |       + yes_best * CAST(q_no AS BIGINT) AS DOUBLE)
+      |    / (q_yes + q_no) AS microprice
+      |FROM piv
+      |ORDER BY ticker""".stripMargin
+
+  // ----------------------------------------------------------------- B14
+  /** Realized variance per (ticker, day): sum of squared successive
+    * price moves in integer cents² — the volatility aggregate a tick
+    * archive exists for, and exact-integer so it hash-checks.
+    *
+    * The successive-move lag uses the same two-level bucketed scan as
+    * ob09/ob14 ([[ScanBucketWidth]]): lag within (ticker, day, bucket),
+    * with each bucket's first move taken against the previous
+    * populated bucket's last price via the per-bucket summary — no
+    * task ever sorts a whole (ticker, day) partition, and day
+    * boundaries fall out naturally (the first bucket of a day has no
+    * carry, so no cross-day move is ever counted). */
+  def realizedVariance(s: SparkSession, d: String): DataFrame = {
+    val rows = Derive.deltas(s, d)
+      .select(col("ticker"), dayCol.as("day"), col("event_id"), col("price"))
+      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+    val wPrefix = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rows.groupBy(col("ticker"), col("day"), col("bucket"))
+      .agg(expr("max_by(price, event_id)").as("bucket_last_price"))
+      .withColumn("carry_price", last(col("bucket_last_price")).over(wPrefix))
+      .select(col("ticker"), col("day"), col("bucket"), col("carry_price"))
+    val wLocal = Window.partitionBy(col("ticker"), col("day"), col("bucket"))
+      .orderBy(col("event_id"))
+    rows
+      .withColumn("prev_in_bucket", lag(col("price"), 1).over(wLocal))
+      .join(carry, Seq("ticker", "day", "bucket"))
+      .withColumn("prev_price",
+        coalesce(col("prev_in_bucket"), col("carry_price")))
+      .where(col("prev_price").isNotNull)
+      .withColumn("mv", (col("price") - col("prev_price")).cast(LongType))
+      .groupBy(col("ticker"), col("day"))
+      .agg(sum(col("mv") * col("mv")).cast(LongType).as("rv_cents2"),
+        count(lit(1)).as("n_moves"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val realizedVarianceSql: String = Derive.cte + s""",
+      |rv_base AS (
+      |  SELECT ticker, $daySqlD AS day, event_id, price FROM ob_deltas),
+      |rv_moves AS (
+      |  SELECT ticker, day,
+      |    price - LAG(price) OVER (PARTITION BY ticker, day
+      |                             ORDER BY event_id) AS mv
+      |  FROM rv_base)
+      |SELECT ticker, day, CAST(SUM(mv * mv) AS BIGINT) AS rv_cents2,
+      |  COUNT(*) AS n_moves
+      |FROM rv_moves WHERE mv IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY ticker, day""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
@@ -502,7 +599,9 @@ object Analytics {
     "ob13_dup_audit" -> (dupAudit _),
     "ob14_asof_price" -> (asofPrice _),
     "ob15_vwap" -> (vwap _),
-    "ob16_flow_imbalance" -> (flowImbalance _))
+    "ob16_flow_imbalance" -> (flowImbalance _),
+    "ob17_microprice" -> (microprice _),
+    "ob18_realized_var" -> (realizedVariance _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -520,5 +619,7 @@ object Analytics {
     "ob13_dup_audit" -> dupAuditSql,
     "ob14_asof_price" -> asofPriceSql,
     "ob15_vwap" -> vwapSql,
-    "ob16_flow_imbalance" -> flowImbalanceSql)
+    "ob16_flow_imbalance" -> flowImbalanceSql,
+    "ob17_microprice" -> micropriceSql,
+    "ob18_realized_var" -> realizedVarianceSql)
 }

@@ -107,6 +107,10 @@ class PlanSpec extends AnyFunSuite {
     assert("last\\(q_price#\\d+, true\\) windowspecdefinition\\(ticker#\\d+, bucket#".r
       .findFirstIn(p14).isDefined,
       s"ob14 as-of last is not bucketed:\n$p14")
+    val p18 = plan("ob18_realized_var")
+    assert("lag\\(price#\\d+, -?1, null\\) windowspecdefinition\\(ticker#\\d+, day#\\d+, bucket#".r
+      .findFirstIn(p18).isDefined,
+      s"ob18 move lag is not bucketed:\n$p18")
   }
 
   test("txt09/txt12: hash gates stay narrow — pruned scan, no hash exchange") {
