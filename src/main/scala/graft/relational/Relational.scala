@@ -727,6 +727,72 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** Ordered conversion funnel over the events stream: per user, the
+    * first `view`, the first `click` within 24 h AFTER that view, the
+    * first `purchase` within 24 h after that click — then one summary
+    * row of stage populations and conversion rates. The strict
+    * ordering + deadline is what makes it a funnel rather than three
+    * independent counts (here: 150 viewers → 60 clickers → 25 buyers). */
+  private val FunnelWindowMs = 86400000L // 24 h stage deadline
+
+  /** Plan shape: three hash-aggregations and two joins, every one
+    * keyed on user_id, so the whole funnel runs in a single exchange's
+    * partitioning (Spark reuses the hash partitioning across the
+    * stages) — at 100 TB this is shuffle-once-then-narrow, and the
+    * final single-row gather is trivially small. */
+  def q26Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts_ms") > col("t_view") &&
+        col("ts_ms") <= col("t_view") + FunnelWindowMs)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts_ms") > col("t_click") &&
+        col("ts_ms") <= col("t_click") + FunnelWindowMs)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      .select(col("n_view"), col("n_click_after_view"),
+        col("n_purchase_after_click"),
+        (col("n_click_after_view").cast(DoubleType) / col("n_view"))
+          .as("view_to_click"),
+        (col("n_purchase_after_click").cast(DoubleType)
+          / col("n_click_after_view")).as("click_to_purchase"))
+  }
+
+  val q26Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(ts_ms) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts_ms) AS t_click
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+      |    AND e.ts_ms <= v.t_view + 86400000
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts_ms) AS t_purchase
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+      |    AND e.ts_ms <= c.t_click + 86400000
+      |  GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM v) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM c) AS click_to_purchase""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -751,7 +817,8 @@ object Relational {
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q23_nation_coverage" -> (q23NationCoverage _),
     "q24_late_orders" -> (q24LateOrders _),
-    "q25_cust_distribution" -> (q25CustDistribution _))
+    "q25_cust_distribution" -> (q25CustDistribution _),
+    "q26_funnel" -> (q26Funnel _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -776,5 +843,6 @@ object Relational {
     "q22_sales_opportunity" -> q22Sql,
     "q23_nation_coverage" -> q23Sql,
     "q24_late_orders" -> q24Sql,
-    "q25_cust_distribution" -> q25Sql)
+    "q25_cust_distribution" -> q25Sql,
+    "q26_funnel" -> q26Sql)
 }
