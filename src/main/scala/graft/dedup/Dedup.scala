@@ -357,16 +357,38 @@ object Dedup {
     * doubles, and the oracle mirrors the banding exactly, so the
     * (approximate) candidate set is bit-reproducible. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // the normed+augmented frame feeds FOUR plan branches (two band
+    // sides, two verify attaches) — same seam as dd05's signatures, so
+    // materialize it once instead of recomputing per branch
+    val n = embedNormed(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = embedNearDupOn(s, d, n).localCheckpoint() // pairs ≪ corpus
+    n.unpersist()
+    out
+  }
+
+  /** The dd06 plan fully lazy (no persist/checkpoint) — plan-shape
+    * tests inspect this; runtime goes through [[embedNearDup]]. */
+  private[graft] def embedNearDupPlan(s: SparkSession, d: String): DataFrame =
+    embedNearDupOn(s, d, embedNormed(s, d))
+
+  private def embedNormed(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("e"))
-    val aug = v.unionByName(v.where(col("vec_id") % 9 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
-        expr("transform(e, x -> x * 1.1d)").as("e")))
-    val n = aug.withColumn("nrm",
-      sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
-    val planes = v.where(col("vec_id") < 32)
-      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    v.unionByName(v.where(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          expr("transform(e, x -> x * 1.1d)").as("e")))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+  }
+
+  private def embedNearDupOn(s: SparkSession, d: String,
+      n: DataFrame): DataFrame = {
+    val planes = Tables.embeddings(s, d)
+      .where(col("vec_id") < 32)
+      .select(col("vec_id").as("pid"),
+        expr("transform(embedding, x -> cast(x as double))").as("pe"))
     // Bit contributions are computed map-side under the broadcast join
     // and projected to (vec_id, band, bit) before the groupBy, so the
     // signature shuffle moves 32 narrow rows per vector — the 512-byte

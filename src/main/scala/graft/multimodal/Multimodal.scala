@@ -170,6 +170,22 @@ object Multimodal {
     * values per corpus shard with candidate volume ≈ 4·n²/256 for
     * random signatures — the dd06 banding argument verbatim. */
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // the phash pass (a typed mapPartitions over every payload, opaque
+    // to Catalyst) feeds four plan branches — materialize it once, the
+    // dd05/dd06 seam pattern
+    val sigs = phashSigs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = phashNearDupOn(sigs).localCheckpoint() // pairs ≪ corpus
+    sigs.unpersist()
+    out
+  }
+
+  /** The mm05 plan fully lazy (no persist/checkpoint) — plan-shape
+    * tests inspect this; runtime goes through [[phashNearDup]]. */
+  private[graft] def phashNearDupPlan(s: SparkSession, d: String): DataFrame =
+    phashNearDupOn(phashSigs(s, d))
+
+  private def phashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = media(s, d).select(col("media_id"), col("payload"))
     val aug = m
@@ -179,9 +195,12 @@ object Multimodal {
         .select((col("media_id") + 2000000).as("media_id"),
           concat(col("payload").cast("string"), lit(" the end"))
             .cast(BinaryType).as("payload")))
-    val sigs = aug.as[(Long, Array[Byte])]
+    aug.as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => (id, PHashStub.phash(p)) })
       .toDF("media_id", "sig")
+  }
+
+  private def phashNearDupOn(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("media_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",

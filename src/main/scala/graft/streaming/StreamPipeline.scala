@@ -142,22 +142,34 @@ object StreamPipeline {
     * — the reference's insert-before-XDEL vulnerability window
     * (consumer.py:98-107), made explicit and bounded. */
   def dedupAcrossBatches(messages: DataFrame,
-      delay: String = "10 minutes"): DataFrame =
-    messages
+      delay: String = "10 minutes"): DataFrame = {
+    val stamped = messages
       .withColumn("ingest_time", timestamp_millis(col("ingestion_ts")))
+    // keyless rows (acks, malformed lines: sid/seq null → null lineage
+    // id) BYPASS the dedup: dropDuplicates* treats NULL keys as equal,
+    // which would collapse every distinct dead-letter into one row —
+    // the opposite of this function's remove-only-redeliveries contract
+    stamped.where(col("redis_stream_id").isNotNull)
       .withWatermark("ingest_time", delay)
       .dropDuplicatesWithinWatermark("redis_stream_id")
+      .unionByName(stamped.where(col("redis_stream_id").isNull))
+  }
 
   /** B7 as a STREAMING session metric: per-ticker activity sessions
-    * over the wire timestamp — bursts of messages separated by `gap`
-    * of silence collapse into one session row (start, end, count).
-    * `session_window` keeps one merging window per (ticker, session)
-    * in the state store and the watermark bounds how long a quiet
-    * session lingers before it is emitted and evicted — the streaming
-    * twin of the batch q16 sessionization. */
+    * over the DELTA event-time stream — bursts of messages separated
+    * by `gap` of silence collapse into one session row (start, end,
+    * count). Only deltas carry the exchange wire timestamp (snapshot
+    * and ack envelopes have no `ts`, redis_client.py:83), so the
+    * session clock is explicitly the delta stream's; rows without an
+    * event time are excluded rather than silently dropped by the
+    * window. `session_window` keeps one merging window per
+    * (ticker, session) in the state store and the watermark bounds how
+    * long a quiet session lingers before it is emitted and evicted —
+    * the streaming twin of the batch q16 sessionization. */
   def messageSessions(messages: DataFrame, gap: String = "30 seconds",
       watermark: String = "10 minutes"): DataFrame =
     messages
+      .where(col("type") === "orderbook_delta" && col("msg.ts").isNotNull)
       .withColumn("event_ts", timestamp_millis(col("msg.ts")))
       .withWatermark("event_ts", watermark)
       .groupBy(col("msg.market_ticker").as("ticker"),

@@ -43,7 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * durable log; everything downstream of [[Connectors.MessageSource]]
   * is unchanged. Offsets are monotone line counts, committed batches
   * are trimmed from the buffer, so memory is bounded by
-  * (uncommitted backlog), not connection lifetime.
+  * (uncommitted backlog), not connection lifetime. Offsets are only
+  * meaningful within one connection: restarting a query from an old
+  * checkpoint fails fast (see planInputPartitions) rather than
+  * misattributing fresh lines to stale offsets.
   */
 object WireSocket {
   /** Single-column raw-line schema — identical to the file-replay
@@ -180,6 +183,19 @@ private[streaming] class WireSocketStream(host: String, port: Int,
     val (s, e) = (start.asInstanceOf[WireOffset].n,
       end.asInstanceOf[WireOffset].n)
     val lines = lock.synchronized {
+      // fail fast instead of serving wrong lines: offsets index THIS
+      // connection's line stream, so a range outside the live buffer
+      // means Spark is replaying a checkpoint from a previous run — a
+      // socket feed is not a durable log and cannot honor it (Spark's
+      // own socket source documents the same non-recoverability).
+      if (s < committed || e > committed + buf.size)
+        throw new IllegalStateException(
+          s"graft-socket cannot serve offsets [$s, $e): the live buffer " +
+            s"covers [$committed, ${committed + buf.size}). Checkpointed " +
+            "offsets from a previous run are unrecoverable over a raw " +
+            "socket feed — restart with a fresh checkpoint (recovery = " +
+            "re-subscribe + re-snapshot, like the reference client), or " +
+            "front the feed with a durable log.")
       buf.slice((s - committed).toInt, (e - committed).toInt).toArray
     }
     Array(WireLinesPartition(lines))

@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("dd06: pair candidates come from a (band, bkey) equi-join, " +
     "not an all-pairs join") {
-    val p = plan("dd06_embed_neardup")
+    val p = dedup.Dedup.embedNearDupPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"dd06 has a cartesian:\n$p")
     // the ONLY nested-loop allowed is the 32-row plane broadcast (a
     // map-side flatMap); doc×doc candidates must equi-join on the
@@ -143,7 +144,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("mm05: phash candidates come from a (band, bkey) equi-join") {
-    val p = plan("mm05_phash_neardup")
+    val p = multimodal.Multimodal.phashNearDupPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"mm05 pairwise fallback:\n$p")
     assert(p.contains("hashpartitioning(band") || p.contains("BroadcastHashJoin"),

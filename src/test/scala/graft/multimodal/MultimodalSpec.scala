@@ -41,4 +41,21 @@ class MultimodalSpec extends AnyFunSuite {
       .select(sum(ceil(col("meta.n_frames") / 2))).head.getLong(0)
     assert(Multimodal.frameSample(spark, sf).count() === n)
   }
+
+  test("corpus text is pure ASCII — the byte≡codepoint premise of the " +
+    "mm03/mm05 oracles") {
+    // PHashStub/DecodeStub hash raw BYTES while the DuckDB oracles walk
+    // CODEPOINTS; the two agree only while every document is ASCII
+    // (also: mm05's near-copy injection round-trips payload→string).
+    // Testdata generation is driver-owned — if multibyte text ever
+    // ships, this failure names the assumption instead of a bare
+    // oracle hash mismatch.
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .where(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii === 0L,
+      "documents contain multibyte text: mm03/mm05 byte-vs-codepoint " +
+        "oracle parity no longer holds — rework the oracles before " +
+        "trusting their hashes")
+  }
 }

@@ -108,9 +108,11 @@ class StreamingSpec extends AnyFunSuite {
     val in = tmp("graft-in"); val out = tmp("graft-out")
     // the same wire traffic delivered twice, in different micro-batches
     // (maxFilesPerTrigger=1 forces one file per batch) — the socket
-    // reconnect / Redis re-delivery scenario in-batch dedup can't catch
-    writeLines(in, "a.ndjson", Fixtures.ndjsonLines)
-    writeLines(in, "b.ndjson", Fixtures.ndjsonLines)
+    // reconnect / Redis re-delivery scenario in-batch dedup can't
+    // catch. Each file also carries a DISTINCT malformed line (null
+    // lineage id): keyless rows must pass through, not collapse.
+    writeLines(in, "a.ndjson", Fixtures.ndjsonLines :+ "not json at all")
+    writeLines(in, "b.ndjson", Fixtures.ndjsonLines :+ "{\"type\":\"ack\"}")
     val msgs = StreamPipeline.readMessages(spark, in.toString,
       maxFilesPerTrigger = 1)
     val q = StreamPipeline.dedupAcrossBatches(msgs)
@@ -120,10 +122,13 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assert(spark.table("dedup_xbatch").count() ===
+    val got = spark.table("dedup_xbatch")
+    assert(got.where(col("redis_stream_id").isNotNull).count() ===
       Fixtures.ndjsonLines.size)
-    assert(spark.table("dedup_xbatch").select("redis_stream_id")
-      .distinct().count() === Fixtures.ndjsonLines.size)
+    assert(got.select("redis_stream_id").where(col("redis_stream_id")
+      .isNotNull).distinct().count() === Fixtures.ndjsonLines.size)
+    // both keyless rows survive — they are not duplicates of each other
+    assert(got.where(col("redis_stream_id").isNull).count() === 2)
   }
 
   test("streaming sessionization splits a silence gap into two sessions") {
