@@ -27,7 +27,8 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
-      multimodal.Multimodal.queries: _*)
+      multimodal.Multimodal.queries ++
+      operators.Salting.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
-      multimodal.Multimodal.oracles: _*)
+      multimodal.Multimodal.oracles ++
+      operators.Salting.oracles: _*)
 }
