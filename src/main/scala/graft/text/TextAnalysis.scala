@@ -689,6 +689,55 @@ object TextAnalysis {
       |FROM sk JOIN ex ON sk.lang = ex.lang
       |ORDER BY sk.lang""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Model-based quality scoring: a fixed-weight linear model over the
+    * txt03 feature vector — the plumbing of classifier-based filtering
+    * (the fastText/logreg "quality model" stage of production corpus
+    * curation) with the inference step deterministic: the score is a
+    * fixed-order chain of double ops both engines evaluate identically,
+    * and the keep decision thresholds the LINEAR score (monotone in
+    * the sigmoid, so the gate is the same — no transcendental whose
+    * last-ulp could differ between engines). Swapping in learned
+    * weights (broadcast from a model artifact) changes nothing in the
+    * plan: still one narrow codegen'd map. */
+  def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopHits =
+      size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
+    // w·x + b with hand-set weights: reward lexical diversity and
+    // stopword presence, penalize very short docs
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        (size(array_distinct(toks)).cast(DoubleType) / nTok)
+          .as("unique_ratio"),
+        (stopHits.cast(DoubleType) / nTok).as("stopword_ratio"))
+      .withColumn("score",
+        col("unique_ratio") * 2.0 + col("stopword_ratio") * 4.0 +
+          when(col("n_tokens") >= MinTokens, 0.5).otherwise(-1.0) - 1.5)
+      .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityModelSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len($tokensSqlD) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_distinct($tokensSqlD)) AS DOUBLE) / len($tokensSqlD)
+       |      AS unique_ratio,
+       |    CAST(len(list_filter($tokensSqlD, t -> t IN ('the','a','of')))
+       |      AS DOUBLE) / len($tokensSqlD) AS stopword_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, unique_ratio, stopword_ratio,
+       |  unique_ratio * 2.0 + stopword_ratio * 4.0 +
+       |    (CASE WHEN n_tokens >= $MinTokens THEN 0.5 ELSE -1.0 END) - 1.5
+       |    AS score,
+       |  CASE WHEN unique_ratio * 2.0 + stopword_ratio * 4.0 +
+       |    (CASE WHEN n_tokens >= $MinTokens THEN 0.5 ELSE -1.0 END) - 1.5 > 0
+       |    THEN 1 ELSE 0 END AS keep
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -705,7 +754,8 @@ object TextAnalysis {
     "txt12_stratified_sample" -> (stratifiedSample _),
     "txt13_chunk_overlap" -> (chunkOverlap _),
     "txt14_pii_scrub" -> (piiScrub _),
-    "txt15_kmv_distinct" -> (kmvDistinct _))
+    "txt15_kmv_distinct" -> (kmvDistinct _),
+    "txt16_quality_model" -> (qualityModel _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -722,5 +772,6 @@ object TextAnalysis {
     "txt12_stratified_sample" -> stratifiedSampleSql,
     "txt13_chunk_overlap" -> chunkOverlapSql,
     "txt14_pii_scrub" -> piiScrubSql,
-    "txt15_kmv_distinct" -> kmvDistinctSql)
+    "txt15_kmv_distinct" -> kmvDistinctSql,
+    "txt16_quality_model" -> qualityModelSql)
 }
