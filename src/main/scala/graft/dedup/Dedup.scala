@@ -175,8 +175,14 @@ object Dedup {
       // second per-pair array pass.
       .withColumn("n_union",
         col("na").cast(LongType) + col("nb") - col("n_common"))
+      // two empty-shingle docs (sub-3-char texts) give n_union = 0;
+      // ANSI mode turns that division into a job-killing error, and
+      // similarity over empty sets is undefined anyway → NULL, which
+      // the threshold then excludes (DuckDB's 0-division yields NULL
+      // too, so the oracle agrees)
       .withColumn("jaccard",
-        col("n_common").cast(DoubleType) / col("n_union"))
+        when(col("n_union") > 0,
+          col("n_common").cast(DoubleType) / col("n_union")))
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_union"),
         col("jaccard"))
@@ -297,8 +303,13 @@ object Dedup {
     pre.join(sa, "id_a").join(sb, "id_b")
       .withColumn("n_common",
         call_function("graft_sorted_intersect_count", col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", col("n_common").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      // empty-shingle pairs band-collide trivially (identical empty
+      // signatures) and would divide by zero under ANSI — see dd03
+      .withColumn("n_union",
+        size(col("sh_a")).cast(LongType) + size(col("sh_b")) - col("n_common"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_common").cast(DoubleType) / col("n_union")))
       .where(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -381,6 +392,9 @@ object Dedup {
           expr("transform(e, x -> x * 1.1d)").as("e")))
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+      // a zero vector has no direction: cosine against it is undefined
+      // and its nrm divisor is a fatal ANSI 0-division — exclude it
+      .where(col("nrm") > 0)
   }
 
   private def embedNearDupOn(s: SparkSession, d: String,

@@ -209,7 +209,11 @@ object MinHashSig {
     while (j < Perms) {
       val a = (A * (j + 1)) % Mod
       val b = j * 12345L + 678L
-      var min = Long.MaxValue
+      // sentinel = Mod, not Long.MaxValue: every permuted hash is < Mod,
+      // so non-empty minima are unaffected, while an EMPTY shingle set
+      // (sub-3-char doc) yields a bounded signature that the banding
+      // fold can consume without ANSI long overflow
+      var min = Mod
       var i = 0
       while (i < n) {
         val v = (a * arr.getLong(i) + b) % Mod

@@ -761,10 +761,13 @@ object Relational {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
       .select(col("n_view"), col("n_click_after_view"),
         col("n_purchase_after_click"),
-        (col("n_click_after_view").cast(DoubleType) / col("n_view"))
+        // empty funnel stages → NULL rate, not an ANSI 0-division abort
+        when(col("n_view") > 0,
+          col("n_click_after_view").cast(DoubleType) / col("n_view"))
           .as("view_to_click"),
-        (col("n_purchase_after_click").cast(DoubleType)
-          / col("n_click_after_view")).as("click_to_purchase"))
+        when(col("n_click_after_view") > 0,
+          col("n_purchase_after_click").cast(DoubleType)
+            / col("n_click_after_view")).as("click_to_purchase"))
   }
 
   val q26Sql: String =

@@ -28,6 +28,9 @@ object Similarity {
         expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+      // a zero vector has no direction: cosine against it is undefined
+      // and its nrm divisor is a fatal ANSI 0-division — exclude it
+      .where(col("nrm") > 0)
   }
 
   private val normedCte: String =
