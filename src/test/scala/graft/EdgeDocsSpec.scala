@@ -36,6 +36,40 @@ class EdgeDocsSpec extends AnyFunSuite {
     p.toString
   }
 
+  private lazy val eventsDir: String = {
+    val p = Files.createTempDirectory("graft-edge-ev")
+    p.toFile.deleteOnExit()
+    import spark.implicits._
+    // tiny pathological stream: lone events, identical timestamps, a
+    // single user, snapshot anchors (id%10==0) present and absent;
+    // ts is INT64 nanos exactly like the driver's parquet
+    Seq(
+      (0L, 1704067200000000000L, 3L, "view", 1.0, "{}"),
+      (1L, 1704067200000000000L, 3L, "click", 0.0, "{}"),  // same ns ts
+      (2L, 1704067201000000000L, 3L, "purchase", 2.5, "{}"),
+      (10L, 1704067202000000000L, 3L, "view", 0.0, "{}"),
+      (11L, 1704153700000000000L, 3L, "error", -1.0, "{}") // next day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$p/events.parquet")
+    p.toString
+  }
+
+  test("every events-backed query survives a degenerate stream") {
+    val names = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("ob") || n.startsWith("q15") || n.startsWith("q16") ||
+        n.startsWith("q21") || n.startsWith("q26"))
+    assert(names.nonEmpty)
+    names.foreach { n =>
+      val rows =
+        try SparkEntry.queries(n)(spark, eventsDir).collect()
+        catch {
+          case e: Throwable =>
+            fail(s"$n crashed on degenerate events: ${e.getMessage}", e)
+        }
+      assert(rows != null, n)
+    }
+  }
+
   test("every documents/embeddings-backed query survives degenerate docs") {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("txt") || n.startsWith("dd") || n.startsWith("mm") ||
