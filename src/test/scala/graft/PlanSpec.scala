@@ -73,6 +73,15 @@ class PlanSpec extends AnyFunSuite {
       // the nested-loop shapes excluded above
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q pair join shape missing:\n$p")
+      // candidates must come from the banded-minhash equi-join — key
+      // cardinality grows with the data — never from fixed-key-space
+      // blocking like (lang, length-bucket), whose per-block pair count
+      // grows O(n²) with the corpus
+      assert(p.contains("hashpartitioning(band") ||
+        "BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined,
+        s"$q candidates not keyed on (band, bkey):\n$p")
+      assert(!p.contains("hashpartitioning(lang"),
+        s"$q still blocks on the fixed (lang, bucket) key space:\n$p")
     }
   }
 
