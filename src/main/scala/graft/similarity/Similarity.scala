@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -12,9 +12,11 @@ import graft.Tables
   * path — signature equi-join instead of a cross join).
   *
   * Scale design: queries are the tiny side and are broadcast; scoring is
-  * a map-side fold over each candidate partition; top-k is a window on
-  * the query key (bounded |queries|×k output). For the ANN variant the
-  * probe only touches candidates sharing the signature bucket.
+  * a map-side fold over each candidate partition; ranking is an exact
+  * two-level top-k ([[topKPerQuery]]) — local k per scoring partition,
+  * final k over the survivors — so no task ever ranks more than one
+  * partition's candidates. For the ANN variants the probe only touches
+  * candidates sharing the signature bucket / IVF cell.
   */
 object Similarity {
 
@@ -40,6 +42,35 @@ object Similarity {
       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
       |""".stripMargin
 
+  /** Exact two-level top-k per query: local top-k within each SCORING
+    * partition (the window key is (query_id, input-partition-id), so
+    * cardinality grows with the data and no task ever ranks more than
+    * its own partition's candidates), then final top-k over the
+    * ≤ k × partitions survivors. A single
+    * `Window.partitionBy(query_id)` over the full scored set routes
+    * every candidate — the whole corpus, for brute-force variants —
+    * into ONE task per query: a driver-style bottleneck moved one hop
+    * out, and the first thing to die at 1000 executors. The split is
+    * EXACT, not approximate: the ordering is total (unique neighbor-id
+    * tiebreak), and every global top-k row is necessarily in its own
+    * partition's local top-k — so the result, and the oracle SQL, are
+    * unchanged. Adds the final `rnk` column. */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      order: Column*): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("_pbkt"))
+      .orderBy(order: _*)
+    val wFinal = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      // evaluated in a Project BELOW the window's exchange, so it tags
+      // each row with the partition that SCORED it
+      .withColumn("_pbkt", spark_partition_id())
+      .withColumn("_lrnk", row_number().over(wLocal))
+      .where(col("_lrnk") <= k)
+      .withColumn("rnk", row_number().over(wFinal))
+      .where(col("rnk") <= k)
+      .drop("_pbkt", "_lrnk")
+  }
+
   // --------------------------------------------------------------- sim01
   /** Brute-force cosine top-3 for query vectors (vec_id < 5). */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -49,14 +80,11 @@ object Similarity {
         col("nrm").as("nrm_q"))
     val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
       col("nrm").as("nrm_c"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+    val scored = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -88,11 +116,9 @@ object Similarity {
           expr("shiftleft(1, cast(pid as int))")).otherwise(0))
       .groupBy(col("vec_id"), col("label"), col("e"), col("nrm"))
       .agg(sum(col("bit")).as("sig"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     val c = sigs.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
       col("nrm").as("nrm_c"), col("sig"))
-    broadcast(
+    val scored = broadcast(
         sigs.where(col("vec_id") < 5).select(col("vec_id").as("query_id"),
           col("e").as("eq"), col("nrm").as("nrm_q"), col("sig")))
       .join(c, Seq("sig"))
@@ -100,8 +126,7 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("sig"), col("cosine"),
         col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
@@ -148,11 +173,9 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
-    broadcast(assigned.where(col("vec_id") < 5)
+    val scored = broadcast(assigned.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("eq"),
           col("nrm").as("nrm_q"), col("cell")))
       .join(c, Seq("cell"))
@@ -160,8 +183,7 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
@@ -215,17 +237,14 @@ object Similarity {
     val probes = ranked.where(col("vec_id") < 5 && col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nrm_q"), col("pid").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
-    broadcast(probes).join(c, Seq("cell"))
+    val scored = broadcast(probes).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -272,16 +291,13 @@ object Similarity {
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("neighbor_id"))
     val c = q.select(col("vec_id").as("neighbor_id"), col("q").as("qc"))
-    broadcast(q.where(col("vec_id") < 5)
+    val scored = broadcast(q.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("q").as("qq")))
       .join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("qdot", expr(
         "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+    topKPerQuery(scored, 3, col("qdot").desc, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -144,6 +144,23 @@ class PlanSpec extends AnyFunSuite {
       s"txt10 local cumsum is not bucketed:\n$p")
   }
 
+  test("sim01/sim05: ranking is two-level — no single-partition global " +
+    "top-k window per query") {
+    // a Window.partitionBy(query_id) over the full scored set funnels
+    // the whole corpus through ONE task per query; the two-level split
+    // ranks locally per (query_id, scoring-partition) first, so the
+    // query-keyed window only ever sees <= k x partitions survivors
+    Seq("sim01_cosine_topk", "sim05_sq8_topk").foreach { q =>
+      val p = plan(q)
+      assert("row_number\\(\\) windowspecdefinition\\(query_id#\\d+L?, _pbkt#".r
+        .findFirstIn(p).isDefined,
+        s"$q missing the partition-local ranking window:\n$p")
+      assert("windowspecdefinition\\(query_id#\\d+L?,".r
+        .findAllIn(p).size >= 2,
+        s"$q missing the final survivor ranking window:\n$p")
+    }
+  }
+
   test("dd08: eval gram set broadcasts; no cartesian anywhere") {
     val p = plan("dd08_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
