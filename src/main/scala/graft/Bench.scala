@@ -10,6 +10,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // Two-level-scan bucket sizing from measured density: target
+    // rows-per-(key, bucket) ≈ 8·√(rows per ticker), so both the local
+    // sort size and the per-key summary length grow as √n instead of
+    // one of them growing linearly (the √ balances them; the ×8 biases
+    // toward fewer, larger buckets because each bucket carries fixed
+    // join/summary overhead). Clamped to [256, 8192]: the floor keeps
+    // the carry handoff exercised, the ceiling keeps any single local
+    // sort comfortably in executor memory. The correctness gate
+    // (Verify) leaves the conf unset → the 256-row default. Result
+    // sets are width-invariant (BucketWidthSpec), so this is purely a
+    // physical knob, like spark.sql.shuffle.partitions.
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val perTicker = math.max(1L, nEvents / graft.orderbook.Derive.TickerFanout)
+    val targetRows = math.min(8192L,
+      math.max(256L, 8L * math.round(math.sqrt(perTicker.toDouble))))
+    spark.conf.set("spark.graft.scanBucketRows", targetRows.toString)
+    System.err.println(s"[bench] scanBucketRows=$targetRows (events=$nEvents)")
     // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
     // the session startup cost.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

@@ -240,25 +240,46 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY ticker, day""".stripMargin
 
-  /** Bucket width for the two-level window scans (ob09/ob14). A plain
-    * `Window.partitionBy(ticker)` over full history is the classic
+  /** Bucket sizing for the two-level window scans (ob09/ob14/ob18). A
+    * plain `Window.partitionBy(ticker)` over full history is the classic
     * low-cardinality skew killer: with ≤1,000 tickers every ticker's
     * entire history sorts in ONE task no matter how many executors
     * exist. Instead the heavy rows only ever sort within
     * (ticker, bucket) — cardinality grows with the data — and the
     * cross-bucket carry travels through a per-bucket summary ~B× smaller
     * than the input, whose own prefix scan is a per-ticker window over
-    * #buckets ROWS, not #events. 256 keeps several buckets per ticker
-    * at sf0.01 so the correctness gate exercises the boundary handoff;
-    * at cluster scale raise it (e.g. 1M) so the summary stays tiny. */
-  val ScanBucketWidth = 256L
+    * #buckets ROWS, not #events.
+    *
+    * The bucket width is chosen from the TARGET ROWS PER (key, bucket)
+    * (`spark.graft.scanBucketRows`), corrected for the DENSITY of the
+    * bucketed ordinal: `seq` is per-ticker dense (every ticker sees
+    * every value), so width = target; `event_id` is globally dense and
+    * shared by [[Derive.TickerFanout]] tickers, so width = target ×
+    * fanout — the correction the fixed 256 width lacked (13-row buckets
+    * on the event_id scans, a 4× local regression from per-bucket
+    * overhead). The result set is width-INVARIANT (pinned by
+    * BucketWidthSpec); only the summary-to-data ratio moves. The
+    * 256-row default keeps several buckets per key at sf0.01 so the
+    * correctness gate always exercises the carry handoff; Bench derives
+    * a √density-scaled target at startup so the summary stays ~√n-sized
+    * at any scale factor. */
+  val DefaultScanBucketRows = 256L
+  private def scanTargetRows(s: SparkSession): Long =
+    s.conf.get("spark.graft.scanBucketRows",
+      DefaultScanBucketRows.toString).toLong
+  /** Width for bucketing a PER-KEY-dense ordinal (seq). */
+  private[graft] def seqScanWidth(s: SparkSession): Long = scanTargetRows(s)
+  /** Width for bucketing a GLOBALLY-dense ordinal (event_id) whose id
+    * space is shared by ~[[Derive.TickerFanout]] keys. */
+  private[graft] def eventScanWidth(s: SparkSession): Long =
+    scanTargetRows(s) * Derive.TickerFanout
 
   // ------------------------------------------------------------------ A3
   /** Sequence-gap detection (batch twin of the fail-stop validator,
     * kalshi_ws_client.py:129-146): flag every message whose seq is not
     * predecessor+1 within its ticker.
     *
-    * Two-level scan (see [[ScanBucketWidth]]): lag within
+    * Two-level scan (see [[DefaultScanBucketRows]]): lag within
     * (ticker, seq div B), with each bucket's first row checked against
     * the previous populated bucket's max seq (seq is monotone, so the
     * running max over preceding buckets IS the predecessor). The
@@ -267,7 +288,7 @@ object Analytics {
   def seqGaps(s: SparkSession, d: String): DataFrame = {
     val rows = Derive.deltasWithGaps(s, d)
       .select(col("ticker"), col("seq"))
-      .withColumn("bucket", expr(s"seq div $ScanBucketWidth"))
+      .withColumn("bucket", expr(s"seq div ${seqScanWidth(s)}"))
     val wPrefix = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = rows.groupBy(col("ticker"), col("bucket"))
@@ -375,7 +396,7 @@ object Analytics {
     * ticker) at or before it. Implemented as union + ordered window
     * with `last(ignoreNulls)` instead of a per-row range join (a range
     * join would re-scan the delta side per anchor), decomposed as a
-    * two-level scan (see [[ScanBucketWidth]]) so no task ever sorts a
+    * two-level scan (see [[DefaultScanBucketRows]]) so no task ever sorts a
     * whole ticker's history: the ordered `last` runs within
     * (ticker, event_id div B), and anchors whose bucket holds no
     * earlier quote fall back to a carry — the last quote of the
@@ -393,11 +414,11 @@ object Analytics {
         col("price").as("q_price"), col("seq").as("q_seq"))
       .withColumn("is_anchor", lit(0))
     val rows = anchors.unionByName(quotes, allowMissingColumns = true)
-      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+      .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
     // last quote per populated (ticker, bucket) — max_by is safe on the
     // globally-unique event_id
     val summary = quotes
-      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+      .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
       .groupBy(col("ticker"), col("bucket"))
       .agg(expr("max_by(q_price, event_id)").as("b_price"),
         expr("max_by(q_seq, event_id)").as("b_seq"))
@@ -536,7 +557,7 @@ object Analytics {
     * archive exists for, and exact-integer so it hash-checks.
     *
     * The successive-move lag uses the same two-level bucketed scan as
-    * ob09/ob14 ([[ScanBucketWidth]]): lag within (ticker, day, bucket),
+    * ob09/ob14 ([[DefaultScanBucketRows]]): lag within (ticker, day, bucket),
     * with each bucket's first move taken against the previous
     * populated bucket's last price via the per-bucket summary — no
     * task ever sorts a whole (ticker, day) partition, and day
@@ -545,7 +566,7 @@ object Analytics {
   def realizedVariance(s: SparkSession, d: String): DataFrame = {
     val rows = Derive.deltas(s, d)
       .select(col("ticker"), dayCol.as("day"), col("event_id"), col("price"))
-      .withColumn("bucket", expr(s"event_id div $ScanBucketWidth"))
+      .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
     val wPrefix = Window.partitionBy(col("ticker"), col("day"))
       .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

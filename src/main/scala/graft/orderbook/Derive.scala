@@ -27,7 +27,14 @@ import graft.Tables
   */
 object Derive {
 
-  private def tickerCol = concat(lit("T"), (col("user_id") % 20).cast(StringType))
+  /** Number of synthetic tickers the global event_id space is shared
+    * by (user_id % 20) — the density correction for bucketing a
+    * globally-dense ordinal by a per-ticker key
+    * ([[Analytics.eventScanWidth]]). */
+  val TickerFanout = 20L
+
+  private def tickerCol =
+    concat(lit("T"), (col("user_id") % TickerFanout).cast(StringType))
 
   /** One delta message per event. NOTE: the per-ticker row_number
     * assigning `seq` is DATA SYNTHESIS, not an operator under test —
