@@ -796,6 +796,47 @@ object Relational {
       |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
       |    / (SELECT COUNT(*) FROM c) AS click_to_purchase""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** TPC-H Q2-shape minimum-cost supplier: a CORRELATED scalar subquery
+    * in WHERE against an aggregate over a 4-way join (the one classic
+    * subquery shape q20/q22/q24 don't cover — their subqueries correlate
+    * in SELECT or via EXISTS). There is no partsupp table in this
+    * corpus, so lineitem plays the part↔supplier cost association:
+    * keep, per small part, exactly the EUROPE-region rows whose unit
+    * price equals that part's regional minimum.
+    *
+    * Run as SQL TEXT through the engine's SQL surface
+    * ([[graft.SqlInterface]]) — the correlated subquery is the point,
+    * and Catalyst's RewriteCorrelatedScalarSubquery decorrelates it
+    * into the per-part min aggregate + re-join plan a hand-written
+    * DataFrame version would spell anyway. region/nation/supplier are
+    * broadcast on both the outer and inner sides (PlanSpec pin); the
+    * only big-table work is two lineitem scans keyed on l_partkey.
+    * The identical text runs on DuckDB — one spelling, two engines.
+    *
+    * Determinism: unit_cost is ONE double division (no accumulation
+    * order), MIN over identical doubles, and the equality filter
+    * compares those same bit-identical values; DISTINCT collapses
+    * multi-lineitem ties so (p_partkey, s_name) is a unique sort key. */
+  val q27Sql: String =
+    """SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+      |  CAST(l_extendedprice AS DOUBLE) / l_quantity AS unit_cost
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_size <= 10
+      |  AND CAST(l_extendedprice AS DOUBLE) / l_quantity = (
+      |    SELECT MIN(CAST(l2.l_extendedprice AS DOUBLE) / l2.l_quantity)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  def q27MinCostSupplier(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d, q27Sql)
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -821,7 +862,8 @@ object Relational {
     "q23_nation_coverage" -> (q23NationCoverage _),
     "q24_late_orders" -> (q24LateOrders _),
     "q25_cust_distribution" -> (q25CustDistribution _),
-    "q26_funnel" -> (q26Funnel _))
+    "q26_funnel" -> (q26Funnel _),
+    "q27_min_cost_supplier" -> (q27MinCostSupplier _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -847,5 +889,6 @@ object Relational {
     "q23_nation_coverage" -> q23Sql,
     "q24_late_orders" -> q24Sql,
     "q25_cust_distribution" -> q25Sql,
-    "q26_funnel" -> q26Sql)
+    "q26_funnel" -> q26Sql,
+    "q27_min_cost_supplier" -> q27Sql)
 }

@@ -46,6 +46,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q27: correlated scalar subquery decorrelates — broadcast dims, " +
+    "no cartesian, both lineitem sides keyed on l_partkey") {
+    val p = plan("q27_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q27 decorrelation fell back to a nested loop:\n$p")
+    // region/nation/supplier on both the outer and inner (min-agg)
+    // sides: >= 5 broadcasts once Catalyst prunes/reuses
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 5, s"q27 expected broadcast dims, got $broadcasts:\n$p")
+  }
+
   test("txt04: scan prunes documents to (doc_id, text) only") {
     val p = plan("txt04_fingerprint")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
