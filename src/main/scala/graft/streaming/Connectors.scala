@@ -44,17 +44,27 @@ object Connectors {
     * kalshi_ws_client.py:108-148), decoded by the SAME
     * [[StreamPipeline.decode]] the replay path uses — downstream code
     * cannot tell the feeds apart. */
+  /** Optional connector credentials: access-key id + PKCS#8 PEM key
+    * file, the two secrets the reference reads from its environment
+    * (kalshi_rest_client.py:19-27). */
+  final case class Credentials(accessKey: String, privateKeyFile: String)
+
   final class SocketMessageSource(host: String, port: Int,
-      tickers: Seq[String], failOnGap: Boolean = true)
+      tickers: Seq[String], failOnGap: Boolean = true,
+      credentials: Option[Credentials] = None)
       extends MessageSource {
-    override def messages(spark: SparkSession): DataFrame =
-      StreamPipeline.decode(spark.readStream
+    override def messages(spark: SparkSession): DataFrame = {
+      val base = spark.readStream
         .format("graft-socket")
         .option("host", host)
         .option("port", port.toString)
         .option("tickers", tickers.mkString(","))
         .option("failOnGap", failOnGap.toString)
-        .load())
+      val authed = credentials.fold(base)(c =>
+        base.option("accessKey", c.accessKey)
+          .option("privateKeyFile", c.privateKeyFile))
+      StreamPipeline.decode(authed.load())
+    }
   }
 
   /** Subscription filter: the WSS subscribe command's ticker list

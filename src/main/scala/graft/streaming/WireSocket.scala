@@ -61,6 +61,22 @@ object WireSocket {
       s""""market_tickers":${arr(tickers)}}}"""
   }
 
+  /** The optional auth command line, sent BEFORE subscribe when the
+    * source is given credentials. A WebSocket client carries its signed
+    * auth as CONNECT headers (kalshi_ws_client.py:106-115); this
+    * line-oriented protocol carries the same signed header map as the
+    * connection's first line instead. Keys are sorted so the line is
+    * byte-deterministic for a given signature. */
+  def authCommand(headers: Map[String, String]): String = {
+    val fields = headers.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"id":0,"cmd":"auth","params":{"headers":{$fields}}}"""
+  }
+
+  /** The WS endpoint path the auth signature covers
+    * (kalshi_ws_client.py:110: the client signs GET + the WS path). */
+  val AuthPath = "/trade-api/ws/v2"
+
   private val SeqField = """"seq"\s*:\s*(\d+)""".r.unanchored
   private val BookType = """"type"\s*:\s*"orderbook_(snapshot|delta)"""".r.unanchored
 
@@ -84,7 +100,10 @@ object WireSocket {
 /** `format("graft-socket")` provider (registered via
   * META-INF/services DataSourceRegister). Options: `host`, `port`,
   * `tickers` (comma-separated), `channels` (comma-separated, default
-  * orderbook_delta), `failOnGap` (default true). */
+  * orderbook_delta), `failOnGap` (default true), and for authenticated
+  * feeds `accessKey` + `privateKeyFile` (PKCS#8 PEM; sends a signed
+  * auth line before subscribe — see [[WireSocket.authCommand]]) with
+  * optional `authPath` (default [[WireSocket.AuthPath]]). */
 class WireSocketProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-socket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -105,7 +124,16 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WireSocket.schema
-        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream = {
+          // credentials present → sign the WS path now (connect-time,
+          // like the reference's connect headers) and lead with the
+          // auth line; absent → unauthenticated replay, the default
+          val authLine = for {
+            key <- Option(options.get("accessKey"))
+            pem <- Option(options.get("privateKeyFile"))
+          } yield WireSocket.authCommand(
+            Signing.signerFromKeyFile(pem, key).headers("GET",
+              Option(options.get("authPath")).getOrElse(WireSocket.AuthPath)))
           new WireSocketStream(
             options.get("host"),
             options.get("port").toInt,
@@ -113,7 +141,9 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
               .getOrElse(Seq.empty),
             Option(options.get("channels")).map(_.split(",").toSeq)
               .getOrElse(Seq("orderbook_delta")),
-            options.getBoolean("failOnGap", true))
+            options.getBoolean("failOnGap", true),
+            authLine)
+        }
       }
     }
 }
@@ -126,7 +156,8 @@ private[streaming] case class WireOffset(n: Long) extends Offset {
   * on Spark's TextSocketMicroBatchStream, plus the subscribe handshake
   * and the reference's fail-stop seq validation. */
 private[streaming] class WireSocketStream(host: String, port: Int,
-    tickers: Seq[String], channels: Seq[String], failOnGap: Boolean)
+    tickers: Seq[String], channels: Seq[String], failOnGap: Boolean,
+    authLine: Option[String] = None)
     extends MicroBatchStream {
 
   private val lock = new Object
@@ -142,6 +173,7 @@ private[streaming] class WireSocketStream(host: String, port: Int,
         socket = new Socket(host, port)
         val out = new OutputStreamWriter(socket.getOutputStream,
           StandardCharsets.UTF_8)
+        authLine.foreach(a => out.write(a + "\n"))
         out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
         out.flush()
         val in = new BufferedReader(new InputStreamReader(
