@@ -67,6 +67,24 @@ object Connectors {
     }
   }
 
+  /** Durable-buffer implementation: the [[QueueLogProvider graft-queue]]
+    * source over a segment log on shared storage — the reference's
+    * Redis-Streams producer/consumer split (redis_client.py:50-193):
+    * the producer appends segments ([[QueueLog.append]]) in its own
+    * crash domain; a (re)started query resumes from its checkpointed
+    * (segment, line) offset with no loss and no dupes. */
+  final class QueueMessageSource(dir: String,
+      maxSegmentsPerTrigger: Long = Long.MaxValue)
+      extends MessageSource {
+    override def messages(spark: SparkSession): DataFrame = {
+      val base = spark.readStream.format("graft-queue").option("path", dir)
+      val bounded =
+        if (maxSegmentsPerTrigger == Long.MaxValue) base
+        else base.option("maxSegmentsPerTrigger", maxSegmentsPerTrigger.toString)
+      StreamPipeline.decode(bounded.load())
+    }
+  }
+
   /** Subscription filter: the WSS subscribe command's ticker list
     * (kalshi_ws_client.py:119-127) expressed as a pushdown-friendly
     * predicate on the stream. */

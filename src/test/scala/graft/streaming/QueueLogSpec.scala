@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.orderbook.Fixtures
+
+/** The durable-queue seam: producer and consumer in separate crash
+  * domains. The core claim is the restart contract — a query stopped
+  * and RESTARTED from its checkpoint, with the producer appending in
+  * between, delivers every message exactly once to an exactly-once
+  * sink (parquet + checkpoint WAL). */
+class QueueLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.init()
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("append is atomic-per-segment, ids are monotone, trim retains " +
+    "the committed segment") {
+    val dir = tmp("qlog-unit")
+    assert(QueueLog.append(dir, Seq("a", "b")) === 0L)
+    assert(QueueLog.append(dir, Seq("c")) === 1L)
+    assert(QueueLog.append(dir, Seq("d")) === 2L)
+    assert(QueueLog.segments(dir).map(_._1) === Seq(0L, 1L, 2L))
+    QueueLog.trim(dir, QueueOffset(2L, 0L))
+    assert(QueueLog.segments(dir).map(_._1) === Seq(2L))
+    // a fresh consumer on the trimmed queue starts at the earliest
+    // retained segment, not id 0
+    val stream = new QueueLogStream(dir, Long.MaxValue)
+    assert(stream.initialOffset() === QueueOffset(2L, 0L))
+  }
+
+  test("offset json round-trips") {
+    val o = QueueOffset(7L, 13L)
+    assert(QueueOffset.parse(o.json()) === o)
+  }
+
+  test("restarted query resumes from the checkpoint: no loss, no dupes, " +
+    "while the producer appends between runs") {
+    val dir = tmp("qlog-e2e")
+    val ckpt = tmp("qlog-ckpt")
+    val sink = tmp("qlog-sink") + "/out"
+
+    val all = Fixtures.genMessages(Seq("KXQ-A", "KXQ-B"), 30)
+      .map(Fixtures.envelopeJson)
+    val (first, second) = all.splitAt(18)
+
+    // producer epoch 1: two segments
+    QueueLog.append(dir, first.take(10))
+    QueueLog.append(dir, first.drop(10))
+
+    def runOnce(): Unit = {
+      val src = new Connectors.QueueMessageSource(dir)
+      val q = src.messages(spark)
+        .select(col("raw"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop() // consumer crash domain: stop ≙ kill
+    }
+
+    runOnce()
+    assert(spark.read.parquet(sink).count() === first.size.toLong)
+
+    // producer epoch 2 (independent of the consumer's lifecycle)
+    QueueLog.append(dir, second)
+
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() === all.size.toLong, "loss or duplication across restart")
+    assert(out.select(col("raw")).distinct().count() === all.size.toLong)
+  }
+
+  test("maxSegmentsPerTrigger bounds each batch without losing the " +
+    "remainder") {
+    val dir = tmp("qlog-adm")
+    (0 until 5).foreach(i => QueueLog.append(dir, Seq(s"""{"n":$i}""")))
+    val stream = new QueueLogStream(dir, 2L)
+    var off = stream.initialOffset().asInstanceOf[QueueOffset]
+    var batches = 0
+    var rows = 0
+    while ({
+      val next = stream.latestOffset(off, stream.getDefaultReadLimit)
+        .asInstanceOf[QueueOffset]
+      if (next != off) {
+        val parts = stream.planInputPartitions(off, next)
+        assert(parts.length <= 2)
+        rows += parts.map(p =>
+          QueueLog.readLines(java.nio.file.Paths.get(
+            p.asInstanceOf[QueueSegmentPartition].path)).length).sum
+        off = next
+        batches += 1
+        true
+      } else false
+    }) ()
+    assert(batches === 3) // 2 + 2 + 1
+    assert(rows === 5)
+  }
+
+  test("a trim past the checkpoint fails the restart loudly instead of " +
+    "skipping data") {
+    val dir = tmp("qlog-trimfail")
+    (0 until 3).foreach(i => QueueLog.append(dir, Seq(s"""{"n":$i}""")))
+    val stream = new QueueLogStream(dir, Long.MaxValue)
+    // checkpointed state says "consumed nothing"; segment 0 vanishes
+    QueueLog.trim(dir, QueueOffset(1L, 0L))
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(QueueOffset(0L, 0L), QueueOffset(3L, 0L))
+    }
+    assert(e.getMessage.contains("trimmed past the checkpoint"))
+  }
+}
