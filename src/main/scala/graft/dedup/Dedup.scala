@@ -124,13 +124,19 @@ object Dedup {
         col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** dd03's pair stage without the presentation sort — also the edge
-    * generator for connected-components clustering (dd07). Signatures
-    * come from the session-scoped seam ([[minhashSigCached]]) and the
-    * (tiny) surviving pair set is localCheckpoint'ed;
+  /** dd03's pair stage without the presentation sort — also the pair
+    * source for dd05 and the edge generator for connected-components
+    * clustering (dd07). Signatures come from the session-scoped seam
+    * ([[minhashSigCached]]) and the (tiny) surviving pair set is
+    * localCheckpoint'ed ONCE per (session, dir) — the three consumers
+    * differ only in projection/presentation, so the candidate join and
+    * exact verify are never paid twice in one run.
     * [[ngramPairsPlan]] is the same plan left lazy for plan tests. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    verifiedPairsOn(minhashSigCached(s, d)).localCheckpoint()
+    pairsCache.computeIfAbsent((s, d), _ =>
+      verifiedPairsOn(minhashSigCached(s, d)).localCheckpoint())
 
   /** The dd03 plan fully lazy (no persist/checkpoint) — plan-shape
     * tests inspect this; runtime goes through [[ngramPairs]]. */
@@ -255,10 +261,9 @@ object Dedup {
     * shuffle key a single BIGINT (identical formula in the oracle, so
     * even fold collisions — ~1e-9/pair — are mirrored exactly). */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    verifiedPairsOn(minhashSigCached(s, d))
+    ngramPairs(s, d)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint() // pairs ≪ corpus
 
   /** The dd05 plan fully lazy (no persist/checkpoint) — plan-shape
     * tests inspect this; runtime goes through [[minhashLsh]]. */
