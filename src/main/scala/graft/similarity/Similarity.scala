@@ -324,18 +324,91 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim06
+  /** Shortlist-then-re-rank — the two-stage retrieval shape production
+    * ANN actually ships (sim05's scaladoc names it): a CHEAP quantized
+    * scorer (int8 dot, memory-bound-regime arithmetic) prunes the
+    * corpus to a per-query shortlist of 10, then the EXACT fp32 cosine
+    * (sim01's scorer) re-ranks only those survivors to the final 3.
+    * At 100 TB the expensive scorer touches 10 rows per query instead
+    * of the corpus; both stages rank via the same exact two-level
+    * top-k. Shortlist membership is decided by an integer dot with a
+    * unique id tiebreak and the re-rank by bit-identical fold cosines,
+    * so the full pipeline is reproducible to the bit. */
+  def sq8Rerank(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val mx = n.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = n.join(broadcast(mx))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    val c = q.select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+      col("e").as("ec"), col("nrm").as("nrm_c"))
+    val scored = broadcast(q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("e").as("eq"), col("nrm").as("nrm_q")))
+      .join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+    val shortlist =
+      topKPerQuery(scored, 10, col("qdot").desc, col("neighbor_id"))
+        .drop("rnk")
+    val reranked = shortlist
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(reranked, 3, col("cosine").desc, col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val sq8RerankSql: String = normedCte + "," +
+    """mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id, e, nrm,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    a.e AS eq, a.nrm AS nrm_q, b.e AS ec, b.nrm AS nrm_c,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |      i -> CAST(a.q[CAST(i AS INT)] AS BIGINT) * b.q[CAST(i AS INT)]))
+      |      AS BIGINT) AS qdot
+      |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 5),
+      |shortlist AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY qdot DESC, neighbor_id) AS srnk
+      |    FROM scored) t
+      |  WHERE srnk <= 10)
+      |SELECT query_id, neighbor_id, qdot, cosine, rnk FROM (
+      |  SELECT query_id, neighbor_id, qdot,
+      |    list_dot_product(eq, ec) / (nrm_q * nrm_c) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY list_dot_product(eq, ec) / (nrm_q * nrm_c) DESC,
+      |               neighbor_id) AS INTEGER) AS rnk
+      |  FROM shortlist) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
     "sim03_ivf_ann" -> (ivfAnn _),
     "sim04_ivf_multiprobe" -> (ivfMultiProbe _),
-    "sim05_sq8_topk" -> (sq8TopK _))
+    "sim05_sq8_topk" -> (sq8TopK _),
+    "sim06_sq8_rerank" -> (sq8Rerank _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
     "sim02_lsh_ann" -> lshAnnSql,
     "sim03_ivf_ann" -> ivfAnnSql,
     "sim04_ivf_multiprobe" -> ivfMultiProbeSql,
-    "sim05_sq8_topk" -> sq8TopKSql)
+    "sim05_sq8_topk" -> sq8TopKSql,
+    "sim06_sq8_rerank" -> sq8RerankSql)
 }
