@@ -43,6 +43,22 @@ object StreamBench {
     val deltaRows = spark.read.parquet(s"$out/orderbook_deltas").count()
     val msgs = lines.size
     println(f"""{"metric":"stream_ingest","messages":$msgs,"sec":$sec%.2f,"msgs_per_sec":${msgs / sec}%.0f,"snapshot_rows":$snapRows,"delta_rows":$deltaRows}""")
+
+    // Same pipeline fed from the durable graft-queue source (segment
+    // log on disk, executor-side reads) — the buffered-deployment
+    // number next to the file-replay one.
+    val qdir = Files.createTempDirectory("graft-sbench-queue")
+    val qout = Files.createTempDirectory("graft-sbench-qout")
+    lines.grouped(per).foreach(g =>
+      graft.streaming.QueueLog.append(qdir.toString, g))
+    val t1 = System.nanoTime()
+    StreamPipeline.runUnifiedFrom(
+        new graft.streaming.Connectors.QueueMessageSource(qdir.toString)
+          .messages(spark), qout.toString)
+      .awaitTermination()
+    val qsec = (System.nanoTime() - t1) / 1e9
+    val qRows = spark.read.parquet(s"$qout/orderbook_deltas").count()
+    println(f"""{"metric":"queue_ingest","messages":$msgs,"sec":$qsec%.2f,"msgs_per_sec":${msgs / qsec}%.0f,"delta_rows":$qRows}""")
     spark.stop()
   }
 }

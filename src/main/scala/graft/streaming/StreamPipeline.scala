@@ -207,7 +207,13 @@ object StreamPipeline {
     * the right trade for throughput-bound ingest. */
   def runUnified(spark: SparkSession, inDir: String, outDir: String)
       : StreamingQuery =
-    readMessages(spark, inDir).writeStream
+    runUnifiedFrom(readMessages(spark, inDir), outDir)
+
+  /** [[runUnified]] over any decoded [[Connectors.MessageSource]]
+    * frame — the file-replay, socket, and durable-queue paths all fan
+    * into the identical sink topology. */
+  def runUnifiedFrom(messages: DataFrame, outDir: String): StreamingQuery =
+    messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_ckpt_unified")
       .trigger(Trigger.AvailableNow())
