@@ -738,6 +738,102 @@ object TextAnalysis {
        |FROM f
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Domain-mixture reweighting: turn TARGET mixture shares per domain
+    * (here: lang — e.g. upsample low-resource languages) into a
+    * deterministic per-document repetition plan, the way a
+    * mixture-tuned pretraining run materializes its epoch schedule.
+    * weight = target_share / actual_token_share; every doc repeats
+    * ⌊weight⌋ times plus one more iff its content hash lands under the
+    * fractional part (an unbiased, reshuffle-free Bernoulli — same
+    * hash-gate family as txt09/txt12, salted so decisions decorrelate).
+    *
+    * Determinism: token counts and hash gates are integers; shares and
+    * weights are SINGLE double divisions/multiplications of exact
+    * integers (no accumulation), so both engines compute bit-identical
+    * doubles and the ⌊frac·1e6⌋ gate threshold rounds identically.
+    *
+    * Scale: one pass computes per-lang token totals (5-group agg); the
+    * 5-row mixture frame broadcasts back onto the corpus; the epoch
+    * decision is map-side; the final rollup is a 5-group agg again —
+    * two tiny-key shuffles with map-side partials, nothing wide. */
+  def mixtureReweight(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    // target shares: flatten English, upsample the low-resource tail;
+    // a LEFT join + 0 default (not a map lookup) so a domain outside
+    // the mixture spec deterministically gets weight 0 in both engines
+    val target = Seq("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
+      "fr" -> 0.15, "zh" -> 0.15).toDF("lang", "share")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("lang_tok"))
+    val total = byLang.agg(sum(col("lang_tok")).cast(LongType).as("total_tok"))
+    val mix = byLang.join(broadcast(total))
+      .join(broadcast(target), Seq("lang"), "left")
+      .withColumn("actual_share",
+        col("lang_tok").cast(DoubleType) / col("total_tok"))
+      .withColumn("weight",
+        coalesce(col("share"), lit(0.0)) / col("actual_share"))
+    val gated = docs.join(broadcast(
+        mix.select(col("lang"), col("weight"))), "lang")
+      .withColumn("base_epochs", floor(col("weight")).cast(LongType))
+      .withColumn("frac_gate",
+        (pmod(call_function("graft_polyhash",
+          concat(lit("mix:"), col("text"))), lit(1000000)) <
+          floor((col("weight") - floor(col("weight"))) * 1000000))
+          .cast(LongType))
+      .withColumn("epochs", col("base_epochs") + col("frac_gate"))
+    gated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tok"),
+        max(col("weight")).as("weight"),
+        sum(col("epochs")).cast(LongType).as("n_doc_epochs"),
+        sum(col("epochs") * col("n_tok")).cast(LongType).as("eff_tok"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureReweightSql: String =
+    """WITH tgt(lang, share) AS (VALUES
+      |  ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
+      |  ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+      |  ('zh', CAST(0.15 AS DOUBLE))),
+      |docs AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |by_lang AS (
+      |  SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS lang_tok
+      |  FROM docs GROUP BY lang),
+      |mix AS (
+      |  SELECT b.lang,
+      |    CAST(b.lang_tok AS DOUBLE)
+      |      / (SELECT CAST(SUM(lang_tok) AS BIGINT) FROM by_lang) AS actual_share,
+      |    COALESCE(t.share, CAST(0 AS DOUBLE)) / (CAST(b.lang_tok AS DOUBLE)
+      |      / (SELECT CAST(SUM(lang_tok) AS BIGINT) FROM by_lang)) AS weight
+      |  FROM by_lang b LEFT JOIN tgt t ON t.lang = b.lang),
+      |gated AS (
+      |  SELECT d.lang, d.n_tok, m.weight,
+      |    CAST(FLOOR(m.weight) AS BIGINT) +
+      |    CASE WHEN
+      |      list_reduce([CAST(0 AS BIGINT)] ||
+      |        list_transform(range(1, LENGTH('mix:' || d.text) + 1),
+      |          i -> CAST(unicode(substr('mix:' || d.text, CAST(i AS INT), 1)) AS BIGINT)),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 1000000
+      |      < FLOOR((m.weight - FLOOR(m.weight)) * 1000000)
+      |      THEN 1 ELSE 0 END AS epochs
+      |  FROM docs d JOIN mix m ON m.lang = d.lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+      |  MAX(weight) AS weight,
+      |  CAST(SUM(epochs) AS BIGINT) AS n_doc_epochs,
+      |  CAST(SUM(epochs * n_tok) AS BIGINT) AS eff_tok
+      |FROM gated
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -755,7 +851,8 @@ object TextAnalysis {
     "txt13_chunk_overlap" -> (chunkOverlap _),
     "txt14_pii_scrub" -> (piiScrub _),
     "txt15_kmv_distinct" -> (kmvDistinct _),
-    "txt16_quality_model" -> (qualityModel _))
+    "txt16_quality_model" -> (qualityModel _),
+    "txt17_mixture_reweight" -> (mixtureReweight _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -773,5 +870,6 @@ object TextAnalysis {
     "txt13_chunk_overlap" -> chunkOverlapSql,
     "txt14_pii_scrub" -> piiScrubSql,
     "txt15_kmv_distinct" -> kmvDistinctSql,
-    "txt16_quality_model" -> qualityModelSql)
+    "txt16_quality_model" -> qualityModelSql,
+    "txt17_mixture_reweight" -> mixtureReweightSql)
 }
