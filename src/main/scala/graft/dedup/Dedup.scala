@@ -292,6 +292,23 @@ object Dedup {
       minhashSig(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop this session's cached signature/pair frames (storage AND the
+    * checkpointed pair set). The caches assume the files under `d` are
+    * immutable for the session — call this if a corpus is regenerated
+    * in place, or when a long-lived session is done with dedup and the
+    * pinned storage should go back to the pool. (On executor loss a
+    * localCheckpoint'ed frame is unrecoverable — release and recompute;
+    * a production pipeline would checkpoint signatures to parquet at
+    * this seam instead, trading the rebuild for a durable artifact.) */
+  def releaseCaches(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    Seq(sigCache, pairsCache).foreach { cache =>
+      cache.keySet.asScala.filter(_._1 eq s).toSeq.foreach { k =>
+        Option(cache.remove(k)).foreach(_.unpersist())
+      }
+    }
+  }
+
   /** Candidate pairs (id_a < id_b) from the banded-signature equi-join.
     * Candidate generation never touches the shingle arrays: bands carry
     * (doc_id, band, bkey) — 24 bytes a row through the shuffle

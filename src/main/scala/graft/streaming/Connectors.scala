@@ -39,16 +39,16 @@ object Connectors {
       StreamPipeline.readMessages(spark, dir, maxFilesPerTrigger)
   }
 
-  /** Live-path implementation: the [[WireSocketProvider graft-socket]]
-    * DSv2 source (subscribe handshake + fail-stop seq validation,
-    * kalshi_ws_client.py:108-148), decoded by the SAME
-    * [[StreamPipeline.decode]] the replay path uses — downstream code
-    * cannot tell the feeds apart. */
   /** Optional connector credentials: access-key id + PKCS#8 PEM key
     * file, the two secrets the reference reads from its environment
     * (kalshi_rest_client.py:19-27). */
   final case class Credentials(accessKey: String, privateKeyFile: String)
 
+  /** Live-path implementation: the [[WireSocketProvider graft-socket]]
+    * DSv2 source (subscribe handshake + fail-stop seq validation,
+    * kalshi_ws_client.py:108-148), decoded by the SAME
+    * [[StreamPipeline.decode]] the replay path uses — downstream code
+    * cannot tell the feeds apart. */
   final class SocketMessageSource(host: String, port: Int,
       tickers: Seq[String], failOnGap: Boolean = true,
       credentials: Option[Credentials] = None)

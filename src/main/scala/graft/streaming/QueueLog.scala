@@ -57,14 +57,17 @@ object QueueLog {
   def segments(dir: String): Seq[(Long, Path)] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case SegPattern(n) => Some(n.toLong -> p)
-          case _ => None
+    val stream = Files.list(d) // close: called per micro-batch — a
+    try {                      //   leaked fd per trigger exhausts ulimit
+      stream.iterator().asScala
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case SegPattern(n) => Some(n.toLong -> p)
+            case _ => None
+          }
         }
-      }
-      .toSeq.sortBy(_._1)
+        .toSeq.sortBy(_._1)
+    } finally stream.close()
   }
 
   /** Producer (XADD twin): durably append one segment of lines; returns
@@ -95,9 +98,15 @@ object QueueLog {
   }
 
   /** Retention (XDEL twin): delete whole segments strictly below the
-    * given committed offset. Never touches the offset's own segment. */
+    * given committed offset — but ALWAYS retain the newest segment,
+    * even when fully consumed. The highest surviving file is the
+    * segment-id high-water mark (append allocates max+1): deleting it
+    * after a full drain would restart ids at 0, invisible below any
+    * checkpointed offset — silent, permanent delivery stall. Same
+    * reason a Kafka log never deletes its active segment. */
   def trim(dir: String, upTo: QueueOffset): Unit =
-    segments(dir).takeWhile(_._1 < upTo.seg).foreach(s => Files.delete(s._2))
+    segments(dir).dropRight(1)
+      .takeWhile(_._1 < upTo.seg).foreach(s => Files.delete(s._2))
 
   def readLines(p: Path): Array[String] =
     new String(Files.readAllBytes(p), UTF_8)
@@ -163,15 +172,27 @@ private[streaming] class QueueLogStream(dir: String, maxSegs: Long)
   override def deserializeOffset(json: String): Offset =
     QueueOffset.parse(json)
 
+  // clamp before toInt: a maxSegmentsPerTrigger in (Int.MaxValue, ∞)
+  // must mean "unbounded", not a negative ReadLimit via truncation
+  private val maxSegsInt: Int =
+    math.min(maxSegs, Int.MaxValue.toLong).toInt
+
   override def getDefaultReadLimit: ReadLimit =
-    if (maxSegs == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(maxSegs.toInt)
+    if (maxSegsInt == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxSegsInt)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[QueueOffset]
+    // honor whatever limit Spark passes (it may compose/override the
+    // default, e.g. under Trigger.AvailableNow), tightened by our own
+    // configured bound
+    val cap = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(maxSegsInt, mf.maxFiles())
+      case _ => maxSegsInt
+    }
     val pending = QueueLog.segments(dir).filter(_._1 >= s.seg)
-    val capped =
-      if (maxSegs == Long.MaxValue) pending else pending.take(maxSegs.toInt)
+    val capped = if (cap == Int.MaxValue) pending else pending.take(cap)
     capped.lastOption.map { case (last, _) => QueueOffset(last + 1, 0L) }
       .getOrElse(s)
   }

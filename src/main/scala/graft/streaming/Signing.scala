@@ -117,21 +117,32 @@ object Signing {
 
     override def tickers(): Seq[String] = {
       val path = "/trade-api/v2/markets"
-      val url = s"$baseUrl$path?series_ticker=$seriesTicker&limit=1000&status=open"
+      // the ticker is caller input — encode it so reserved characters
+      // can't truncate or split the query (the signature is unaffected:
+      // only the path half is signed)
+      val st = java.net.URLEncoder.encode(seriesTicker, UTF_8)
+      val url = s"$baseUrl$path?series_ticker=$st&limit=1000&status=open"
       SignedTickerDiscovery.parseTickers(
         transport(url, signer.headers("GET", path)))
     }
   }
 
   object SignedTickerDiscovery {
-    /** Default transport: blocking JDK HttpClient GET. */
+    /** Default transport: blocking JDK HttpClient GET. Non-2xx fails
+      * loudly — an auth rejection (401/403: bad key, clock skew) must
+      * surface at the discovery call, not leak through JSON parsing as
+      * a silently empty subscription list. */
     def httpGet(url: String, headers: Map[String, String]): String = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       headers.foreach { case (k, v) => b.header(k, v) }
-      java.net.http.HttpClient.newHttpClient()
+      val resp = java.net.http.HttpClient.newHttpClient()
         .send(b.GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        .body()
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"discovery GET $url failed: HTTP ${resp.statusCode()} " +
+            s"${resp.body().take(300)}")
+      resp.body()
     }
 
     /** `{"markets": [{"ticker": …}, …]}` → tickers, via the Jackson

@@ -125,15 +125,22 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WireSocket.schema
         override def toMicroBatchStream(ckpt: String): MicroBatchStream = {
-          // credentials present → sign the WS path now (connect-time,
-          // like the reference's connect headers) and lead with the
-          // auth line; absent → unauthenticated replay, the default
-          val authLine = for {
+          // credentials present → lead the connection with a signed
+          // auth line; absent → unauthenticated replay, the default.
+          // The thunk defers SIGNING to the moment the reader thread
+          // actually connects: endpoints in this auth family reject
+          // timestamps outside a small skew window, so a signature
+          // minted at plan time would go stale during any
+          // planning→connect delay.
+          val authLine: Option[() => String] = for {
             key <- Option(options.get("accessKey"))
             pem <- Option(options.get("privateKeyFile"))
-          } yield WireSocket.authCommand(
-            Signing.signerFromKeyFile(pem, key).headers("GET",
-              Option(options.get("authPath")).getOrElse(WireSocket.AuthPath)))
+          } yield {
+            val signer = Signing.signerFromKeyFile(pem, key)
+            val path =
+              Option(options.get("authPath")).getOrElse(WireSocket.AuthPath)
+            () => WireSocket.authCommand(signer.headers("GET", path))
+          }
           new WireSocketStream(
             options.get("host"),
             options.get("port").toInt,
@@ -157,7 +164,7 @@ private[streaming] case class WireOffset(n: Long) extends Offset {
   * and the reference's fail-stop seq validation. */
 private[streaming] class WireSocketStream(host: String, port: Int,
     tickers: Seq[String], channels: Seq[String], failOnGap: Boolean,
-    authLine: Option[String] = None)
+    authLine: Option[() => String] = None)
     extends MicroBatchStream {
 
   private val lock = new Object
@@ -173,7 +180,7 @@ private[streaming] class WireSocketStream(host: String, port: Int,
         socket = new Socket(host, port)
         val out = new OutputStreamWriter(socket.getOutputStream,
           StandardCharsets.UTF_8)
-        authLine.foreach(a => out.write(a + "\n"))
+        authLine.foreach(a => out.write(a() + "\n")) // signed at connect
         out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
         out.flush()
         val in = new BufferedReader(new InputStreamReader(

@@ -37,6 +37,23 @@ class QueueLogSpec extends AnyFunSuite {
     assert(stream.initialOffset() === QueueOffset(2L, 0L))
   }
 
+  test("a full-drain trim keeps the newest segment so append ids stay " +
+    "monotone and the checkpointed consumer keeps receiving") {
+    val dir = tmp("qlog-drain")
+    (0 until 3).foreach(i => QueueLog.append(dir, Seq(s"""{"n":$i}""")))
+    // consumer fully drained: committed offset is (3, 0)
+    QueueLog.trim(dir, QueueOffset(3L, 0L))
+    // the id high-water mark survives...
+    assert(QueueLog.segments(dir).map(_._1) === Seq(2L))
+    // ...so the next append does NOT restart at 0
+    assert(QueueLog.append(dir, Seq("""{"n":3}""")) === 3L)
+    // and the drained consumer still sees it
+    val stream = new QueueLogStream(dir, Long.MaxValue)
+    val next = stream.latestOffset(QueueOffset(3L, 0L),
+      stream.getDefaultReadLimit)
+    assert(next === QueueOffset(4L, 0L))
+  }
+
   test("offset json round-trips") {
     val o = QueueOffset(7L, 13L)
     assert(QueueOffset.parse(o.json()) === o)
