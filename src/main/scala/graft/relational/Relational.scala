@@ -837,6 +837,68 @@ object Relational {
   def q27MinCostSupplier(s: SparkSession, d: String): DataFrame =
     graft.SqlInterface.sql(s, d, q27Sql)
 
+  // ---------------------------------------------------------------- q28
+  /** Bucketed RANGE join — the interval-containment operator Spark has
+    * no native physical strategy for (it plans point-in-interval
+    * predicates as BroadcastNestedLoopJoin, O(|points|·|intervals|)).
+    * Overlapping 34-minute promo windows every 17 minutes are joined to
+    * the events table by containment, as an EQUI-join: points bucket to
+    * `ts div 17min`; each window explodes to the 2–3 buckets it covers;
+    * the exact `start ≤ ts < end` filter runs on the equi-join output.
+    * Each point meets only the windows sharing its bucket (≤ 3), so
+    * cost is O(|events|) with a shuffle key whose cardinality grows
+    * with the time span — the same blocking idea as the banded LSH
+    * joins, applied to time. At 100 TB the window side is far too big
+    * to broadcast; this shape never needs to. Window starts/ends are
+    * exact integer millis, so the oracle (a plain non-equi join in
+    * DuckDB) matches by hash. */
+  def q28RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val W = 17L * 60000L // bucket width = window stride
+    val L = 34L * 60000L // window length (overlap factor 2)
+    val ev = Tables.events(s, d).select(col("ts_ms"))
+    val base = ev.agg((floor(min(col("ts_ms")) / 86400000L) * 86400000L)
+      .cast("long").as("base_ms"))
+    val span = ev.join(broadcast(base))
+    // one window per stride across the observed span: derived from the
+    // same table both engines read, so the window dim is reproducible
+    val windows = span
+      .agg(max(expr("cast(ceil((ts_ms - base_ms + 1) / cast(" + W +
+        " as double)) as long)")).as("n_win"))
+      .join(broadcast(base))
+      .select(explode(expr("sequence(0L, n_win - 1)")).as("k"), col("base_ms"))
+      .select(col("k"), (col("base_ms") + col("k") * W).as("w_start"),
+        (col("base_ms") + col("k") * W + L).as("w_end"))
+    val wb = windows.select(col("k"), col("w_start"), col("w_end"),
+      explode(expr(s"sequence(w_start div $W, (w_end - 1) div $W)"))
+        .as("bucket"))
+    val pts = span.select(col("ts_ms"), expr(s"ts_ms div $W").as("bucket"))
+    pts.join(wb, "bucket")
+      .where(col("ts_ms") >= col("w_start") && col("ts_ms") < col("w_end"))
+      .groupBy(col("k"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("k"))
+  }
+
+  val q28Sql: String = {
+    val w = 17L * 60000L
+    val l = 34L * 60000L
+    s"""WITH ev AS (SELECT epoch_ms(ts) AS ts_ms FROM events),
+       |base AS (
+       |  SELECT CAST(FLOOR(MIN(ts_ms) / 86400000) * 86400000 AS BIGINT) AS base_ms
+       |  FROM ev),
+       |nw AS (
+       |  SELECT MAX(CAST(CEIL((ts_ms - base_ms + 1) / CAST($w AS DOUBLE)) AS BIGINT)) AS n_win
+       |  FROM ev, base),
+       |windows AS (
+       |  SELECT k, base_ms + k * $w AS w_start, base_ms + k * $w + $l AS w_end
+       |  FROM (SELECT unnest(range(0, (SELECT n_win FROM nw))) AS k), base)
+       |SELECT k, w_start, COUNT(*) AS n_events
+       |FROM ev JOIN windows
+       |  ON ev.ts_ms >= windows.w_start AND ev.ts_ms < windows.w_end
+       |GROUP BY k, w_start
+       |ORDER BY k""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -863,7 +925,8 @@ object Relational {
     "q24_late_orders" -> (q24LateOrders _),
     "q25_cust_distribution" -> (q25CustDistribution _),
     "q26_funnel" -> (q26Funnel _),
-    "q27_min_cost_supplier" -> (q27MinCostSupplier _))
+    "q27_min_cost_supplier" -> (q27MinCostSupplier _),
+    "q28_range_join" -> (q28RangeJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -890,5 +953,6 @@ object Relational {
     "q24_late_orders" -> q24Sql,
     "q25_cust_distribution" -> q25Sql,
     "q26_funnel" -> q26Sql,
-    "q27_min_cost_supplier" -> q27Sql)
+    "q27_min_cost_supplier" -> q27Sql,
+    "q28_range_join" -> q28Sql)
 }

@@ -58,6 +58,24 @@ class PlanSpec extends AnyFunSuite {
     assert(broadcasts >= 5, s"q27 expected broadcast dims, got $broadcasts:\n$p")
   }
 
+  test("q28: range join runs as a bucket equi-join, never the " +
+    "nested-loop fallback Spark gives raw interval predicates") {
+    val p = plan("q28_range_join")
+    assert(!p.contains("CartesianProduct"), s"q28 cartesian:\n$p")
+    // the points⋈windows join must be a HASH join keyed on the time
+    // bucket, with the exact containment predicate riding along as its
+    // residual condition — never a nested loop over raw intervals
+    assert(("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+      "\\[bucket#\\d+L?\\]").r.findFirstIn(p).isDefined,
+      s"q28 point-window join is not bucket-keyed:\n$p")
+    // the only nested loops allowed are the 1-row scalar-aggregate
+    // attaches (base_ms, n_win) — the same cleared pattern as
+    // txt07/sim05; the O(|points|·|windows|) shape would appear as a
+    // nested loop with the interval predicate as its condition
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner, ("),
+      s"q28 interval predicate landed on a nested loop:\n$p")
+  }
+
   test("txt04: scan prunes documents to (doc_id, text) only") {
     val p = plan("txt04_fingerprint")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
