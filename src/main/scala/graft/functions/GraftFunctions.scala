@@ -323,5 +323,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => ShingleHashes(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_vec_dot",
       (e: Seq[Expression]) => VecDot(e(0), e(1)), "built-in")
+    // aggregate: the Analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression, so this composes with
+    // groupBy(...).agg(call_function("graft_topk", ...)) directly
+    reg.createOrReplaceTempFunction("graft_topk",
+      (e: Seq[Expression]) => TopKStruct(e(0), e(1), e(2), e(3)), "built-in")
   }
 }

@@ -13,10 +13,12 @@ import graft.Tables
   *
   * Scale design: queries are the tiny side and are broadcast; scoring is
   * a map-side fold over each candidate partition; ranking is an exact
-  * two-level top-k ([[topKPerQuery]]) — local k per scoring partition,
-  * final k over the survivors — so no task ever ranks more than one
-  * partition's candidates. For the ANN variants the probe only touches
-  * candidates sharing the signature bucket / IVF cell.
+  * bounded-heap top-k AGGREGATION ([[topKPerQuery]]) — map-side partial
+  * top-k per scoring partition, one ≤ k × partitions shuffle keyed by
+  * query — so no task ever ranks more than one partition's candidates
+  * and the scored set is never exchanged or sorted whole. For the ANN
+  * variants the probe only touches candidates sharing the signature
+  * bucket / IVF cell.
   */
 object Similarity {
 
@@ -42,34 +44,33 @@ object Similarity {
       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
       |""".stripMargin
 
-  /** Exact two-level top-k per query: local top-k within each SCORING
-    * partition (the window key is (query_id, input-partition-id), so
-    * cardinality grows with the data and no task ever ranks more than
-    * its own partition's candidates), then final top-k over the
-    * ≤ k × partitions survivors. A single
+  /** Exact top-k per query as ONE bounded-heap aggregation
+    * ([[graft.functions.TopKStruct]]): `groupBy(query_id)` with the
+    * `graft_topk` TypedImperativeAggregate, which
+    * ObjectHashAggregateExec evaluates with map-side PARTIAL
+    * aggregation — each scoring partition reduces to ≤ k payloads per
+    * query BEFORE the shuffle, so the only exchange in the ranking is
+    * ≤ k × partitions rows keyed by query_id. A single
     * `Window.partitionBy(query_id)` over the full scored set routes
     * every candidate — the whole corpus, for brute-force variants —
     * into ONE task per query: a driver-style bottleneck moved one hop
-    * out, and the first thing to die at 1000 executors. The split is
-    * EXACT, not approximate: the ordering is total (unique neighbor-id
-    * tiebreak), and every global top-k row is necessarily in its own
-    * partition's local top-k — so the result, and the oracle SQL, are
-    * unchanged. Adds the final `rnk` column. */
-  private def topKPerQuery(scored: DataFrame, k: Int,
-      order: Column*): DataFrame = {
-    val wLocal = Window.partitionBy(col("query_id"), col("_pbkt"))
-      .orderBy(order: _*)
-    val wFinal = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    scored
-      // evaluated in a Project BELOW the window's exchange, so it tags
-      // each row with the partition that SCORED it
-      .withColumn("_pbkt", spark_partition_id())
-      .withColumn("_lrnk", row_number().over(wLocal))
-      .where(col("_lrnk") <= k)
-      .withColumn("rnk", row_number().over(wFinal))
-      .where(col("rnk") <= k)
-      .drop("_pbkt", "_lrnk")
-  }
+    * out, and the first thing to die at 1000 executors. (The previous
+    * round's two-level row_number() split fixed THAT but still paid an
+    * exchange + full sort of the scored set before discarding; the
+    * aggregate discards first — no window, no sort, no extra
+    * exchange.) EXACT, not approximate: the ordering is total (unique
+    * neighbor-id tiebreak: score DESC, id ASC), so merged partial
+    * top-k = global top-k — same rows, ranks, and oracle SQL as the
+    * window spelling. Output: query_id, payloadCols…, rnk. */
+  private def topKPerQuery(scored: DataFrame, k: Int, score: Column,
+      tiebreak: Column, payloadCols: Seq[String]): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        score.cast("double"), tiebreak.cast("long"),
+        struct(payloadCols.map(col): _*), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id") +: payloadCols.map(c => col("col." + c)) :+
+        (col("pos") + 1).cast(IntegerType).as("rnk"): _*)
 
   // --------------------------------------------------------------- sim01
   /** Brute-force cosine top-3 for query vectors (vec_id < 5). */
@@ -84,7 +85,8 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
+    topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -126,7 +128,8 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
+    topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "sig", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("sig"), col("cosine"),
         col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
@@ -183,7 +186,8 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
+    topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cell", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
@@ -244,7 +248,8 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(scored, 3, col("cosine").desc, col("neighbor_id"))
+    topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -297,7 +302,9 @@ object Similarity {
       .join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("qdot", expr(
         "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
-    topKPerQuery(scored, 3, col("qdot").desc, col("neighbor_id"))
+    // qdot's double cast is order-exact: |qdot| ≤ dim·127² ≪ 2^53
+    topKPerQuery(scored, 3, col("qdot"), col("neighbor_id"),
+        Seq("neighbor_id", "qdot"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -351,13 +358,15 @@ object Similarity {
       .withColumn("qdot", expr(
         "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
     val shortlist =
-      topKPerQuery(scored, 10, col("qdot").desc, col("neighbor_id"))
+      topKPerQuery(scored, 10, col("qdot"), col("neighbor_id"),
+        Seq("neighbor_id", "qdot", "eq", "ec", "nrm_q", "nrm_c"))
         .drop("rnk")
     val reranked = shortlist
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(reranked, 3, col("cosine").desc, col("neighbor_id"))
+    topKPerQuery(reranked, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "qdot", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"),
         col("cosine"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))

@@ -174,20 +174,26 @@ class PlanSpec extends AnyFunSuite {
       s"txt10 local cumsum is not bucketed:\n$p")
   }
 
-  test("sim01/sim05: ranking is two-level — no single-partition global " +
-    "top-k window per query") {
+  test("sim01/sim05: ranking is a bounded-heap aggregate with map-side " +
+    "partials — no per-query ranking window at all") {
     // a Window.partitionBy(query_id) over the full scored set funnels
-    // the whole corpus through ONE task per query; the two-level split
-    // ranks locally per (query_id, scoring-partition) first, so the
-    // query-keyed window only ever sees <= k x partitions survivors
+    // the whole corpus through ONE task per query (and even a two-level
+    // window split pays an exchange + full sort of the scored set
+    // before discarding); the graft_topk TypedImperativeAggregate
+    // reduces each scoring partition to <= k payloads per query BEFORE
+    // the shuffle, so the plan must show an ObjectHashAggregate pair
+    // (partial below the query-keyed exchange, final above) and no
+    // window operator anywhere in the ranking
     Seq("sim01_cosine_topk", "sim05_sq8_topk").foreach { q =>
       val p = plan(q)
-      assert("row_number\\(\\) windowspecdefinition\\(query_id#\\d+L?, _pbkt#".r
+      assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
-        s"$q missing the partition-local ranking window:\n$p")
-      assert("windowspecdefinition\\(query_id#\\d+L?,".r
-        .findAllIn(p).size >= 2,
-        s"$q missing the final survivor ranking window:\n$p")
+        s"$q still ranks through a per-query window:\n$p")
+      assert("ObjectHashAggregate.*graft_topk".r.findFirstIn(p).isDefined,
+        s"$q top-k is not the graft_topk object-hash aggregate:\n$p")
+      assert("ObjectHashAggregate.*partial_graft_topk".r
+        .findFirstIn(p).isDefined,
+        s"$q top-k aggregate has no map-side partial stage:\n$p")
     }
   }
 
