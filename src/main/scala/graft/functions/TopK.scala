@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -32,7 +33,11 @@ private[functions] final class TopKHeap(val k: Int) {
     c > 0 || (c == 0 && t < ties(i))
   }
 
-  def offer(s: Double, t: Long, mkRow: () => UnsafeRow): Unit = {
+  def offer(s0: Double, t: Long, mkRow: () => UnsafeRow): Unit = {
+    // +0.0 normalizes -0.0 (IEEE: -0.0 + 0.0 = +0.0) so Double.compare
+    // can't order -0.0 < 0.0 where Spark's sort treats them equal and
+    // falls to the tiebreak
+    val s = s0 + 0.0
     if (n == k && !better(s, t, k - 1)) return // doesn't beat the worst kept
     if (n < k) n += 1
     var i = n - 1 // last slot: either empty or holds the entry that drops
@@ -59,6 +64,13 @@ private[functions] final class TopKHeap(val k: Int) {
   * discards first. Exact, not approximate: ordering is total when the
   * tiebreak is unique, so the merged top-k equals the global top-k —
   * same rows, same ranks, same oracle SQL as the window spelling.
+  *
+  * Null handling: rows with a null score or null tiebreak are SKIPPED,
+  * whereas the `row_number()` window spelling (NULLS LAST under DESC)
+  * would still rank them when a group has fewer than k non-null rows —
+  * the window-equivalence claim holds only for non-null scores and
+  * tiebreaks (every current caller filters nulls upstream, e.g. the
+  * `nrm > 0` guard).
   */
 case class TopKStruct(
     score: Expression,
@@ -68,6 +80,31 @@ case class TopKStruct(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKHeap] {
+
+  // Analyzer-time validation: reject wrong argument types / a
+  // non-literal k with a clear message instead of an opaque
+  // ClassCastException (or a silent eval-on-null) inside update().
+  // (ExpectsInputTypes would also coerce, but its AbstractDataType
+  // vocabulary is private[sql] — explicit checks are the public API.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk score must be DOUBLE, got ${score.dataType.sql}")
+    else if (tiebreak.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk tiebreak must be BIGINT, got ${tiebreak.dataType.sql}")
+    else if (!payload.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk payload must be a struct, got ${payload.dataType.sql}")
+    else if (!kExpr.foldable ||
+      !Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("graft_topk k must be an integer literal")
+    else if (kExpr.eval() == null ||
+      kExpr.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk k must be a positive literal, got ${kExpr.eval()}")
+    else TypeCheckResult.TypeCheckSuccess
 
   private lazy val k: Int = {
     val v = kExpr.eval().asInstanceOf[Number].intValue()

@@ -189,8 +189,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
         s"$q still ranks through a per-query window:\n$p")
-      assert("ObjectHashAggregate.*graft_topk".r.findFirstIn(p).isDefined,
-        s"$q top-k is not the graft_topk object-hash aggregate:\n$p")
+      // "functions=[graft_topk(" can only be the FINAL stage — the
+      // partial stage prints functions=[partial_graft_topk(, so this
+      // is not subsumed by the partial assert below
+      assert("ObjectHashAggregate.*functions=\\[graft_topk\\(".r
+        .findFirstIn(p).isDefined,
+        s"$q top-k has no final graft_topk object-hash aggregate:\n$p")
       assert("ObjectHashAggregate.*partial_graft_topk".r
         .findFirstIn(p).isDefined,
         s"$q top-k aggregate has no map-side partial stage:\n$p")

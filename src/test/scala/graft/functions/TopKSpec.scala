@@ -71,6 +71,31 @@ class TopKSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSet === Set(99L, 98L, 97L, 96L, 95L, 94L))
   }
 
+  test("bad arguments are rejected at analysis, not as a runtime CCE") {
+    GraftFunctions.register(spark)
+    val df = scored(10, 2)
+    def agg(scoreE: String, tieE: String, kE: String) =
+      df.groupBy("query_id").agg(expr(
+        s"graft_topk($scoreE, $tieE, struct(neighbor_id, sc), $kE)"))
+    // non-literal k
+    val e1 = intercept[Exception](agg("sc", "neighbor_id", "query_id").collect())
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    // wrong score type (string)
+    val e2 = intercept[Exception](
+      agg("cast(sc as string)", "neighbor_id", "3").collect())
+    assert(e2.getMessage.contains("DOUBLE"), e2.getMessage)
+    // non-positive k
+    val e3 = intercept[Exception](agg("sc", "neighbor_id", "0").collect())
+    assert(e3.getMessage.contains("positive"), e3.getMessage)
+    // -0.0 score ranks identically to +0.0 (ties fall to the tiebreak)
+    val z = df.selectExpr("query_id", "neighbor_id",
+      "CASE WHEN neighbor_id % 2 = 0 THEN -0.0D ELSE 0.0D END AS sc",
+      "cast(0 as double) AS extra")
+    val ord = Seq(col("query_id"), col("rnk"))
+    assert(viaAgg(z, 3).orderBy(ord: _*).collect().toSeq ===
+      viaWindow(z, 3).orderBy(ord: _*).collect().toSeq)
+  }
+
   test("the plan is an ObjectHashAggregate with a map-side partial stage") {
     val df = viaAgg(scored(5000, 7), 5)
     df.collect()
