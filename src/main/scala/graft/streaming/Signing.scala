@@ -131,13 +131,25 @@ object Signing {
     /** Default transport: blocking JDK HttpClient GET. Non-2xx fails
       * loudly — an auth rejection (401/403: bad key, clock skew) must
       * surface at the discovery call, not leak through JSON parsing as
-      * a silently empty subscription list. */
-    def httpGet(url: String, headers: Map[String, String]): String = {
+      * a silently empty subscription list. Redirects are NOT followed
+      * (the JDK default): silently re-sending signed auth headers to a
+      * 3xx Location — possibly another origin — would leak the
+      * signature, so a redirect surfaces as a loud non-2xx here too.
+      * `sslContext` is injectable for deployments with a private CA
+      * (and for the offline HTTPS integration test); null = JDK
+      * default trust. */
+    def httpGet(url: String, headers: Map[String, String]): String =
+      httpGet(url, headers, null)
+
+    def httpGet(url: String, headers: Map[String, String],
+        sslContext: javax.net.ssl.SSLContext): String = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       headers.foreach { case (k, v) => b.header(k, v) }
-      val resp = java.net.http.HttpClient.newHttpClient()
-        .send(b.GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val cb = java.net.http.HttpClient.newBuilder()
+      if (sslContext != null) cb.sslContext(sslContext)
+      val client = cb.build()
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(
           s"discovery GET $url failed: HTTP ${resp.statusCode()} " +
