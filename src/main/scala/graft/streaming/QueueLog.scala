@@ -234,18 +234,35 @@ private[streaming] class QueueLogStream(dir: String, maxSegs: Long)
 private[streaming] case class QueueSegmentPartition(path: String,
     skipLines: Long) extends InputPartition
 
+/** Streams a segment line by line — a segment is bounded by the
+  * producer's append batch, but the reader must not ASSUME that: memory
+  * stays O(1) per task whatever the writer did, and `skipLines` is
+  * honored as a Long (no 2^31 truncation). Skip counts NON-EMPTY lines,
+  * matching [[QueueLog.readLines]]'s view of segment content. */
 private[streaming] object QueueSegmentReaderFactory
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[QueueSegmentPartition]
-    val lines = QueueLog.readLines(Paths.get(p.path)).drop(p.skipLines.toInt)
+    require(p.skipLines >= 0,
+      s"negative skipLines ${p.skipLines} for segment ${p.path}")
+    val reader = Files.newBufferedReader(Paths.get(p.path), UTF_8)
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < lines.length }
+      private var skipped = 0L
+      private var line: String = _
+      private def nextNonEmpty(): String = {
+        var l = reader.readLine()
+        while (l != null && l.isEmpty) l = reader.readLine()
+        l
+      }
+      override def next(): Boolean = {
+        while (skipped < p.skipLines && nextNonEmpty() != null) skipped += 1
+        line = nextNonEmpty()
+        line != null
+      }
       override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(lines(i)))
-      override def close(): Unit = ()
+        InternalRow(UTF8String.fromString(line))
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -124,6 +124,75 @@ class QueueLogSpec extends AnyFunSuite {
     assert(rows === 5)
   }
 
+  /** Drain one planned partition through the real executor-side reader. */
+  private def readPartition(p: QueueSegmentPartition): Seq[String] = {
+    val r = QueueSegmentReaderFactory.createReader(p)
+    try {
+      val out = Seq.newBuilder[String]
+      while (r.next()) out += r.get().getUTF8String(0).toString
+      out.result()
+    } finally r.close()
+  }
+
+  test("a mid-segment checkpoint (line > 0) resumes at exactly the next " +
+    "unconsumed line") {
+    val dir = tmp("qlog-midseg")
+    QueueLog.append(dir, Seq("a0", "a1", "a2", "a3"))
+    QueueLog.append(dir, Seq("b0", "b1"))
+    val stream = new QueueLogStream(dir, Long.MaxValue)
+    // a checkpoint that stopped 2 lines into segment 0
+    val parts = stream.planInputPartitions(
+      QueueOffset(0L, 2L), QueueOffset(2L, 0L))
+    assert(parts.length === 2)
+    val rows = parts.toSeq
+      .map(_.asInstanceOf[QueueSegmentPartition]).flatMap(readPartition)
+    assert(rows === Seq("a2", "a3", "b0", "b1"))
+    // skipping the whole segment is a clean empty partition, not an error
+    val whole = stream.planInputPartitions(
+      QueueOffset(0L, 4L), QueueOffset(1L, 0L))
+    assert(whole.toSeq.map(_.asInstanceOf[QueueSegmentPartition])
+      .flatMap(readPartition) === Seq.empty)
+  }
+
+  test("a trim concurrent with an active batch never touches the " +
+    "batch's segments") {
+    val dir = tmp("qlog-trimrace")
+    (0 until 4).foreach(i => QueueLog.append(dir, Seq(s"""{"n":$i}""")))
+    val stream = new QueueLogStream(dir, Long.MaxValue)
+    // consumer committed through segment 1 and is mid-batch on [1, 4)
+    val parts = stream.planInputPartitions(
+      QueueOffset(1L, 0L), QueueOffset(4L, 0L))
+    // retention fires concurrently, up to the consumer's COMMITTED
+    // offset (the only trim a correct operator issues)
+    QueueLog.trim(dir, QueueOffset(1L, 0L))
+    assert(QueueLog.segments(dir).map(_._1) === Seq(1L, 2L, 3L))
+    // the in-flight batch still reads every planned row
+    val rows = parts.toSeq
+      .map(_.asInstanceOf[QueueSegmentPartition]).flatMap(readPartition)
+    assert(rows === Seq("""{"n":1}""", """{"n":2}""", """{"n":3}"""))
+    // and the next batch plans cleanly from the same frontier
+    val next = stream.latestOffset(QueueOffset(4L, 0L),
+      stream.getDefaultReadLimit)
+    assert(next === QueueOffset(4L, 0L)) // nothing new — no phantom data
+  }
+
+  test("skipLines survives past 2^31 without truncation; negatives are " +
+    "rejected") {
+    val dir = tmp("qlog-skip")
+    QueueLog.append(dir, Seq("x0", "x1"))
+    val seg = QueueLog.segments(dir).head._2.toString
+    // > Int.MaxValue: the old .toInt truncation would turn this into a
+    // small positive skip and re-deliver rows; the streaming reader
+    // skips lines until the file ends — an empty partition
+    val huge = QueueSegmentPartition(seg, Int.MaxValue.toLong + 5L)
+    assert(readPartition(huge) === Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      QueueSegmentReaderFactory.createReader(
+        QueueSegmentPartition(seg, -1L))
+    }
+    assert(e.getMessage.contains("negative skipLines"))
+  }
+
   test("a trim past the checkpoint fails the restart loudly instead of " +
     "skipping data") {
     val dir = tmp("qlog-trimfail")
