@@ -289,8 +289,40 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def minhashSigCached(s: SparkSession, d: String): DataFrame =
     sigCache.computeIfAbsent((s, d), _ =>
-      minhashSig(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      s.conf.get(SigCacheDirKey, null) match {
+        case null =>
+          minhashSig(s, d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case cacheDir => durableSig(s, d, cacheDir)
+      })
+
+  /** Config key: when set, the signature stage is checkpointed to
+    * parquet under this directory instead of session-scoped storage. */
+  val SigCacheDirKey = "spark.graft.sigCacheDir"
+
+  /** The durable variant of the signature seam: compute-once-to-parquet,
+    * read-back-everywhere. Survives session restarts AND executor loss
+    * (where persist/localCheckpoint data dies and must be recomputed) —
+    * the production shape for a 100 TB corpus, where the signature pass
+    * is hours of CPU and downstream jobs (dedup, clustering,
+    * decontamination) run at different times against the same frozen
+    * corpus. The artifact is keyed by the corpus path (sha-256, so any
+    * path maps to one flat dir name) and assumed immutable-per-corpus,
+    * like the corpus itself; completeness = Spark's own _SUCCESS marker,
+    * and a half-written artifact from a crashed writer is overwritten
+    * whole. Single concurrent writer per corpus is the caller's job
+    * (same contract as [[graft.streaming.QueueLog.append]]). */
+  private def durableSig(s: SparkSession, d: String, cacheDir: String)
+      : DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map("%02x".format(_)).mkString
+    val art = new java.io.File(cacheDir, s"minhash-sig-$digest").toString
+    val done = new java.io.File(art, "_SUCCESS")
+    if (!done.isFile)
+      minhashSig(s, d).write.mode("overwrite").parquet(art)
+    s.read.parquet(art)
+  }
 
   /** Drop this session's cached signature/pair frames (storage AND the
     * checkpointed pair set). The caches assume the files under `d` are
