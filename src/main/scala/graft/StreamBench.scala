@@ -59,6 +59,92 @@ object StreamBench {
     val qsec = (System.nanoTime() - t1) / 1e9
     val qRows = spark.read.parquet(s"$qout/orderbook_deltas").count()
     println(f"""{"metric":"queue_ingest","messages":$msgs,"sec":$qsec%.2f,"msgs_per_sec":${msgs / qsec}%.0f,"delta_rows":$qRows}""")
+
+    bookLatency(spark)
     spark.stop()
+  }
+
+  /** Live top-of-book latency over the durable queue — the reference's
+    * actual purpose (maintain a live book off the buffered stream),
+    * measured as event→emit: a producer thread appends wall-clock-
+    * stamped segments while [[graft.streaming.LiveBook.topOfBook]]
+    * consumes them continuously; each emitted top-of-book row's
+    * latency = emit time − append time of the message it reflects
+    * (its (ticker, last_seq)). Includes micro-batch scheduling delay —
+    * the number a serving SLO would see, not just compute time. */
+  private def bookLatency(spark: org.apache.spark.sql.SparkSession,
+      nTickers: Int = 20, perTicker: Int = 400): Unit = {
+    import graft.streaming.{Connectors, LiveBook, QueueLog}
+    val tickers = (0 until nTickers).map(i => f"KXLAT-$i%02d")
+    val msgs = Fixtures.genMessages(tickers, perTicker)
+    // interleave tickers by seq so every segment touches every book —
+    // each micro-batch then emits one top-of-book row per ticker, and
+    // per-ticker seq order is preserved (sortBy is stable)
+    val keyed = msgs.map {
+      case Left(s) => ((s.ticker, s.seq), Fixtures.envelopeJson(Left(s)))
+      case Right(d) => ((d.ticker, d.seq), Fixtures.envelopeJson(Right(d)))
+    }.sortBy(_._1._2)
+    val qdir = Files.createTempDirectory("graft-sbench-book").toString
+
+    val sendMs = new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    // a live-book micro-batch carries a handful of rows per trigger —
+    // 32 shuffle/state partitions are pure per-trigger overhead at this
+    // batch size. A dedicated session pins the state topology small;
+    // state store count is a per-QUERY property (fixed at first
+    // checkpoint), so the analytics session's width is untouched.
+    val live = spark.newSession()
+    live.conf.set("spark.sql.shuffle.partitions", "4")
+
+    val q = LiveBook.topOfBook(live,
+        new Connectors.QueueMessageSource(qdir).messages(live))
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[LiveBook.TopOfBook], _: Long) =>
+          val rows = batch.collect() // ≤ one row per live ticker
+          val now = System.currentTimeMillis()
+          rows.foreach { r =>
+            Option(sendMs.get((r.ticker, r.last_seq)))
+              .foreach(t => latencies.add(now - t))
+          }
+          emitted.addAndGet(rows.length.toLong)
+          ()
+      }
+      .start()
+
+    // warm-up: one throwaway segment brings up the state store, codegen
+    // and the first micro-batch before the clock starts (its ticker is
+    // not in sendMs, so it records no latency)
+    QueueLog.append(qdir, Fixtures.genMessages(Seq("KXWARM"), 11)
+      .map(Fixtures.envelopeJson))
+    val warmDeadline = System.currentTimeMillis() + 60000
+    while (emitted.get() == 0 && System.currentTimeMillis() < warmDeadline)
+      Thread.sleep(20)
+    require(emitted.get() > 0, "book latency bench: warm-up never emitted")
+
+    // producer: ~40 paced segments — a SEPARATE crash domain, exactly
+    // like the reference's producer. The cadence (not the engine) sets
+    // throughput here; the metric of interest is event→emit latency
+    // under a keeping-up load, which is why this is measured instead of
+    // a drain (queue_ingest above is the drain number).
+    val t0 = System.currentTimeMillis()
+    val per = math.max(1, keyed.size / 40)
+    keyed.grouped(per).foreach { g =>
+      val t = System.currentTimeMillis()
+      g.foreach { case (k, _) => sendMs.put(k, t) }
+      QueueLog.append(qdir, g.map(_._2))
+      Thread.sleep(100)
+    }
+    q.processAllAvailable()
+    q.stop()
+    val wallSec = (System.currentTimeMillis() - t0) / 1e3
+
+    val ls = latencies.iterator().asScala.toArray.sorted
+    require(ls.nonEmpty, "book latency bench emitted nothing")
+    def pct(p: Double): Long = ls(math.min(ls.length - 1,
+      math.ceil(p * ls.length).toInt - 1).max(0))
+    println(f"""{"metric":"book_latency","messages":${keyed.size},"emits":${emitted.get()},"p50_ms":${pct(0.50)},"p99_ms":${pct(0.99)},"max_ms":${ls.last},"msgs_per_sec":${keyed.size / wallSec}%.0f}""")
   }
 }
