@@ -581,6 +581,101 @@ object Dedup {
         |FROM comp GROUP BY cluster_id
         |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd09
+  /** dd07's cluster assembly by ALTERNATING STAR CONTRACTION (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * algorithm dd07's scaladoc names for graphs where min-label
+    * propagation's rounds-∝-diameter bound bites. Near-dup graphs are
+    * near-stars on THIS corpus, but at 100 TB the duplicate graph of a
+    * crawl contains long template chains (page₁≈page₂≈…≈pageₙ, each
+    * adjacent pair over threshold, the ends unrelated): propagation
+    * needs n rounds, star contraction O(log n) — each large-star hop
+    * halves the distance-to-root, so a 10⁶-long chain closes in ~20
+    * rounds instead of 10⁶.
+    *
+    * Per round, two grouped min-joins over the current edge set (same
+    * shuffle shape as one propagation round); the edge set only
+    * shrinks-or-stars, never grows beyond 2|E|. Convergence probe =
+    * (edge count, DECIMAL(38,0) sum of targets) — scalar, never a row
+    * collect; the target sum is non-increasing (every rewrite points a
+    * node at a smaller-or-equal label), so a stable probe is a stable
+    * edge set. Output and oracle are IDENTICAL to dd07 — the
+    * correctness gate pins both algorithms to the same clusters. */
+  def starClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+    connectedComponentsStar(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** (src, dst) undirected edge list → (id, label) with label = the
+    * component's minimum node id, for every node that has an edge.
+    * Returned frame is localCheckpoint'ed (small: one row per
+    * non-singleton node) so every iteration cache can drop. */
+  private[graft] def connectedComponentsStar(edges0: DataFrame): DataFrame = {
+    // each round references the previous edge set several times (sym
+    // twice, the min-join again) — under persist alone the LINEAGE
+    // still multiplies ~4× per round and the plan outgrows the heap
+    // after ~10 rounds (exactly the long-chain regime this algorithm
+    // exists for). localCheckpoint materializes AND truncates lineage:
+    // every round starts from a leaf scan.
+    var e = edges0.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges0.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint()
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("v").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      (r.getLong(0), Option(r.get(1))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var state = probe(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      // LARGE-STAR: over the symmetric neighborhood of u, every
+      // strictly-larger neighbor links to m = min(N(u) ∪ {u}) — the
+      // distance-halving hop
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: large's output points strictly downward, so for
+      // each u every down-neighbor (and u itself) links to the local
+      // minimum — flattening multi-parent nodes into stars
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val next = probe(small)
+      e.unpersist()
+      e = small
+      converged = next._1 == state._1 && next._2.compareTo(state._2) == 0
+      state = next
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // fixpoint edge set is a star forest: every non-root points at its
+    // component root; roots appear only as targets
+    val leaves = e.select(col("u").as("id"), col("v").as("label"))
+    val roots = e.select(col("v").as("id")).distinct()
+      .join(e.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val out = leaves.unionByName(roots).localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   // ---------------------------------------------------------------- dd08
   /** Benchmark decontamination: flag training documents that share
     * word-5-gram overlap with a held-out eval set (the GPT-3/PaLM-style
@@ -668,7 +763,8 @@ object Dedup {
     "dd05_minhash_lsh" -> (minhashLsh _),
     "dd06_embed_neardup" -> (embedNearDup _),
     "dd07_dup_clusters" -> (dupClusters _),
-    "dd08_decontaminate" -> (decontaminate _))
+    "dd08_decontaminate" -> (decontaminate _),
+    "dd09_star_clusters" -> (starClusters _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -678,5 +774,8 @@ object Dedup {
     "dd05_minhash_lsh" -> minhashLshSql,
     "dd06_embed_neardup" -> embedNearDupSql,
     "dd07_dup_clusters" -> dupClustersSql,
-    "dd08_decontaminate" -> decontaminateSql)
+    "dd08_decontaminate" -> decontaminateSql,
+    // dd09 computes the SAME clusters as dd07 by a different algorithm;
+    // one oracle pins both to one answer
+    "dd09_star_clusters" -> dupClustersSql)
 }

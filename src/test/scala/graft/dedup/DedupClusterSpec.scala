@@ -27,4 +27,30 @@ class DedupClusterSpec extends AnyFunSuite {
     // every cluster id is its own minimum (the keep-id convention)
     rows.foreach { case (cid, _, mx) => assert(cid < mx) }
   }
+
+  test("star contraction equals min-label propagation on the corpus") {
+    val ord = org.apache.spark.sql.functions.col("cluster_id")
+    assert(Dedup.starClusters(spark, dir).orderBy(ord).collect().toSeq ===
+      Dedup.dupClusters(spark, dir).orderBy(ord).collect().toSeq)
+  }
+
+  test("star contraction closes a 512-node chain — the long-diameter " +
+    "case min-label propagation can't do in bounded rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-…-511: diameter 511; propagation would need
+    // ~511 rounds, the star alternation's distance-halving needs ~log n
+    // (its internal require(converged, …) caps at 30)
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 512)
+    assert(labels.forall(_._2 == 0L), "every chain node joins component 0")
+    // two disjoint chains stay disjoint
+    val two = ((0L until 50L).map(i => (i, i + 1)) ++
+      (1000L until 1050L).map(i => (i, i + 1))).toDF("src", "dst")
+    val ls = Dedup.connectedComponentsStar(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 50L).forall(ls(_) == 0L))
+    assert((1000L to 1050L).forall(ls(_) == 1000L))
+  }
 }
