@@ -140,4 +140,41 @@ class JdbcExactlyOnceSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
     assert(dupIds === 0L, "re-delivered batch duplicated fact rows")
   }
+
+  test("the full reference topology, exactly once: durable queue -> " +
+    "decode -> route -> transactional JDBC, across producer epochs " +
+    "and a consumer restart") {
+    val (url, props) = derby()
+    val qdir = Files.createTempDirectory("graft-eo-queue").toString
+    val ckpt = Files.createTempDirectory("graft-eo-qckpt").toString
+
+    val all = Fixtures.genMessages(Seq("KXEO-A", "KXEO-B"), 30)
+      .map(Fixtures.envelopeJson)
+    val (first, second) = all.splitAt(40)
+    val nDeltas = Fixtures.genMessages(Seq("KXEO-A", "KXEO-B"), 30)
+      .count(_.isRight).toLong
+
+    def runOnce(): Unit = {
+      val q = JdbcSink.factStream(
+        StreamPipeline.routeDeltas(
+          new Connectors.QueueMessageSource(qdir).messages(spark)),
+        url, "orderbook_deltas", JdbcSink.deltaColumnTypes, props, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+
+    // producer epoch 1 → consume → producer epoch 2 (consumer down) →
+    // consume again from the checkpoint
+    QueueLog.append(qdir, first)
+    runOnce()
+    QueueLog.append(qdir, second)
+    runOnce()
+
+    val back = spark.read.jdbc(url, "orderbook_deltas", props)
+    assert(back.count() === nDeltas, "loss or duplication across epochs")
+    assert(back.select("redis_stream_id").distinct().count() === nDeltas)
+  }
 }
