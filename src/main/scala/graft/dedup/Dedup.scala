@@ -693,31 +693,99 @@ object Dedup {
     * (exact, collision-free); a production run would fingerprint them
     * to 128-bit hashes to slim the broadcast, same plan shape. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val (eval_, train) = decontSides(s, d)
+    val evalGrams = wordGrams(eval_).select(col("gram")).distinct()
+    val trainGrams = wordGrams(train)
+    val hits = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hits"))
+    decontReport(trainGrams, hits)
+  }
+
+  /** Eval side (doc_id % 17 == 0) and train side incl. injected leaks. */
+  private def decontSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val eval_ = docs.where(col("doc_id") % 17 === 0)
     val train = docs.where(col("doc_id") % 17 =!= 0)
       .unionByName(eval_.select((col("doc_id") + 3000000).as("doc_id"),
         substring(col("text"), 1, 200).as("text")))
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
-      .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("tk")) - 4)).as("i"), col("tk"))
-      .select(col("doc_id"),
-        array_join(slice(col("tk"), col("i"), lit(5)), " ").as("gram"))
-      .distinct()
-    val evalGrams = grams(eval_).select(col("gram")).distinct()
-    val trainGrams = grams(train)
+    (eval_, train)
+  }
+
+  /** Distinct (doc_id, word-5-gram) rows — positions exploded in
+    * codegen, grams sliced per row, no per-doc gram arrays. */
+  private def wordGrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
+    .select(col("doc_id"),
+      explode(sequence(lit(1), size(col("tk")) - 4)).as("i"), col("tk"))
+    .select(col("doc_id"),
+      array_join(slice(col("tk"), col("i"), lit(5)), " ").as("gram"))
+    .distinct()
+
+  private def decontReport(trainGrams: DataFrame, hits: DataFrame)
+      : DataFrame = {
     val perDoc = trainGrams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_grams"))
-    val hits = trainGrams.join(broadcast(evalGrams), "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_hits"))
     perDoc.join(hits, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_hits"),
         when(col("n_hits") >= 3, 1).otherwise(0).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- dd10
+  /** dd08 for the regime where even the eval GRAM SET is too big to
+    * broadcast raw: a benchmark-suite union at web scale is 10⁸-10⁹
+    * distinct 5-grams — tens of GB as strings, megabytes as a Bloom
+    * filter at 1% fpp. The filter (built with Spark's distributed
+    * sketch aggregate, `stat.bloomFilter`) is broadcast and applied
+    * MAP-SIDE to the train grams, so ≥99% of the corpus never reaches
+    * a join; only the ~1% false positives plus true hits flow into an
+    * exact shuffle equi-join that removes the false positives. The
+    * report is therefore EXACT — same output, same oracle as dd08; the
+    * bloom is pure routing, invisible in the answer (the same
+    * prefilter-then-verify contract as the banded-LSH pipelines).
+    * The verify join is hinted shuffle_hash to pin the
+    * no-broadcast-of-grams shape the operator exists for. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val (eval_, train) = decontSides(s, d)
+    val evalGrams = wordGrams(eval_).select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) report while the gram cache and the bloom
+    // broadcast are alive, then release
+    try bloomDecontOn(s, evalGrams, train).localCheckpoint()
+    finally evalGrams.unpersist()
+  }
+
+  /** dd10's frame left lazy (no persist/checkpoint) for plan tests. */
+  private[graft] def decontaminateBloomPlan(s: SparkSession, d: String)
+      : DataFrame = {
+    val (eval_, train) = decontSides(s, d)
+    bloomDecontOn(s, wordGrams(eval_).select(col("gram")).distinct(), train)
+  }
+
+  private def bloomDecontOn(s: SparkSession, evalGrams: DataFrame,
+      train: DataFrame): DataFrame = {
+    val n = evalGrams.count()
+    val trainGrams = wordGrams(train)
+    // zero eval grams → zero hits, and stat.bloomFilter over an empty
+    // frame yields a null-backed sketch whose mightContain NPEs — skip
+    // the probabilistic stage entirely (the exact join is empty anyway)
+    val prefiltered =
+      if (n == 0L) trainGrams.where(lit(false))
+      else {
+        val bloom = evalGrams.stat.bloomFilter("gram", n, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: String) => bc.value.mightContainString(g))
+        trainGrams.where(mightContain(col("gram"))) // map-side: ≥99% dropped
+      }
+    val hits = prefiltered
+      .join(evalGrams.hint("shuffle_hash"), "gram") // exact: kills FPs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hits"))
+    decontReport(trainGrams, hits)
   }
 
   val decontaminateSql: String =
@@ -764,7 +832,8 @@ object Dedup {
     "dd06_embed_neardup" -> (embedNearDup _),
     "dd07_dup_clusters" -> (dupClusters _),
     "dd08_decontaminate" -> (decontaminate _),
-    "dd09_star_clusters" -> (starClusters _))
+    "dd09_star_clusters" -> (starClusters _),
+    "dd10_bloom_decontaminate" -> (decontaminateBloom _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -777,5 +846,7 @@ object Dedup {
     "dd08_decontaminate" -> decontaminateSql,
     // dd09 computes the SAME clusters as dd07 by a different algorithm;
     // one oracle pins both to one answer
-    "dd09_star_clusters" -> dupClustersSql)
+    "dd09_star_clusters" -> dupClustersSql,
+    // the bloom is routing only — dd10's answer is exactly dd08's
+    "dd10_bloom_decontaminate" -> decontaminateSql)
 }

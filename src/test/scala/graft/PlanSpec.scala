@@ -201,6 +201,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dd10: bloom prefilter runs map-side; the exact verify join is " +
+    "NOT a gram broadcast") {
+    // the operator exists for the regime where eval grams can't be
+    // broadcast raw: the only broadcast allowed is the filter itself
+    // (a sketch inside a UDF); hits must flow through a shuffled join
+    val df = graft.dedup.Dedup.decontaminateBloomPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF collapses into the gram expression and pushes below the
+    // projection: Filter (UDF(array_join(slice(tk…
+    assert(p.contains("Filter (UDF("), s"dd10 bloom prefilter missing:\n$p")
+    assert("ShuffledHashJoin \\[gram".r.findFirstIn(p).isDefined,
+      s"dd10 verify join is not the hinted shuffle join:\n$p")
+    assert(!"BroadcastHashJoin \\[gram".r.findFirstIn(p).isDefined,
+      s"dd10 broadcasts the gram set it exists to avoid broadcasting:\n$p")
+  }
+
   test("dd08: eval gram set broadcasts; no cartesian anywhere") {
     val p = plan("dd08_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
