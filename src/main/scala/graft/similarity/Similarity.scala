@@ -404,6 +404,121 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim07
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory-bound regime one step past sim05: instead of 64 int8
+    * components per corpus vector, each vector is 4 SUBSPACE CODES
+    * (64 dims → 4 subspaces × 16 dims; codebook = the first 8 data
+    * vectors' subvectors per subspace — deterministic, no k-means RNG,
+    * the same trick as sim03's centroids). Encoding picks the nearest
+    * codeword by exact integer L2² in int8 space (tiebreak: smaller
+    * codeword id). Scoring is classic ADC: each query precomputes a
+    * 4×8 lookup table of int8 dots (query subvector · codeword), and a
+    * corpus vector's score is the sum of 4 TABLE LOOKUPS — no float,
+    * no per-dimension work on the corpus side.
+    *
+    * 100 TB shape: the codebook is 32 rows (broadcast), encoding is one
+    * broadcast-join map pass, the per-query LUTs are a ≤ queries×32-row
+    * broadcast, and scoring+ranking is the same broadcast-join →
+    * graft_topk map-side-partial pipeline as every other sim query —
+    * the corpus contributes 4 small ints per row to the scan and ≤ k
+    * rows per partition to the shuffle. All arithmetic is exact
+    * integer (|adc| ≤ 64·127² ≪ 2^53), so ranking is bit-reproducible
+    * with no fold-order caveats. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).select(col("vec_id"), col("e"))
+    val mx = n.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = n.join(broadcast(mx))
+      .select(col("vec_id"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    // codebook: (m, k, csub) = subspace m of codeword-source vector k
+    val cb = q.where(col("vec_id") < 8)
+      .crossJoin(broadcast(subspaces(s)))
+      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
+        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    // encode: nearest codeword per (vector, subspace) by exact int L2²;
+    // min(struct(dist, k)) is lexicographic = ORDER BY dist, k LIMIT 1
+    val codes = q.crossJoin(broadcast(cb))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(slice(q, cast(m * 16 + 1 as int), 16), csub,
+          |  (a, b) -> cast(a - b as bigint) * (a - b)), 0L, (acc, x) -> acc + x)"""
+          .stripMargin))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, code))), p -> p.code)")
+        .as("code"))
+    // per-query ADC lookup tables: lut[m][k] = querySub_m · codeword_{m,k}
+    val lut = q.where(col("vec_id") < 5)
+      .crossJoin(broadcast(cb))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(slice(q, cast(m * 16 + 1 as int), 16), csub,
+          |  (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"""
+          .stripMargin))
+      .groupBy(col("vec_id").as("query_id"), col("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(k, dot))), p -> p.dot)")
+        .as("row"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, row))), p -> p.row)")
+        .as("lut"))
+    // score = Σ_m lut[m][code[m]] — 4 lookups per corpus row
+    val scored = broadcast(lut)
+      .join(codes, col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(code, lut, (cd, row) -> element_at(row, cd + 1)), 0L, (acc, x) -> acc + x)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+    topKPerQuery(scored, 3, col("adc"), col("neighbor_id"),
+        Seq("neighbor_id", "adc"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Tiny broadcast frame {m: 0..3} — the subspace axis. */
+  private def subspaces(s: SparkSession): DataFrame =
+    s.range(4).select(col("id").cast(IntegerType).as("m"))
+
+  val pqAdcSql: String = normedCte + "," +
+    """mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx),
+      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |cb AS (
+      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
+      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
+      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
+      |codes AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT q.vec_id, cb.m, cb.k,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
+      |        cb.k) AS rn
+      |    FROM q CROSS JOIN cb) t
+      |  WHERE rn = 1),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(list_sum(list_transform(range(1, 17),
+      |      i -> CAST(a.q[c.m * 16 + CAST(i AS INT)] AS BIGINT)
+      |           * cb.csub[CAST(i AS INT)]))) AS BIGINT) AS adc
+      |  FROM q a
+      |  CROSS JOIN codes c
+      |  JOIN cb ON cb.m = c.m AND cb.k = c.code
+      |  WHERE a.vec_id < 5 AND c.vec_id <> a.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, adc, rnk FROM (
+      |  SELECT query_id, neighbor_id, adc,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
@@ -411,7 +526,8 @@ object Similarity {
     "sim03_ivf_ann" -> (ivfAnn _),
     "sim04_ivf_multiprobe" -> (ivfMultiProbe _),
     "sim05_sq8_topk" -> (sq8TopK _),
-    "sim06_sq8_rerank" -> (sq8Rerank _))
+    "sim06_sq8_rerank" -> (sq8Rerank _),
+    "sim07_pq_adc" -> (pqAdc _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -419,5 +535,6 @@ object Similarity {
     "sim03_ivf_ann" -> ivfAnnSql,
     "sim04_ivf_multiprobe" -> ivfMultiProbeSql,
     "sim05_sq8_topk" -> sq8TopKSql,
-    "sim06_sq8_rerank" -> sq8RerankSql)
+    "sim06_sq8_rerank" -> sq8RerankSql,
+    "sim07_pq_adc" -> pqAdcSql)
 }

@@ -184,7 +184,7 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle, so the plan must show an ObjectHashAggregate pair
     // (partial below the query-keyed exchange, final above) and no
     // window operator anywhere in the ranking
-    Seq("sim01_cosine_topk", "sim05_sq8_topk").foreach { q =>
+    Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
