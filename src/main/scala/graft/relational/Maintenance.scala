@@ -1,0 +1,171 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.Tables
+
+/** Warehouse-maintenance operators: the two batch mutations every
+  * training-data / analytics pipeline ships around its fact tables —
+  * MERGE-style change application (CDC apply / upsert) and slowly-
+  * changing-dimension type-2 history construction from an event log.
+  *
+  * Neither exists in the reference (its consumer only ever appends —
+  * `consumer.py:98-107` is insert-then-ack); these are the operations a
+  * user runs ON the tables that append path produces.
+  *
+  * Both are expressed declaratively so the 100 TB plan is the one
+  * Catalyst already optimizes: MERGE is one pre-aggregated source
+  * (map-side partials) full-outer-joined to the target on the merge key
+  * — the standard shuffle-on-key apply, bucketable/AQE-skew-handled;
+  * SCD2 is run-compression + effective ranges over ONE hash exchange on
+  * the entity key (every window and the run aggregation reuse the same
+  * user_id clustering — no second shuffle until the presentation sort).
+  */
+object Maintenance {
+
+  private val dec = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------- q29
+  /** MERGE INTO customer USING (aggregated order activity) — all three
+    * branches materialized, tagged, and auditable:
+    *   - matched           → update: balance += order-revenue delta
+    *   - not matched       → insert: subsidiary account rows (key+1e6,
+    *                         minted from every 10th active customer)
+    *   - not matched by source → keep: untouched target rows
+    * Output is the post-merge table plus the action tag, so the oracle
+    * pins branch routing, not just final values. Decimal-exact
+    * arithmetic end-to-end; DOUBLE only at the output boundary. */
+  def q29MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey"))
+    val activity = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("delta"))
+    // staged change set: an update row per active customer, plus an
+    // insert row (key shifted +1,000,000) for every 10th one
+    val src = activity
+      .select(col("o_custkey").as("custkey"), col("n_orders"), col("delta"))
+      .unionByName(activity.where(col("o_custkey") % 10 === 0)
+        .select((col("o_custkey") + 1000000L).as("custkey"),
+          col("n_orders"), col("delta")))
+    cust.join(src, Seq("custkey"), "full_outer")
+      .select(
+        col("custkey"),
+        when(col("c_name").isNull, lit("insert"))
+          .when(col("n_orders").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("c_name"),
+          concat(lit("Subsidiary#"), col("custkey") - 1000000L)).as("name"),
+        (coalesce(col("c_acctbal").cast(dec), lit(0).cast(dec)) +
+          coalesce(col("delta"), lit(0).cast(dec)))
+          .cast(DoubleType).as("acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val q29Sql: String =
+    """WITH activity AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+      |  FROM orders GROUP BY o_custkey),
+      |src AS (
+      |  SELECT o_custkey AS custkey, n_orders, delta FROM activity
+      |  UNION ALL
+      |  SELECT o_custkey + 1000000 AS custkey, n_orders, delta
+      |  FROM activity WHERE o_custkey % 10 = 0)
+      |SELECT
+      |  COALESCE(c.c_custkey, s.custkey) AS custkey,
+      |  CASE WHEN c.c_name IS NULL THEN 'insert'
+      |       WHEN s.n_orders IS NULL THEN 'keep'
+      |       ELSE 'update' END AS action,
+      |  COALESCE(c.c_name,
+      |    'Subsidiary#' || CAST(s.custkey - 1000000 AS VARCHAR)) AS name,
+      |  CAST(COALESCE(CAST(c.c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))
+      |    + COALESCE(s.delta, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+      |  COALESCE(s.n_orders, 0) AS n_orders
+      |FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** SCD type-2 history from the event log: per user, consecutive
+    * events with the same event_type compress to one RUN (change
+    * detection via lag over the deterministic (ts_ms, event_id) order),
+    * and each run becomes a versioned dimension row with
+    * [effective_from, effective_to) millisecond validity — open range
+    * (-1) and is_current=1 on the latest run. The entity filter keeps
+    * the result set bounded like every other events query. */
+  def q30Scd2History(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .where(col("user_id") % 91 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ms"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val runs = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(first(col("event_type")).as("event_type"),
+        min(col("ts_ms")).as("effective_from"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("effective_to",
+        coalesce(lead(col("effective_from"), 1).over(wRun), lit(-1L)))
+      .withColumn("is_current",
+        when(col("effective_to") === -1L, 1).otherwise(0).cast(IntegerType))
+      .select(col("user_id"), col("run_id").cast(IntegerType).as("version"),
+        col("event_type"), col("effective_from"), col("effective_to"),
+        col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q30Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      |  FROM events WHERE user_id % 91 = 0),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CASE WHEN LAG(event_type) OVER w IS NULL
+      |           OR LAG(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |numbered AS (
+      |  SELECT user_id, event_type, ts_ms,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flagged),
+      |runs AS (
+      |  SELECT user_id, run_id, MIN(event_type) AS event_type,
+      |    MIN(ts_ms) AS effective_from, COUNT(*) AS n_events
+      |  FROM numbered GROUP BY user_id, run_id)
+      |SELECT user_id, CAST(run_id AS INTEGER) AS version, event_type,
+      |  effective_from,
+      |  COALESCE(LEAD(effective_from) OVER
+      |    (PARTITION BY user_id ORDER BY run_id), -1) AS effective_to,
+      |  n_events,
+      |  CASE WHEN LEAD(effective_from) OVER
+      |    (PARTITION BY user_id ORDER BY run_id) IS NULL
+      |    THEN 1 ELSE 0 END AS is_current
+      |FROM runs
+      |ORDER BY user_id, version""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q29_merge_upsert" -> (q29MergeUpsert _),
+    "q30_scd2_history" -> (q30Scd2History _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q29_merge_upsert" -> q29Sql,
+    "q30_scd2_history" -> q30Sql)
+}

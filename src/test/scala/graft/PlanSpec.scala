@@ -201,6 +201,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q29: merge source is pre-aggregated (map-side partials) before " +
+    "the full-outer key join; no broadcast of the mutable target") {
+    val p = plan("q29_merge_upsert")
+    // the change set collapses to |customers| rows BEFORE the join:
+    // a partial_count/sum aggregate must sit below the outer join
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"q29 source aggregation is not partial-first:\n$p")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"q29 merge apply is not a key-shuffled full-outer join:\n$p")
+  }
+
+  test("q30: run compression + both effective-range windows reuse ONE " +
+    "hash exchange on the entity key") {
+    val p = plan("q30_scd2_history")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"q30 should cluster once on user_id, found $hashEx exchanges:\n$p")
+    // no other hash exchange key anywhere (range sort at the top is fine)
+    assert("Exchange hashpartitioning\\((?!user_id)".r.findFirstIn(p).isEmpty,
+      s"q30 re-shuffles off the entity key:\n$p")
+  }
+
   test("dd10: bloom prefilter runs map-side; the exact verify join is " +
     "NOT a gram broadcast") {
     // the operator exists for the regime where eval grams can't be
