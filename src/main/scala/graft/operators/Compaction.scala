@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side layout control — the half of 100 TB engineering that
+  * happens AFTER the plan is right. Two failure modes dominate large
+  * parquet estates:
+  *
+  *   - the small-files problem: a 32k-task job writing 32k files per
+  *     partition turns the NEXT reader's planning phase into a metadata
+  *     crawl (and object-store LIST storms);
+  *   - unclustered files: when every file's min/max spans the whole key
+  *     domain, predicate pushdown prunes nothing and every query pays a
+  *     full scan.
+  *
+  * `compactBalanced` fixes the first: round-robin repartition to
+  * ceil(n / targetRows) output files of near-equal row count (row count
+  * is the stable proxy for bytes on a fixed schema). `compactClustered`
+  * fixes both: range-repartition + in-partition sort on the cluster
+  * key, so each file owns a DISJOINT key range and a reader filtering
+  * on the key prunes to the few files whose [min,max] intersect —
+  * parquet row-group stats do the rest. Both are pure layout rewrites:
+  * same rows, same schema (asserted by CompactionSpec round-trips).
+  *
+  * The file-count decision is driven by a COUNT over the input, not a
+  * guess: at cluster scale a stale estimate is how a 10× growth quietly
+  * recreates the problem the compactor exists to solve. The count is
+  * one metadata-cheap pass (parquet footers for plain scans) and the
+  * write is the expensive part anyway.
+  */
+object Compaction {
+
+  /** Rows-balanced layout: ceil(rows / targetRows) files, round-robin
+    * filled, so no file exceeds ~targetRows and sizes are near-equal.
+    * Use when downstream reads are full-scan shaped (no dominant
+    * filter key) and the only goal is sane file counts. */
+  def compactBalanced(df: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartition(files)
+  }
+
+  /** Range-clustered layout: files own disjoint ranges of `key`, rows
+    * sorted by `key` within each file (maximally tight row-group
+    * stats). Readers filtering on `key` prune to the intersecting
+    * files; everything else still sees balanced sizes because range
+    * boundaries come from sampling the actual key distribution. */
+  def compactClustered(df: DataFrame, key: Column, targetRows: Long)
+      : DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(files, key).sortWithinPartitions(key)
+  }
+}

