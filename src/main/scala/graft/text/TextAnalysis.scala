@@ -834,6 +834,62 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- txt18
+  /** Exact φ-heavy hitters (tokens with count·200 > corpus tokens) via
+    * distributed Misra–Gries: each partition keeps a bounded k=400
+    * counter summary (O(k) memory, one pass), and the UNION of the
+    * per-partition survivor sets provably contains every token with
+    * global count > n/k — a token absent from partition i's summary has
+    * local count < nᵢ/k, which sums to < n/k globally. The exact pass
+    * then counts ONLY the broadcast candidate set (map-side semi-join
+    * filter before the shuffle), so the full-corpus token groupBy —
+    * whose key cardinality is the vocabulary, the thing that OOMs at
+    * 100 TB — never happens; the only wide aggregation is over ≤
+    * k × partitions candidate tokens. Output is EXACT (the sketch is
+    * routing only, same contract as dd10's bloom and the LSH banding):
+    * any MG partitioning yields the same answer, pinned by the plain
+    * GROUP BY/HAVING oracle. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 400 // 2× the 1/φ=200 bound: safety margin costs only memory
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t)) counts(t) += 1L
+        else if (counts.size < k) counts(t) = 1L
+        else { // decrement-all: drop zeros, every survivor pays 1
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counts.keysIterator.foreach { key =>
+            if (counts(key) == 1L) dead += key else counts(key) -= 1L
+          }
+          dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), "tok") // map-side candidate filter
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .where(col("cnt") * 200 > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |nz AS (SELECT tok FROM toks WHERE tok <> ''),
+      |tot AS (SELECT COUNT(*) AS n_total FROM nz)
+      |SELECT tok, COUNT(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+      |FROM nz
+      |GROUP BY tok
+      |HAVING COUNT(*) * 200 > (SELECT n_total FROM tot)
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -852,7 +908,8 @@ object TextAnalysis {
     "txt14_pii_scrub" -> (piiScrub _),
     "txt15_kmv_distinct" -> (kmvDistinct _),
     "txt16_quality_model" -> (qualityModel _),
-    "txt17_mixture_reweight" -> (mixtureReweight _))
+    "txt17_mixture_reweight" -> (mixtureReweight _),
+    "txt18_heavy_hitters" -> (heavyHitters _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -871,5 +928,6 @@ object TextAnalysis {
     "txt14_pii_scrub" -> piiScrubSql,
     "txt15_kmv_distinct" -> kmvDistinctSql,
     "txt16_quality_model" -> qualityModelSql,
-    "txt17_mixture_reweight" -> mixtureReweightSql)
+    "txt17_mixture_reweight" -> mixtureReweightSql,
+    "txt18_heavy_hitters" -> heavyHittersSql)
 }

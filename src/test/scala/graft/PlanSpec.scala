@@ -223,6 +223,17 @@ class PlanSpec extends AnyFunSuite {
       s"q30 re-shuffles off the entity key:\n$p")
   }
 
+  test("txt18: the exact count only runs behind the broadcast candidate " +
+    "filter — no vocabulary-wide aggregation") {
+    val p = plan("txt18_heavy_hitters")
+    // candidate semi-filter: a broadcast join on tok BELOW the count agg
+    assert("BroadcastHashJoin \\[tok".r.findFirstIn(p).isDefined,
+      s"txt18 candidate filter is not a broadcast tok join:\n$p")
+    // the MG sketch runs as a deserialized mapPartitions, never a shuffle
+    assert(p.contains("MapPartitions"),
+      s"txt18 Misra-Gries stage missing:\n$p")
+  }
+
   test("dd10: bloom prefilter runs map-side; the exact verify join is " +
     "NOT a gram broadcast") {
     // the operator exists for the regime where eval grams can't be
