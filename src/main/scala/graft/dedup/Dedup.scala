@@ -833,7 +833,8 @@ object Dedup {
     "dd07_dup_clusters" -> (dupClusters _),
     "dd08_decontaminate" -> (decontaminate _),
     "dd09_star_clusters" -> (starClusters _),
-    "dd10_bloom_decontaminate" -> (decontaminateBloom _))
+    "dd10_bloom_decontaminate" -> (decontaminateBloom _),
+    "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -848,5 +849,6 @@ object Dedup {
     // one oracle pins both to one answer
     "dd09_star_clusters" -> dupClustersSql,
     // the bloom is routing only — dd10's answer is exactly dd08's
-    "dd10_bloom_decontaminate" -> decontaminateSql)
+    "dd10_bloom_decontaminate" -> decontaminateSql,
+    "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql)
 }

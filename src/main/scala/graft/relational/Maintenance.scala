@@ -160,12 +160,58 @@ object Maintenance {
       |FROM runs
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Incremental view maintenance: a maintained per-customer aggregate
+    * absorbs a delta batch by MERGING PARTIAL AGGREGATES — count/sum/max
+    * are algebraic, so agg(base ∪ delta) = merge(agg(base), agg(delta))
+    * and the base data is never rescanned. This is the contract that
+    * makes 100 TB rollups maintainable (recompute touches the estate;
+    * the merge touches |keys| rows) and it is exactly the algebra
+    * streaming state stores run per micro-batch. The oracle is the
+    * full recompute over base ∪ delta — the incremental path must be
+    * indistinguishable from it. Base/delta split is deterministic
+    * (orderkey mod), standing in for "yesterday's table + today's
+    * partition". */
+  def q31IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def agg(part: DataFrame): DataFrame = part
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).as("tot"),
+        max(col("o_orderdate")).as("mx"))
+    val base = agg(o.where(col("o_orderkey") % 7 =!= 0))
+      .select(col("o_custkey"), col("n").as("n_b"), col("tot").as("tot_b"),
+        col("mx").as("mx_b"))
+    val delta = agg(o.where(col("o_orderkey") % 7 === 0))
+      .select(col("o_custkey"), col("n").as("n_d"), col("tot").as("tot_d"),
+        col("mx").as("mx_d"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("tot_b"), lit(0).cast(dec)) +
+          coalesce(col("tot_d"), lit(0).cast(dec)))
+          .cast(DoubleType).as("sum_total"),
+        Tables.epochMs(greatest(col("mx_b"), col("mx_d"))).as("last_ms"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q31Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  epoch_ms(MAX(o_orderdate)) AS last_ms
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_merge_upsert" -> (q29MergeUpsert _),
-    "q30_scd2_history" -> (q30Scd2History _))
+    "q30_scd2_history" -> (q30Scd2History _),
+    "q31_incremental_agg" -> (q31IncrementalAgg _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q29_merge_upsert" -> q29Sql,
-    "q30_scd2_history" -> q30Sql)
+    "q30_scd2_history" -> q30Sql,
+    "q31_incremental_agg" -> q31Sql)
 }
