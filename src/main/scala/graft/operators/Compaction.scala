@@ -54,4 +54,25 @@ object Compaction {
     val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     df.repartitionByRange(files, key).sortWithinPartitions(key)
   }
+
+  /** Hive-partitioned estate layout: directory partition on a coarse
+    * column (a time bucket, a tenant) + in-partition clustering on the
+    * query key. Partition pruning then happens at PLANNING time — a
+    * filtered reader never LISTS the other directories, the only
+    * pruning that still works when the estate has a million files —
+    * and the secondary key prunes row groups within the survivors.
+    * One shuffle: repartition on (partition, range-bucket of key) so
+    * each task writes exactly one file into one directory — without
+    * this, every task appends to every partition directory and the
+    * small-files problem comes back multiplied by the task count.
+    * Call as `.write.partitionBy(partCol).parquet(...)` on the result;
+    * the writer derives directories from the same column. */
+  def compactPartitioned(df: DataFrame, partCol: Column, key: Column,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(files, partCol, key)
+      .sortWithinPartitions(partCol, key)
+  }
 }

@@ -72,4 +72,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(pruned.count() ===
       Tables.events(spark, dir).where(col("user_id") === probe).count())
   }
+
+  test("partitioned: a partition filter prunes at PLANNING time " +
+    "(directory-level), and each directory holds its own files only") {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", (col("ts_ms") / 86400000L).cast("long"))
+      .select("event_id", "user_id", "ts_ms", "day")
+    val out = freshDir("part")
+    Compaction.compactPartitioned(ev, col("day"), col("user_id"), 2000L)
+      .write.partitionBy("day").parquet(out)
+    val days = ev.select("day").distinct().collect().map(_.getLong(0)).sorted
+    assert(days.length >= 2, s"need >=2 partitions to test pruning: $days")
+    val probe = days.head
+    val read = spark.read.parquet(out).where(col("day") === probe)
+    val scan = read.queryExecution.executedPlan.toString
+    // directory pruning is visible as a PartitionFilters entry on the
+    // scan; the data filter must NOT appear as a pushed row filter
+    // (day is a partition column, not a parquet column)
+    assert("PartitionFilters: \\[isnotnull\\(day".r.findFirstIn(scan).isDefined
+      || scan.contains(s"PartitionFilters: [(day"),
+      s"no planning-time partition filter on the scan:\n$scan")
+    // only files under day=<probe> are read
+    val filesRead = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(_.contains(s"day=$probe")),
+      s"scan escaped the partition directory: ${filesRead.take(3).toSeq}")
+    assert(read.count() === ev.where(col("day") === probe).count())
+  }
 }
