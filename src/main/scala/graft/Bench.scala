@@ -27,42 +27,61 @@ object Bench {
       math.max(256L, 8L * math.round(math.sqrt(perTicker.toDouble))))
     spark.conf.set("spark.graft.scanBucketRows", targetRows.toString)
     System.err.println(s"[bench] scanBucketRows=$targetRows (events=$nEvents)")
+    // Registry-prefix uniqueness gates the whole run — check BEFORE
+    // spending two benchmark passes on it.
+    val names = SparkEntry.queries.keys.toSeq
+    require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
+      "bench short names collide; fix the registry prefixes")
     // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
     // the session startup cost.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    // Two passes, per-query MIN: a single pass is hostage to co-tenant
-    // machine load — one noisy scheduling window mis-grades a handful of
-    // adjacent queries by 2-3× (plans and row sets are identical across
-    // passes; min is the least-contended observation of the same plan).
-    def onePass(): Seq[(String, Double)] =
+    // Two passes, per-query MIN over SUCCESSFUL runs: a single pass is
+    // hostage to co-tenant machine load — one noisy scheduling window
+    // mis-grades a handful of adjacent queries by 2-3× (plans and row
+    // sets are identical across passes; min is the least-contended
+    // observation of the same plan). A failed attempt records None so a
+    // fast failure can never masquerade as a fast run; a query that
+    // fails BOTH passes reports -1 (and its stderr failure lines).
+    def onePass(tag: String): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $tag $name failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-pass line: pass-1 carries any one-time cache/cold-start
+        // cost (e.g. the shared dedup signature seam) that the min hides
+        System.err.println(f"[bench] $tag $name%-24s $sec%8.2f s")
+        name -> (if (ok) Some(sec) else None)
       }
-    val passes = Seq(onePass(), onePass())
-    val results = passes.head.map { case (name, _) =>
-      val sec = passes.map(_.toMap.apply(name)).min
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+    val byName = Seq(onePass("p1"), onePass("p2")).map(_.toMap)
+    val results = names.map { name =>
+      val sec = byName.flatMap(_.apply(name)) match {
+        case Nil => -1.0
+        case ss => ss.min
+      }
+      System.err.println(f"[bench] min $name%-24s $sec%8.2f s")
       name -> sec
     }
     // The harness that collects this line keeps only a bounded tail of
-    // the run output; at 84 queries the full-name, full-precision JSON
+    // the run output; at 90 queries the full-name, full-precision JSON
     // overflows it and the line's head is lost. Key each query by its
-    // registry-id prefix (q01_pricing_summary → q01 — unique by
-    // construction, and the full names are on stderr just above) and
+    // registry-id prefix (q01_pricing_summary → q01 — unique by the
+    // require above, and the full names are on stderr just above) and
     // round to milliseconds so the WHOLE line survives the tail window.
-    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    require(short.map(_._1).distinct.size == results.size,
-      "bench short names collide; fix the registry prefixes")
-    val qs = short.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: the record is machine-parsed, and %.3f under a
+    // comma-decimal default locale would corrupt the JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"keys":"registry-id prefixes","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"keys":"registry-id prefixes","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -41,8 +41,9 @@ import graft.Tables
   * technique as dd08's leaked eval docs. */
 object FuzzyLink {
 
-  /** One interior char deleted at a row-keyed position (never the
-    * first or last char, so names stay non-degenerate). */
+  /** One char deleted at a row-keyed position in [1, len-2] (1-based:
+    * possibly the first char, never the last — the name always keeps
+    * its tail and stays non-degenerate). */
   private def perturbed(name: String, key: String) =
     expr(s"""concat(
       |  substring($name, 1, cast($key div 2 % (length($name) - 2) as int) ),

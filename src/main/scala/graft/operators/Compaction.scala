@@ -31,16 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** One sizing policy for every layout: COUNT the input, ceil-divide
+    * by the per-file row target. */
+  private def fileCount(df: DataFrame, targetRows: Long): Int = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    math.max(1L, (n + targetRows - 1) / targetRows)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Rows-balanced layout: ceil(rows / targetRows) files, round-robin
     * filled, so no file exceeds ~targetRows and sizes are near-equal.
     * Use when downstream reads are full-scan shaped (no dominant
     * filter key) and the only goal is sane file counts. */
-  def compactBalanced(df: DataFrame, targetRows: Long): DataFrame = {
-    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val n = df.count()
-    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    df.repartition(files)
-  }
+  def compactBalanced(df: DataFrame, targetRows: Long): DataFrame =
+    df.repartition(fileCount(df, targetRows))
 
   /** Range-clustered layout: files own disjoint ranges of `key`, rows
     * sorted by `key` within each file (maximally tight row-group
@@ -48,12 +53,9 @@ object Compaction {
     * files; everything else still sees balanced sizes because range
     * boundaries come from sampling the actual key distribution. */
   def compactClustered(df: DataFrame, key: Column, targetRows: Long)
-      : DataFrame = {
-    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val n = df.count()
-    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    df.repartitionByRange(files, key).sortWithinPartitions(key)
-  }
+      : DataFrame =
+    df.repartitionByRange(fileCount(df, targetRows), key)
+      .sortWithinPartitions(key)
 
   /** Hive-partitioned estate layout: directory partition on a coarse
     * column (a time bucket, a tenant) + in-partition clustering on the
@@ -68,11 +70,7 @@ object Compaction {
     * Call as `.write.partitionBy(partCol).parquet(...)` on the result;
     * the writer derives directories from the same column. */
   def compactPartitioned(df: DataFrame, partCol: Column, key: Column,
-      targetRows: Long): DataFrame = {
-    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val n = df.count()
-    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    df.repartitionByRange(files, partCol, key)
+      targetRows: Long): DataFrame =
+    df.repartitionByRange(fileCount(df, targetRows), partCol, key)
       .sortWithinPartitions(partCol, key)
-  }
 }

@@ -30,7 +30,14 @@ object BloomDedup {
   /** m bits (power of two), k probes. 2^16 bits = 8 KiB per ticker
     * holds ~6,500 ids at 1% fpp; production sizes m from the expected
     * per-key id volume per retention epoch. */
-  final case class Config(mBits: Int = 1 << 16, k: Int = 4)
+  final case class Config(mBits: Int = 1 << 16, k: Int = 4) {
+    // probes masks with mBits-1 and the cell allocates mBits/8 bytes:
+    // a non-power-of-two m would leave bits unreachable and silently
+    // inflate the false-positive rate past the documented ~1%
+    require(mBits >= 8 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 8, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+  }
 
   final case class BloomCell(bits: Array[Byte], inserted: Long)
 

@@ -55,8 +55,10 @@ class CompactionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     assert(ranges.length >= 4, s"too few files to test pruning: $ranges")
+    // strict: repartitionByRange co-locates equal keys, so a boundary
+    // key SHARED by two files would mean the clustering contract broke
     ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
-      assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+      assert(hi1 < lo2, s"file ranges overlap or share a key: $ranges")
     case _ => ()
     }
     // a tight key filter must touch ~1 file, not the estate: compare the

@@ -23,8 +23,14 @@ class BloomDedupSpec extends AnyFunSuite {
     val in = java.nio.file.Files.createTempDirectory("graft-bloom-in")
     val ck = java.nio.file.Files.createTempDirectory("graft-bloom-ck")
     in.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // transformWithState needs RocksDB; TestSpark's session is shared
+    // across suites, so restore the previous provider on exit — later
+    // streaming suites must not silently inherit this one's choice
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
 
     // batch 1: ids 0..99 for two tickers, ids 10..19 duplicated in-batch
     // batch 2: full replay of batch 1 (restart-from-0) + fresh 100..149
@@ -65,6 +71,12 @@ class BloomDedupSpec extends AnyFunSuite {
       s"duplicates emitted: ${perId.filter(_._2 > 1).keys.take(5).toSeq}")
     assert(out.count(_.ticker == "AAA") === 150)
     assert(out.count(_.ticker == "BBB") === 150)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("false-positive rate at design fill stays near the 1% target " +
