@@ -405,7 +405,23 @@ object Analytics {
     * is `event_id` (globally unique, per-ticker ordered) so ties are
     * impossible and both engines pick the same row; at equal event_id
     * the quote sorts before the anchor → "at or before". */
-  def asofPrice(s: SparkSession, d: String): DataFrame = {
+  def asofPrice(s: SparkSession, d: String): DataFrame =
+    asofCore(s, d, strict = false)
+      .select(col("ticker"), col("event_id"), col("last_price"),
+        col("last_seq"))
+      .orderBy(col("ticker"), col("event_id"))
+
+  /** Shared two-level as-of machinery for ob14/ob19. `strict = false`
+    * matches the quote AT or before the anchor (a same-event quote
+    * counts — ob14's ASOF `<=` semantics); `strict = true` matches the
+    * quote STRICTLY before (the anchor sorts ahead of an equal-id quote
+    * in the local window, so that quote never enters the anchor's
+    * frame — needed when the anchor population is a subset of the quote
+    * stream and "latest at-or-before" would trivially be the anchor's
+    * own event). Also exposes the matched quote's event_id (`last_eid`)
+    * so callers can reason about staleness. */
+  private def asofCore(s: SparkSession, d: String, strict: Boolean)
+      : DataFrame = {
     val anchors = Derive.snapshots(s, d)
       .select(col("ticker"), col("event_id")).distinct()
       .withColumn("is_anchor", lit(1))
@@ -416,12 +432,14 @@ object Analytics {
     val rows = anchors.unionByName(quotes, allowMissingColumns = true)
       .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
     // last quote per populated (ticker, bucket) — max_by is safe on the
-    // globally-unique event_id
+    // globally-unique event_id (buckets partition event_id ranges, so
+    // carries from earlier buckets are strictly earlier either way)
     val summary = quotes
       .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
       .groupBy(col("ticker"), col("bucket"))
       .agg(expr("max_by(q_price, event_id)").as("b_price"),
-        expr("max_by(q_seq, event_id)").as("b_seq"))
+        expr("max_by(q_seq, event_id)").as("b_seq"),
+        max(col("event_id")).as("b_eid"))
     // every populated cell (quote- OR anchor-bearing) joins the
     // summary, so the prefix scan carries across quote-empty buckets
     val wPrefix = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
@@ -432,21 +450,49 @@ object Analytics {
         last(col("b_price"), ignoreNulls = true).over(wPrefix))
       .withColumn("carry_seq",
         last(col("b_seq"), ignoreNulls = true).over(wPrefix))
+      .withColumn("carry_eid",
+        last(col("b_eid"), ignoreNulls = true).over(wPrefix))
       .select(col("ticker"), col("bucket"), col("carry_price"),
-        col("carry_seq"))
+        col("carry_seq"), col("carry_eid"))
+    // at equal event_id: quote-first includes it in the anchor's frame
+    // (at-or-before), anchor-first excludes it (strictly-before)
+    val tie = if (strict) col("is_anchor").desc else col("is_anchor").asc
     val wLocal = Window.partitionBy(col("ticker"), col("bucket"))
-      .orderBy(col("event_id"), col("is_anchor"))
+      .orderBy(col("event_id"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qEid = when(col("is_anchor") === 0, col("event_id"))
     rows
       .withColumn("local_price", last(col("q_price"), ignoreNulls = true).over(wLocal))
       .withColumn("local_seq", last(col("q_seq"), ignoreNulls = true).over(wLocal))
+      .withColumn("local_eid", last(qEid, ignoreNulls = true).over(wLocal))
       .join(carry, Seq("ticker", "bucket"))
       .where(col("is_anchor") === 1)
       .select(col("ticker"), col("event_id"),
         coalesce(col("local_price"), col("carry_price")).as("last_price"),
-        coalesce(col("local_seq"), col("carry_seq")).as("last_seq"))
-      .orderBy(col("ticker"), col("event_id"))
+        coalesce(col("local_seq"), col("carry_seq")).as("last_seq"),
+        coalesce(col("local_eid"), col("carry_eid")).as("last_eid"))
   }
+
+  /** ob19 — tolerance-bounded as-of: the strictly-previous quote is
+    * accepted only when it is FRESH (anchor − quote ≤ tolerance in the
+    * as-of dimension); stale or missing matches surface as -1 with the
+    * observed staleness, the bounded-staleness join every live
+    * consumer of an order feed actually wants (a reconstruction that
+    * silently uses an hour-old quote is worse than one that says "no
+    * fresh quote"). Same two-level scan as ob14 — the tolerance is a
+    * projection on top, not a different join. */
+  val AsofToleranceEvents = 30L
+
+  def asofTolerance(s: SparkSession, d: String): DataFrame =
+    asofCore(s, d, strict = true)
+      .withColumn("staleness",
+        coalesce(col("event_id") - col("last_eid"), lit(-1L)))
+      .select(col("ticker"), col("event_id"),
+        when(col("last_eid").isNotNull &&
+          col("event_id") - col("last_eid") <= AsofToleranceEvents,
+          col("last_price")).otherwise(lit(-1)).as("fresh_price"),
+        col("staleness"))
+      .orderBy(col("ticker"), col("event_id"))
 
   val asofPriceSql: String = Derive.cte +
     """SELECT s.ticker, s.event_id,
@@ -455,6 +501,17 @@ object Analytics {
       |ASOF LEFT JOIN ob_deltas d
       |  ON s.ticker = d.ticker AND d.event_id <= s.event_id
       |ORDER BY s.ticker, s.event_id""".stripMargin
+
+  val asofToleranceSql: String = Derive.cte +
+    s"""SELECT s.ticker, s.event_id,
+       |  CASE WHEN d.event_id IS NOT NULL
+       |         AND s.event_id - d.event_id <= ${AsofToleranceEvents}
+       |       THEN d.price ELSE -1 END AS fresh_price,
+       |  COALESCE(s.event_id - d.event_id, -1) AS staleness
+       |FROM (SELECT DISTINCT ticker, event_id FROM ob_snapshots) s
+       |ASOF LEFT JOIN ob_deltas d
+       |  ON s.ticker = d.ticker AND d.event_id < s.event_id
+       |ORDER BY s.ticker, s.event_id""".stripMargin
 
   // ----------------------------------------------------------------- B11
   /** VWAP per (ticker, side) over the latest snapshot levels, computed
@@ -619,6 +676,7 @@ object Analytics {
     "ob12_dedup_replay" -> (dedupReplay _),
     "ob13_dup_audit" -> (dupAudit _),
     "ob14_asof_price" -> (asofPrice _),
+    "ob19_asof_tolerance" -> (asofTolerance _),
     "ob15_vwap" -> (vwap _),
     "ob16_flow_imbalance" -> (flowImbalance _),
     "ob17_microprice" -> (microprice _),
@@ -639,6 +697,7 @@ object Analytics {
     "ob12_dedup_replay" -> dedupReplaySql,
     "ob13_dup_audit" -> dupAuditSql,
     "ob14_asof_price" -> asofPriceSql,
+    "ob19_asof_tolerance" -> asofToleranceSql,
     "ob15_vwap" -> vwapSql,
     "ob16_flow_imbalance" -> flowImbalanceSql,
     "ob17_microprice" -> micropriceSql,
