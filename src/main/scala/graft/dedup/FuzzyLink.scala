@@ -43,16 +43,21 @@ object FuzzyLink {
 
   /** One char deleted at a row-keyed position in [1, len-2] (1-based:
     * possibly the first char, never the last — the name always keeps
-    * its tail and stays non-degenerate). */
+    * its tail and stays non-degenerate). Callers must filter
+    * length ≥ 3 first: the position modulus is length-2, and ANSI mode
+    * makes `% 0` a fatal error, not a null. */
   private def perturbed(name: String, key: String) =
     expr(s"""concat(
       |  substring($name, 1, cast($key div 2 % (length($name) - 2) as int) ),
       |  substring($name, cast($key div 2 % (length($name) - 2) as int) + 2,
       |            length($name)))""".stripMargin)
 
+  /** Distinct character bigrams; empty for names too short to have one
+    * (sequence(1, len-1) would DESCEND for len < 2, not stay empty). */
   private def bigrams(name: String) = expr(
-    s"array_distinct(transform(sequence(1, length($name) - 1), " +
-      s"i -> substring($name, i, 2)))")
+    s"case when length($name) < 2 then array() " +
+      s"else array_distinct(transform(sequence(1, length($name) - 1), " +
+      s"i -> substring($name, i, 2))) end")
 
   def fuzzyLink(s: SparkSession, d: String): DataFrame = {
     val part = Tables.part(s, d)
@@ -62,8 +67,11 @@ object FuzzyLink {
       .groupBy(col("p_name").as("cname"))
       .agg(min(col("p_partkey")).as("canon_id"))
     // dirty dictionary: distinct perturbed names of the odd half, with
-    // the fact-row count each name stands for (the broadcast-back)
-    val dirty = part.where(col("p_partkey") % 2 === 1)
+    // the fact-row count each name stands for (the broadcast-back).
+    // length ≥ 3: shorter names have no interior char to delete (and
+    // the position modulus would be an ANSI 0-division)
+    val dirty = part.where(col("p_partkey") % 2 === 1 &&
+        length(col("p_name")) >= 3)
       .select(col("p_partkey"),
         perturbed("p_name", "p_partkey").as("dname"))
       .groupBy(col("dname"))
@@ -116,7 +124,7 @@ object FuzzyLink {
       |    || substr(p_name,
       |         CAST(p_partkey // 2 % (LENGTH(p_name) - 2) AS INT) + 2,
       |         LENGTH(p_name)) AS dname
-      |  FROM part WHERE p_partkey % 2 = 1),
+      |  FROM part WHERE p_partkey % 2 = 1 AND LENGTH(p_name) >= 3),
       |dirty AS (
       |  SELECT dname, MIN(p_partkey) AS dirty_id, COUNT(*) AS n_rows
       |  FROM dirtyrows GROUP BY dname),

@@ -33,6 +33,21 @@ class EdgeDocsSpec extends AnyFunSuite {
         (i.toLong, Array.fill(8)((i % 5 + 1).toFloat), s"l${i % 3}"))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+    // degenerate part catalog for the part-backed dd queries (dd11):
+    // empty / 1-char / 2-char names on BOTH halves (no interior char to
+    // delete, no bigram), duplicate names, and a couple of healthy ones
+    Seq(
+      (0L, "", "B", "T", 1, 1.0),
+      (1L, "a", "B", "T", 1, 1.0),
+      (2L, "ab", "B", "T", 1, 1.0),
+      (3L, "xy", "B", "T", 1, 1.0),
+      (4L, "same name part", "B", "T", 1, 1.0),
+      (6L, "same name part", "B", "T", 1, 1.0),
+      (5L, "another part label", "B", "T", 1, 1.0),
+      (7L, "third part label", "B", "T", 1, 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$p/part.parquet")
     p.toString
   }
 
