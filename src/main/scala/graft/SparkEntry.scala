@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(relational.Relational.queries ++
+      relational.Advanced.queries ++
       relational.Maintenance.queries ++
       orderbook.Analytics.queries ++
       text.TextAnalysis.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ListMap(relational.Relational.oracles ++
+      relational.Advanced.oracles ++
       relational.Maintenance.oracles ++
       orderbook.Analytics.oracles ++
       text.TextAnalysis.oracles ++

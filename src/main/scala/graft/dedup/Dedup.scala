@@ -822,6 +822,40 @@ object Dedup {
       |FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd12
+  /** Prefix-fingerprint clusters: documents grouped by the md5 of their
+    * first 8 whitespace tokens — the boilerplate-head dedup pass a
+    * crawl pipeline runs against templated pages (same headline /
+    * nav-bar prefix, different tails). Exact-hash groupBy like dd01,
+    * but on a PROJECTION of the text, so it catches duplicates dd01's
+    * whole-text hash misses; `n_texts` says how many distinct full
+    * bodies share the prefix (n_texts > 1 ⇒ genuinely templated, not
+    * byte-identical). One hash shuffle on the fingerprint — key
+    * cardinality grows with the corpus, nothing pairwise; the distinct
+    * counts bodies by their md5, so the shuffle carries 32-char
+    * digests, never full documents. */
+  def prefixClusters(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("body_fp"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+          .as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("body_fp")).as("n_texts"),
+        min(col("doc_id")).as("canon_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("prefix_fp"))
+
+  val prefixClustersSql: String =
+    """SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_texts,
+      |  MIN(doc_id) AS canon_doc
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1
+      |ORDER BY prefix_fp""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -834,7 +868,8 @@ object Dedup {
     "dd08_decontaminate" -> (decontaminate _),
     "dd09_star_clusters" -> (starClusters _),
     "dd10_bloom_decontaminate" -> (decontaminateBloom _),
-    "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _))
+    "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _),
+    "dd12_prefix_clusters" -> (prefixClusters _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -850,5 +885,6 @@ object Dedup {
     "dd09_star_clusters" -> dupClustersSql,
     // the bloom is routing only — dd10's answer is exactly dd08's
     "dd10_bloom_decontaminate" -> decontaminateSql,
-    "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql)
+    "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql,
+    "dd12_prefix_clusters" -> prefixClustersSql)
 }

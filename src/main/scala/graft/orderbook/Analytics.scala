@@ -660,6 +660,73 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY ticker, day""".stripMargin
 
+  // ----------------------------------------------------------------- B15
+  /** Time-weighted average price (TWAP) per (ticker, day): each quote
+    * price weighted by how long it stood (next event's timestamp minus
+    * its own) — the benchmark execution-quality metric next to ob15's
+    * volume-weighted VWAP. Sums stay exact (cents × ms in BIGINT); the
+    * single final division is the only float op, guarded for the
+    * zero-span degenerate day (all events on one timestamp).
+    *
+    * The successive-event LEAD runs on the same two-level bucketed
+    * scan as ob18's lag ([[DefaultScanBucketRows]]), mirrored forward:
+    * lead within (ticker, day, bucket); each bucket's LAST event takes
+    * its gap against the next populated bucket's first timestamp via
+    * the per-bucket summary — no task ever sorts a whole (ticker, day)
+    * partition, and the last event of a day drops out naturally (no
+    * following bucket in the partition ⇒ null next_ts), exactly
+    * matching the plain LEAD spelling in the oracle. */
+  def twap(s: SparkSession, d: String): DataFrame = {
+    val rows = Derive.deltas(s, d)
+      .select(col("ticker"), dayCol.as("day"), col("event_id"),
+        col("ts_ms"), col("price"))
+      .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
+    val wSuffix = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("bucket"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = rows.groupBy(col("ticker"), col("day"), col("bucket"))
+      .agg(expr("min_by(ts_ms, event_id)").as("bucket_first_ts"))
+      .withColumn("carry_next_ts",
+        first(col("bucket_first_ts")).over(wSuffix))
+      .select(col("ticker"), col("day"), col("bucket"),
+        col("carry_next_ts"))
+    val wLocal = Window.partitionBy(col("ticker"), col("day"), col("bucket"))
+      .orderBy(col("event_id"))
+    rows
+      .withColumn("next_in_bucket", lead(col("ts_ms"), 1).over(wLocal))
+      .join(carry, Seq("ticker", "day", "bucket"))
+      .withColumn("next_ts",
+        coalesce(col("next_in_bucket"), col("carry_next_ts")))
+      .where(col("next_ts").isNotNull)
+      .withColumn("dt", col("next_ts") - col("ts_ms"))
+      .groupBy(col("ticker"), col("day"))
+      .agg(sum(col("price").cast(LongType) * col("dt")).as("pd"),
+        sum(col("dt")).as("span_ms"),
+        count(lit(1)).as("n_quotes"))
+      .select(col("ticker"), col("day"),
+        when(col("span_ms") > 0,
+          col("pd").cast(DoubleType) / col("span_ms")).as("twap_cents"),
+        col("span_ms").cast(LongType).as("span_ms"),
+        col("n_quotes"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val twapSql: String = Derive.cte + s""",
+      |tw AS (
+      |  SELECT ticker, $daySqlD AS day, ts_ms, price,
+      |    LEAD(ts_ms) OVER (PARTITION BY ticker, $daySqlD
+      |                      ORDER BY event_id) AS next_ts
+      |  FROM ob_deltas)
+      |SELECT ticker, day,
+      |  CASE WHEN SUM(next_ts - ts_ms) > 0
+      |    THEN CAST(SUM(price * (next_ts - ts_ms)) AS DOUBLE)
+      |         / SUM(next_ts - ts_ms) END AS twap_cents,
+      |  CAST(SUM(next_ts - ts_ms) AS BIGINT) AS span_ms,
+      |  COUNT(*) AS n_quotes
+      |FROM tw WHERE next_ts IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY ticker, day""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
@@ -680,7 +747,8 @@ object Analytics {
     "ob15_vwap" -> (vwap _),
     "ob16_flow_imbalance" -> (flowImbalance _),
     "ob17_microprice" -> (microprice _),
-    "ob18_realized_var" -> (realizedVariance _))
+    "ob18_realized_var" -> (realizedVariance _),
+    "ob20_twap" -> (twap _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -701,5 +769,6 @@ object Analytics {
     "ob15_vwap" -> vwapSql,
     "ob16_flow_imbalance" -> flowImbalanceSql,
     "ob17_microprice" -> micropriceSql,
-    "ob18_realized_var" -> realizedVarianceSql)
+    "ob18_realized_var" -> realizedVarianceSql,
+    "ob20_twap" -> twapSql)
 }

@@ -1,0 +1,209 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, TimestampType}
+
+import graft.Tables
+
+/** Round-5 relational additions: the classic TPC-H subquery shapes the
+  * q01–q31 set didn't cover (Q21 double-correlated EXISTS / NOT EXISTS,
+  * Q15 view + scalar-max), GROUPING SETS (the third grouping surface
+  * next to q11's ROLLUP and q18's CUBE), and the ntile/percent_rank/
+  * cume_dist window family.
+  *
+  * Same determinism contract as [[Relational]]: decimal-cast before
+  * SUM, outputs limited to BIGINT/INT/DOUBLE/STRING, unique sort keys.
+  */
+object Advanced {
+
+  private val dec = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+  private def one: Column = lit(1).cast(dec)
+
+  // ---------------------------------------------------------------- q32
+  /** TPC-H Q21-shape "suppliers who kept orders waiting": for finished
+    * orders, count a supplier's late lines on multi-supplier orders
+    * where it was the ONLY late supplier (classic EXISTS + NOT EXISTS
+    * double correlation; there is no receiptdate/commitdate in this
+    * corpus, so late ≙ shipped > 60 days after the order date).
+    *
+    * Spark-first shape: the correlated subqueries are NOT spelled as
+    * two extra lineitem self-joins. Both existence tests are functions
+    * of per-order supplier facts, so ONE aggregation pass computes
+    * them: per (orderkey, suppkey) lateness, then per orderkey the
+    * supplier count and late-supplier count — the EXISTS becomes
+    * `n_supp > 1`, the NOT EXISTS becomes `n_late_supp = 1` on a
+    * frame that is already orderkey-partitioned from the first
+    * shuffle (AQE reuses the partitioning for the join back). The
+    * oracle spells the same query with literal EXISTS/NOT EXISTS —
+    * two spellings, one answer. Supplier names attach by broadcast. */
+  def q32WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lo = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val suppOrder = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val orderStats = suppOrder.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1).otherwise(0)).as("n_late_supp"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    suppOrder.where(col("supp_late"))
+      .join(orderStats, "l_orderkey")
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q32Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** TPC-H Q15-shape top supplier: quarterly revenue per supplier, keep
+    * every supplier whose revenue equals the maximum (ties preserved —
+    * the equality-against-aggregate shape, not a LIMIT 1). The max is
+    * a scalar: one tiny aggregate broadcast back over the revenue
+    * frame (same attach pattern as q20/q26); the equality compares the
+    * exact same decimal-sum-cast-double values on both sides, so it is
+    * bit-safe. */
+  def q33TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+    val revenue = li.groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+          (one - col("l_discount").cast(dec)))
+        .cast(DoubleType).as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    revenue.crossJoin(broadcast(mx))
+      .where(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q33Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** GROUPING SETS — the explicit-sets grouping surface (q11 covers
+    * ROLLUP, q18 CUBE): per-(status, priority), per-status, and
+    * per-priority aggregates in one pass, disambiguated by
+    * grouping_id. Spark expands the sets with a single Expand operator
+    * feeding one hash aggregate — rows are replicated per set
+    * MAP-SIDE, so the shuffle still carries only |groups| rows per
+    * set. Run as SQL text (the DataFrame API exposes only
+    * rollup/cube). Spark's grouping_id and DuckDB's GROUPING both
+    * follow the Postgres bit convention (last column = LSB). */
+  def q34GroupingSets(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+
+  val q34Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority))
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Distribution windows: ntile / percent_rank / cume_dist over
+    * customer balances per market segment, summarized per quartile.
+    * percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    * integer divisions — bit-identical across engines. The window
+    * partitions by segment: dimension-scale keys, so parallelism is
+    * bounded by segment count — the right tool for dimension tables;
+    * fact-scale distribution stats should use approx_percentile or
+    * the two-level bucketed scans instead (ob09/ob14/ob18). */
+  def q35NtileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("q", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("c_mktsegment"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        max(col("pr")).as("max_pr"),
+        max(col("cd")).as("max_cd"))
+      .orderBy(col("c_mktsegment"), col("q"))
+  }
+
+  val q35Sql: String =
+    """SELECT c_mktsegment, q, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+      |  MAX(pr) AS max_pr, MAX(cd) AS max_cd
+      |FROM (SELECT c_mktsegment, c_acctbal,
+      |    CAST(NTILE(4) OVER w AS INT) AS q,
+      |    PERCENT_RANK() OVER w AS pr,
+      |    CUME_DIST() OVER w AS cd
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal, c_custkey)) t
+      |GROUP BY c_mktsegment, q
+      |ORDER BY c_mktsegment, q""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q32_waiting_supplier" -> (q32WaitingSupplier _),
+    "q33_top_supplier" -> (q33TopSupplier _),
+    "q34_grouping_sets" -> (q34GroupingSets _),
+    "q35_ntile_quartiles" -> (q35NtileQuartiles _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q32_waiting_supplier" -> q32Sql,
+    "q33_top_supplier" -> q33Sql,
+    "q34_grouping_sets" -> q34Sql,
+    "q35_ntile_quartiles" -> q35Sql)
+}

@@ -519,6 +519,73 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim08
+  /** k-NN GRAPH: top-2 neighbors for EVERY corpus vector, not just a
+    * handful of probe queries — the all-pairs building block of
+    * semantic dedup (SemDeDup-style) and embedding-cluster curation.
+    *
+    * Nothing here is broadcast-shaped: the query side IS the corpus.
+    * The sim03 coarse quantizer blocks the self-join instead — each
+    * vector scores only the candidates in its own IVF cell, an
+    * equi-join on cell id whose per-cell cost is (n/cells)² rather
+    * than n²; production picks cells ≈ √n so the whole graph build is
+    * O(n^1.5) and every stage is cell-parallel. Ranking is the same
+    * bounded-heap `graft_topk` aggregate as every other sim query —
+    * with n groups (one per vector) instead of 5, the map-side
+    * partial reduction is doing its real job: the shuffle carries
+    * ≤ k×partitions rows per VECTOR, never a scored candidate set. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = n.where(col("vec_id") < 4)
+      .select(col("vec_id").as("pid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("cell"))
+      .join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(scored, 2, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val knnGraphSql: String = normedCte + "," +
+    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM assigned q JOIN assigned c
+      |    ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
+      |WHERE rnk <= 2
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
@@ -527,7 +594,8 @@ object Similarity {
     "sim04_ivf_multiprobe" -> (ivfMultiProbe _),
     "sim05_sq8_topk" -> (sq8TopK _),
     "sim06_sq8_rerank" -> (sq8Rerank _),
-    "sim07_pq_adc" -> (pqAdc _))
+    "sim07_pq_adc" -> (pqAdc _),
+    "sim08_knn_graph" -> (knnGraph _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -536,5 +604,6 @@ object Similarity {
     "sim04_ivf_multiprobe" -> ivfMultiProbeSql,
     "sim05_sq8_topk" -> sq8TopKSql,
     "sim06_sq8_rerank" -> sq8RerankSql,
-    "sim07_pq_adc" -> pqAdcSql)
+    "sim07_pq_adc" -> pqAdcSql,
+    "sim08_knn_graph" -> knnGraphSql)
 }

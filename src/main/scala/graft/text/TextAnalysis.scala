@@ -890,6 +890,53 @@ object TextAnalysis {
       |HAVING COUNT(*) * 200 > (SELECT n_total FROM tot)
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- txt19
+  /** Global curriculum ordinal: every document's 1-based rank under the
+    * total order (n_chars DESC, doc_id) — the "assign a global training
+    * position to each example" step of curriculum learning and
+    * deterministic epoch shuffles.
+    *
+    * The naive spelling, `row_number() OVER (ORDER BY ...)`, funnels
+    * the whole corpus through ONE task (Exchange SinglePartition) —
+    * the canonical at-scale anti-pattern. This is the two-level
+    * spelling instead, on the same deterministic value-bucket idiom as
+    * the ob09/ob14/ob18 scans: (1) bucket each row by a VALUE range of
+    * the leading sort key (`n_chars div W` — not repartitionByRange,
+    * whose SAMPLED boundaries could differ between the two
+    * materializations of the frame and misalign the offsets);
+    * (2) count rows per bucket — a metadata-sized aggregate — and
+    * cumulate counts of strictly-better buckets into per-bucket
+    * offsets; (3) rank WITHIN each bucket (windows partitioned by
+    * bucket run fully parallel) and add the broadcast offset. No stage
+    * touches more than one bucket's rows; the offsets window is
+    * single-partition but over bucket-count rows (metadata scale).
+    * Oracle = the naive one-partition spelling. */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val W = 64 // chars per bucket; at 100 TB derive from a histogram
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bucket", expr(s"n_chars div $W"))
+    val offsets = rows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    rows.join(broadcast(offsets), "bucket")
+      .withColumn("ord",
+        row_number().over(wLocal).cast(LongType) + col("offset"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ord"))
+      .orderBy(col("ord"))
+  }
+
+  val curriculumOrderSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ord
+      |FROM documents
+      |ORDER BY ord""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -909,7 +956,8 @@ object TextAnalysis {
     "txt15_kmv_distinct" -> (kmvDistinct _),
     "txt16_quality_model" -> (qualityModel _),
     "txt17_mixture_reweight" -> (mixtureReweight _),
-    "txt18_heavy_hitters" -> (heavyHitters _))
+    "txt18_heavy_hitters" -> (heavyHitters _),
+    "txt19_curriculum_order" -> (curriculumOrder _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -929,5 +977,6 @@ object TextAnalysis {
     "txt15_kmv_distinct" -> kmvDistinctSql,
     "txt16_quality_model" -> qualityModelSql,
     "txt17_mixture_reweight" -> mixtureReweightSql,
-    "txt18_heavy_hitters" -> heavyHittersSql)
+    "txt18_heavy_hitters" -> heavyHittersSql,
+    "txt19_curriculum_order" -> curriculumOrderSql)
 }

@@ -184,7 +184,8 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle, so the plan must show an ObjectHashAggregate pair
     // (partial below the query-keyed exchange, final above) and no
     // window operator anywhere in the ranking
-    Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc").foreach { q =>
+    Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc",
+        "sim08_knn_graph").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
@@ -266,6 +267,38 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"mm05 pairwise fallback:\n$p")
     assert(p.contains("hashpartitioning(band") || p.contains("BroadcastHashJoin"),
       s"mm05 candidate join is not keyed on (band, bkey):\n$p")
+  }
+
+  test("txt19: global ordinal never sorts the corpus in one task — " +
+    "bucketed local rank + broadcast offsets") {
+    val p = plan("txt19_curriculum_order")
+    // the per-row rank window partitions by the value bucket
+    assert("row_number\\(\\) windowspecdefinition\\(bucket#".r
+      .findFirstIn(p).isDefined,
+      s"txt19 local rank is not bucket-partitioned:\n$p")
+    // offsets (metadata-scale) attach by broadcast, not a shuffled join
+    assert("BroadcastHashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"txt19 offsets are not broadcast back:\n$p")
+  }
+
+  test("q32: existence tests run as ONE aggregation pass — no correlated " +
+    "self-join fallback, supplier names broadcast") {
+    val p = plan("q32_waiting_supplier")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q32 fell back to a nested loop:\n$p")
+    // the per-(order, supplier) lateness aggregate is partial-first
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"q32 per-order aggregation is not map-side partial:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q32 supplier attach is not broadcast:\n$p")
+  }
+
+  test("ob20: TWAP lead is bucketed, never whole-ticker") {
+    val p = plan("ob20_twap")
+    assert("lead\\(ts_ms#\\d+L?, -?1, null\\) windowspecdefinition\\(ticker#\\d+, day#\\d+, bucket#".r
+      .findFirstIn(p).isDefined,
+      s"ob20 lead is not bucketed:\n$p")
   }
 
   test("ingest normalize path is shuffle-free (narrow ops only)") {
