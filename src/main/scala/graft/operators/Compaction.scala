@@ -73,4 +73,46 @@ object Compaction {
       targetRows: Long): DataFrame =
     df.repartitionByRange(fileCount(df, targetRows), partCol, key)
       .sortWithinPartitions(partCol, key)
+
+  /** 16-bit Morton spread: the low 16 bits of `x` interleaved with
+    * zeros (…b2 0 b1 0 b0). Plain integer Column ops — codegen'd, no
+    * UDF anywhere near the write path. */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-ORDERED layout: files cluster on the Morton interleave of TWO
+    * numeric keys, so a filter on EITHER key prunes files — the
+    * multi-dimensional clustering `compactClustered` can't give (a
+    * single-key sort leaves the second key's per-file min/max spanning
+    * the whole domain, pruning nothing). Each key is min/max-scaled to
+    * 16 bits (two tiny aggregates broadcast back — linear scaling; a
+    * skewed estate would swap in histogram ranks, same interleave),
+    * the z-value range-partitions and sorts the files, and contiguous
+    * z-ranges are approximate 2-D rectangles: a predicate on either
+    * dimension intersects only the files whose rectangle crosses it.
+    * Same rows/schema out (CompactionSpec round-trips); the z column
+    * never outlives the write. */
+  def compactZOrdered(df: DataFrame, keyA: Column, keyB: Column,
+      targetRows: Long): DataFrame = {
+    val bounds = df.agg(
+      min(keyA.cast("long")).as("a_lo"), max(keyA.cast("long")).as("a_hi"),
+      min(keyB.cast("long")).as("b_lo"), max(keyB.cast("long")).as("b_hi"))
+    // `/` is double division in Column algebra — floor back to a long
+    // (the scaled value is <= 65535, far inside double's exact range)
+    def scaled(k: Column, lo: Column, hi: Column): Column =
+      when(hi > lo,
+        floor((k.cast("long") - lo) * 65535L / (hi - lo))).otherwise(0L)
+    val z = spread16(scaled(keyA, col("a_lo"), col("a_hi")))
+      .bitwiseOR(shiftleft(spread16(scaled(keyB, col("b_lo"), col("b_hi"))), 1))
+    val cols = df.columns.toSeq
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", z)
+      .repartitionByRange(fileCount(df, targetRows), col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(cols.map(col): _*)
+  }
 }

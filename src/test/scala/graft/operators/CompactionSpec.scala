@@ -75,6 +75,36 @@ class CompactionSpec extends AnyFunSuite {
       Tables.events(spark, dir).where(col("user_id") === probe).count())
   }
 
+  test("z-ordered: filters on EITHER interleaved key prune files — " +
+    "the 2-D clustering a single-key sort cannot give") {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts_ms")
+    val out = freshDir("zord")
+    Compaction.compactZOrdered(ev, col("user_id"), col("ts_ms"), 500L)
+      .write.parquet(out)
+    assert(spark.read.parquet(out).count() === ev.count(), "rows changed")
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("ts_ms").as("tlo"), max("ts_ms").as("thi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ranges.length >= 8, s"too few files to test 2-D pruning")
+    // pick probes in the middle of each domain; a z-ordered estate must
+    // exclude a decent fraction of files on EACH dimension alone —
+    // a single-key layout leaves the secondary dimension at 100% match
+    val uProbe = ranges.map(_._1).sorted.apply(ranges.length / 2)
+    val tProbe = ranges.map(_._3).sorted.apply(ranges.length / 2)
+    val uMatch = ranges.count { case (lo, hi, _, _) => lo <= uProbe && uProbe <= hi }
+    val tMatch = ranges.count { case (_, _, lo, hi) => lo <= tProbe && tProbe <= hi }
+    assert(uMatch <= ranges.length * 3 / 4,
+      s"user_id point filter matches $uMatch/${ranges.length} files — no pruning")
+    assert(tMatch <= ranges.length * 3 / 4,
+      s"ts_ms point filter matches $tMatch/${ranges.length} files — no pruning")
+    // and the read still answers correctly under the pushed filter
+    assert(spark.read.parquet(out).where(col("user_id") === uProbe).count()
+      === ev.where(col("user_id") === uProbe).count())
+  }
+
   test("partitioned: a partition filter prunes at PLANNING time " +
     "(directory-level), and each directory holds its own files only") {
     val ev = Tables.events(spark, dir)
