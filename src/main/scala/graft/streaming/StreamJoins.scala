@@ -32,4 +32,22 @@ object StreamJoins {
         col("yes_price"), col("no_price"),
         col("yes_delta"), col("no_delta"))
   }
+
+  /** Stream-STATIC enrichment: attach a slow-changing dimension (the
+    * ticker → series map A1's discovery produces) to the delta stream.
+    * The static side is re-resolved per micro-batch (standard
+    * stream-static semantics — a dim refresh lands on the next batch)
+    * and explicitly broadcast, so the hot path stays stateless and
+    * shuffle-free: no watermark, no state store, each micro-batch is
+    * one broadcast-hash probe per row. LEFT join: facts with an
+    * unknown ticker survive with a null dimension — enrichment must
+    * never drop book events (the router's dead-letter branch owns
+    * malformed input, not this join). */
+  def enrichDeltas(messages: DataFrame, tickerDim: DataFrame): DataFrame =
+    messages
+      .where(col("type") === "orderbook_delta")
+      .select(col("msg.market_ticker").as("ticker"),
+        col("msg.side").as("side"), col("msg.price").as("price"),
+        col("msg.delta").as("delta"), col("seq"))
+      .join(broadcast(tickerDim), Seq("ticker"), "left")
 }
