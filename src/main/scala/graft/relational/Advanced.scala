@@ -194,16 +194,49 @@ object Advanced {
       |GROUP BY c_mktsegment, q
       |ORDER BY c_mktsegment, q""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Exact percentiles (median / p90 / p99 of order value per
+    * priority): `percentile` is Spark's exact linear-interpolation
+    * aggregate — the same `lo + (hi-lo)·frac` at `rank = q·(n-1)` as
+    * DuckDB's quantile_cont, so the doubles match bit-for-bit.
+    * Exact percentile buffers each group's values (here: bounded
+    * priority groups — dimension-scale); for fact-scale groups the
+    * scale path is approx_percentile (t-digest sketch, mergeable
+    * map-side), which trades the oracle-exact answer for O(1) state —
+    * the classic exact/sketch pair, same as txt15's KMV vs COUNT
+    * DISTINCT. */
+  def q36Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5d)").as("p50"),
+        expr("percentile(o_totalprice, 0.9d)").as("p90"),
+        expr("percentile(o_totalprice, 0.99d)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q36Sql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  quantile_cont(o_totalprice, 0.99) AS p99,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
     "q33_top_supplier" -> (q33TopSupplier _),
     "q34_grouping_sets" -> (q34GroupingSets _),
-    "q35_ntile_quartiles" -> (q35NtileQuartiles _))
+    "q35_ntile_quartiles" -> (q35NtileQuartiles _),
+    "q36_percentiles" -> (q36Percentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
     "q33_top_supplier" -> q33Sql,
     "q34_grouping_sets" -> q34Sql,
-    "q35_ntile_quartiles" -> q35Sql)
+    "q35_ntile_quartiles" -> q35Sql,
+    "q36_percentiles" -> q36Sql)
 }
