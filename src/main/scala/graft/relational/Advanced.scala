@@ -225,18 +225,52 @@ object Advanced {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Time-RANGE window frames: per-user trailing-1-hour sum/count at
+    * every event — RANGE BETWEEN (value-based bounds) is a different
+    * frame semantics from the ROWS frames q10/ob04 use: the frame is
+    * "all events within 3 600 000 ms", not "the last k rows", so it
+    * widens and narrows with event density. Partitioning is by
+    * user_id — a key whose cardinality grows with the data (unlike a
+    * 5-value language key), so the per-partition sort parallelizes;
+    * a pathologically hot user would take the bucketed-scan treatment
+    * (ob18). Frame sums are decimal-exact then cast. */
+  def q37RangeFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("hour_sum",
+        sum(col("value").cast(dec)).over(w).cast(DoubleType))
+      .withColumn("hour_cnt", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("hour_sum"), col("hour_cnt"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+      |  COUNT(*) OVER w AS hour_cnt
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
     "q33_top_supplier" -> (q33TopSupplier _),
     "q34_grouping_sets" -> (q34GroupingSets _),
     "q35_ntile_quartiles" -> (q35NtileQuartiles _),
-    "q36_percentiles" -> (q36Percentiles _))
+    "q36_percentiles" -> (q36Percentiles _),
+    "q37_range_frames" -> (q37RangeFrames _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
     "q33_top_supplier" -> q33Sql,
     "q34_grouping_sets" -> q34Sql,
     "q35_ntile_quartiles" -> q35Sql,
-    "q36_percentiles" -> q36Sql)
+    "q36_percentiles" -> q36Sql,
+    "q37_range_frames" -> q37Sql)
 }
