@@ -27,9 +27,16 @@ object Bench {
       math.max(256L, 8L * math.round(math.sqrt(perTicker.toDouble))))
     spark.conf.set("spark.graft.scanBucketRows", targetRows.toString)
     System.err.println(s"[bench] scanBucketRows=$targetRows (events=$nEvents)")
+    // Optional args = query-name filter (substring match on the full
+    // registry name) for iterating on one query's plan without paying
+    // for the whole suite. The driver invokes with no args → full run.
+    val wanted = args.toSeq
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted.exists(n.contains) }
     // Registry-prefix uniqueness gates the whole run — check BEFORE
     // spending two benchmark passes on it.
-    val names = SparkEntry.queries.keys.toSeq
+    val names = selected.keys.toSeq
     require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
       "bench short names collide; fix the registry prefixes")
     // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
@@ -43,7 +50,7 @@ object Bench {
     // fast failure can never masquerade as a fast run; a query that
     // fails BOTH passes reports -1 (and its stderr failure lines).
     def onePass(tag: String): Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      selected.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -304,6 +304,85 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+object IntVecDot {
+  /** Σ a(i)·b(i) over two int arrays, accumulated in Long — exact for
+    * any realistic dim (|dot| ≤ dim·2^62/dim). The int8-quantized
+    * scorer's hot loop: the `aggregate(zip_with(...))` lambda spelling
+    * allocates a zipped struct array per pair and runs interpreted —
+    * and when the score feeds `graft_topk`, project-collapse inlines
+    * it into BOTH the score and payload arguments, evaluating it twice
+    * per candidate inside the non-codegen aggregate. This is one
+    * allocation-free pass. Null element poisons to null, like VecDot. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** int_dot(array<int>, array<int>) → bigint (exact integer dot). */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Long ${ev.value}_r = graft.functions.IntVecDot.dot($a, $b);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.longValue(); }
+      |""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_int_dot"
+}
+
+object IntVecL2Sq {
+  /** Σ (a(i)−b(i))² in Long — exact squared L2 for int8-range arrays
+    * (PQ encoding's nearest-codeword metric). Same null poisoning. */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getInt(i).toLong - b.getInt(i) // widen BEFORE subtracting: int diff wraps at extremes
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** int_l2sq(array<int>, array<int>) → bigint (exact squared distance). */
+case class IntVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntVecL2Sq.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Long ${ev.value}_r = graft.functions.IntVecL2Sq.l2sq($a, $b);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.longValue(); }
+      |""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecL2Sq =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_int_l2sq"
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; queries call this so the
     * expressions are usable from SQL text and lambda bodies alike. */
@@ -328,5 +407,9 @@ object GraftFunctions {
     // groupBy(...).agg(call_function("graft_topk", ...)) directly
     reg.createOrReplaceTempFunction("graft_topk",
       (e: Seq[Expression]) => TopKStruct(e(0), e(1), e(2), e(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_int_dot",
+      (e: Seq[Expression]) => IntVecDot(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_int_l2sq",
+      (e: Seq[Expression]) => IntVecL2Sq(e(0), e(1)), "built-in")
   }
 }

@@ -300,8 +300,8 @@ object Similarity {
     val scored = broadcast(q.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("q").as("qq")))
       .join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qdot",
+        call_function("graft_int_dot", col("qq"), col("qc")))
     // qdot's double cast is order-exact: |qdot| ≤ dim·127² ≪ 2^53
     topKPerQuery(scored, 3, col("qdot"), col("neighbor_id"),
         Seq("neighbor_id", "qdot"))
@@ -355,8 +355,8 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("q").as("qq"),
           col("e").as("eq"), col("nrm").as("nrm_q")))
       .join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qdot",
+        call_function("graft_int_dot", col("qq"), col("qc")))
     val shortlist =
       topKPerQuery(scored, 10, col("qdot"), col("neighbor_id"),
         Seq("neighbor_id", "qdot", "eq", "ec", "nrm_q", "nrm_c"))
@@ -440,10 +440,8 @@ object Similarity {
     // encode: nearest codeword per (vector, subspace) by exact int L2²;
     // min(struct(dist, k)) is lexicographic = ORDER BY dist, k LIMIT 1
     val codes = q.crossJoin(broadcast(cb))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(slice(q, cast(m * 16 + 1 as int), 16), csub,
-          |  (a, b) -> cast(a - b as bigint) * (a - b)), 0L, (acc, x) -> acc + x)"""
-          .stripMargin))
+      .withColumn("dist", call_function("graft_int_l2sq",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
       .groupBy(col("vec_id"))
@@ -452,10 +450,8 @@ object Similarity {
     // per-query ADC lookup tables: lut[m][k] = querySub_m · codeword_{m,k}
     val lut = q.where(col("vec_id") < 5)
       .crossJoin(broadcast(cb))
-      .withColumn("dot", expr(
-        """aggregate(zip_with(slice(q, cast(m * 16 + 1 as int), 16), csub,
-          |  (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"""
-          .stripMargin))
+      .withColumn("dot", call_function("graft_int_dot",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
       .groupBy(col("vec_id").as("query_id"), col("m"))
       .agg(expr("transform(sort_array(collect_list(struct(k, dot))), p -> p.dot)")
         .as("row"))

@@ -57,4 +57,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Long](
       "graft_positional_eq_count(array(1L,2L,3L), array(1L,9L,3L))") === 2L)
   }
+
+  test("int_dot: exact long-accumulated integer dot") {
+    assert(one[Long]("graft_int_dot(array(1, -2, 3), array(4, 5, 6))") ===
+      (4L - 10L + 18L))
+    // int32 extremes can't overflow the long accumulator per element
+    assert(one[Long](
+      "graft_int_dot(array(2147483647, 2147483647), array(2147483647, 1))") ===
+      2147483647L * 2147483647L + 2147483647L)
+    assert(one[Long]("graft_int_dot(array(), array())") === 0L)
+    // length mismatch and null elements poison to null, like graft_vec_dot
+    assert(one[Any]("graft_int_dot(array(1), array(1, 2))") === null)
+    assert(one[Any](
+      "graft_int_dot(array(1, cast(null as int)), array(1, 2))") === null)
+  }
+
+  test("int_l2sq: exact squared L2 distance") {
+    assert(one[Long]("graft_int_l2sq(array(1, 2, 3), array(4, 0, 3))") ===
+      (9L + 4L + 0L))
+    // opposite-sign extremes: per-element diff exceeds int range but is
+    // computed in long, so no wraparound
+    assert(one[Long](
+      "graft_int_l2sq(array(2147483647), array(-2147483648))") === {
+      val d = 2147483647L - -2147483648L; d * d
+    })
+    assert(one[Any]("graft_int_l2sq(array(1), array(1, 2))") === null)
+  }
 }
