@@ -42,6 +42,27 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
     // the session startup cost.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // CONTENTION SENTINEL: this machine is co-tenanted, and a noisy
+    // window can inflate a handful of adjacent queries 20-60× (round 5's
+    // committed artifact recorded exactly that). A fixed cheap probe
+    // query re-runs every PROBE_EVERY queries; since its plan and data
+    // never change, probe variance IS machine noise. The probe times,
+    // per-pass load averages, and a contention verdict go into the JSON
+    // line so a contaminated record is machine-adjudicable without a
+    // re-run.
+    val probeFn = SparkEntry.queries("q14_date_funcs")
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runProbe(): Unit = {
+      val t0 = System.nanoTime()
+      probeFn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      probeTimes += sec
+      System.err.println(f"[bench] probe q14 $sec%8.2f s")
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ProbeEvery = 10
+    runProbe() // warm + baseline observation before pass 1
     // Two passes, per-query MIN over SUCCESSFUL runs: a single pass is
     // hostage to co-tenant machine load — one noisy scheduling window
     // mis-grades a handful of adjacent queries by 2-3× (plans and row
@@ -49,8 +70,9 @@ object Bench {
     // observation of the same plan). A failed attempt records None so a
     // fast failure can never masquerade as a fast run; a query that
     // fails BOTH passes reports -1 (and its stderr failure lines).
-    def onePass(tag: String): Seq[(String, Option[Double])] =
-      selected.toSeq.map { case (name, fn) =>
+    def onePass(tag: String): Seq[(String, Option[Double])] = {
+      val out = selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % ProbeEvery == 0) runProbe()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -64,6 +86,10 @@ object Bench {
         System.err.println(f"[bench] $tag $name%-24s $sec%8.2f s")
         name -> (if (ok) Some(sec) else None)
       }
+      runProbe() // close out the pass with one more observation
+      loadAvgs += osBean.getSystemLoadAverage
+      out
+    }
     val byName = Seq(onePass("p1"), onePass("p2")).map(_.toMap)
     val results = names.map { name =>
       val sec = byName.flatMap(_.apply(name)) match {
@@ -88,7 +114,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"keys":"registry-id prefixes","queries":$qs,"sf":"$sfName"}""")
+    // Contention verdict: the probe's first run can carry residual JIT
+    // warmup, so only post-warmup observations count. The statistic is
+    // MEDIAN/min, not max/min: a sub-second probe throws the odd 3-4×
+    // outlier from ordinary scheduler jitter (one flagged observation
+    // out of ~20 is a healthy machine), while a round-5-style co-tenant
+    // window inflates MOST observations 10-50× — exactly what shifts
+    // the median. >3× median inflation ⇒ per-query times on this record
+    // are machine noise.
+    val steady = probeTimes.drop(1)
+    val probeRatio =
+      if (steady.nonEmpty && steady.min > 0) {
+        val sorted = steady.sorted
+        sorted(sorted.size / 2) / sorted.head
+      } else 1.0
+    val contended = probeRatio > 3.0
+    if (contended)
+      System.err.println(f"[bench] CONTENTION probe variance $probeRatio%.1fx" +
+        " — per-query times on this record are machine noise, re-run")
+    val probeJson = steady.map(num).mkString("[", ",", "]")
+    val loadJson = loadAvgs.map(num).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":${num(probeRatio)},"load_avg":$loadJson,"contended":$contended,"sf":"$sfName"}""")
     spark.stop()
   }
 }
