@@ -494,71 +494,22 @@ object Dedup {
     * into ONE cluster even when A≉C directly (the injected %77 docs have
     * exactly that triangle-free shape: exact copy +1M, near copy +2M).
     *
-    * Algorithm: iterative min-label propagation to a fixpoint — per
-    * round one equi-join (labels onto edge sources) + one min-agg, i.e.
-    * two hash shuffles over |E| and |V| rows; rounds = component
-    * diameter. Dup clusters are near-stars (diameter ≤ 3), so this
-    * converges in 2–3 rounds; a web-scale graph with long chains would
-    * swap in the large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") on the same
-    * edge frame, and checkpoint every ~5 rounds to cut lineage. The
-    * convergence probe is a scalar DECIMAL(38,0) sum of labels (strictly
-    * decreasing until fixpoint, overflow-proof at any |V|), never a
-    * collect of rows.
+    * One CC core serves dd07 and dd09: alternating star contraction
+    * ([[connectedComponentsStar]]). Earlier rounds kept a second engine
+    * here — iterative min-label propagation, O(diameter) rounds — which
+    * is fine on near-star dup graphs but loses to the star core's
+    * O(log n) everywhere else and duplicated the iterative machinery
+    * (persist discipline, decimal convergence probe, lineage cuts) for
+    * no semantic difference. dd07/dd09 now differ only as registry
+    * names pinned to the same oracle (DedupClusterSpec additionally
+    * checks the clusters against an in-memory union-find).
     *
     * Output: one row per non-singleton cluster — cluster_id = min
     * doc_id (the survivor dd02-style keep rule would retain), n_docs,
     * max_id. Reference has no graph stage; this generalizes
     * consumer.py:98-107's per-row dedup to transitive near-dup groups. */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def checksum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.get(0)
-      if (v == null) java.math.BigDecimal.ZERO
-      else v.asInstanceOf[java.math.BigDecimal]
-    }
-    // Fold the first propagation round into initialization: the vertex
-    // set and min-neighbor are one aggregation over the (bidirectional)
-    // edges, so label₀ = min(id, neighbors) — one fewer |E|-join round.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var sum0 = checksum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 25) {
-      val prop = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sum1 = checksum(next)
-      labels.unpersist()
-      labels = next
-      converged = sum1.compareTo(sum0) == 0
-      sum0 = sum1
-      rounds += 1
-    }
-    require(converged, s"dupClusters did not converge in $rounds rounds")
-    // The cluster summary is orders of magnitude smaller than the input;
-    // localCheckpoint materializes it (still distributed) and truncates
-    // the round-by-round lineage so every iteration cache can drop.
-    val out = labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
-      .orderBy(col("cluster_id"))
-      .localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
-    out
-  }
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    starClusters(s, d)
 
   /** DuckDB mirror: same banded-candidate + exact-verify edge CTEs as
     * dd03, components via a recursive walk (every node collects the
@@ -599,8 +550,8 @@ object Dedup {
     * (edge count, DECIMAL(38,0) sum of targets) — scalar, never a row
     * collect; the target sum is non-increasing (every rewrite points a
     * node at a smaller-or-equal label), so a stable probe is a stable
-    * edge set. Output and oracle are IDENTICAL to dd07 — the
-    * correctness gate pins both algorithms to the same clusters. */
+    * edge set. Output and oracle are IDENTICAL to dd07, which delegates
+    * here — one CC engine, two registry pins on the same answer. */
   def starClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
     connectedComponentsStar(
@@ -615,16 +566,20 @@ object Dedup {
     * Returned frame is localCheckpoint'ed (small: one row per
     * non-singleton node) so every iteration cache can drop. */
   private[graft] def connectedComponentsStar(edges0: DataFrame): DataFrame = {
-    // each round references the previous edge set several times (sym
+    // Each round references the previous edge set several times (sym
     // twice, the min-join again) — under persist alone the LINEAGE
     // still multiplies ~4× per round and the plan outgrows the heap
     // after ~10 rounds (exactly the long-chain regime this algorithm
-    // exists for). localCheckpoint materializes AND truncates lineage:
-    // every round starts from a leaf scan.
+    // exists for). localCheckpoint materializes AND truncates lineage —
+    // but LAZILY (eager = false): the convergence probe right after is
+    // the round's one action, computing the round AND pinning its
+    // partitions as the checkpoint in the same job (eager checkpoints
+    // would pay a second job per round just to re-scan what the probe
+    // already materialized).
     var e = edges0.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges0.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("v").cast(
@@ -639,14 +594,17 @@ object Dedup {
     while (!converged && rounds < 30) {
       // LARGE-STAR: over the symmetric neighborhood of u, every
       // strictly-larger neighbor links to m = min(N(u) ∪ {u}) — the
-      // distance-halving hop
+      // distance-halving hop. No distinct here: duplicate (v, m) rows
+      // (several u's nominating the same rewrite) can't change mins2's
+      // min below and die in small's distinct — skipping the dedup
+      // saves a full (u, v) shuffle per round, and |large| stays
+      // ≤ |sym| regardless because each sym row emits at most one row.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // SMALL-STAR: large's output points strictly downward, so for
       // each u every down-neighbor (and u itself) links to the local
       // minimum — flattening multi-parent nodes into stars
@@ -656,7 +614,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val next = probe(small)
       e.unpersist()
       e = small
@@ -768,18 +726,36 @@ object Dedup {
 
   private def bloomDecontOn(s: SparkSession, evalGrams: DataFrame,
       train: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
     val n = evalGrams.count()
     val trainGrams = wordGrams(train)
-    // zero eval grams → zero hits, and stat.bloomFilter over an empty
-    // frame yields a null-backed sketch whose mightContain NPEs — skip
-    // the probabilistic stage entirely (the exact join is empty anyway)
+    // zero eval grams → zero hits, and the sketch aggregate over an
+    // empty frame yields a NULL binary — skip the probabilistic stage
+    // entirely (the exact join is empty anyway)
     val prefiltered =
       if (n == 0L) trainGrams.where(lit(false))
       else {
-        val bloom = evalGrams.stat.bloomFilter("gram", n, 0.01)
-        val bc = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((g: String) => bc.value.mightContainString(g))
-        trainGrams.where(mightContain(col("gram"))) // map-side: ≥99% dropped
+        // Distributed sketch build: Spark's own BloomFilterAggregate
+        // (graft_bloom_agg) over xxhash64(gram) — per-partition partial
+        // sketches OR-merge on the executors; one ~MB binary returns.
+        val numBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(n, 0.01)
+        val sketch = evalGrams
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("gram")), lit(n), lit(numBits)).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        // Probe with the codegen'd BloomFilterMightContain expression —
+        // the hottest map-side filter of the operator stays inside
+        // whole-stage codegen instead of breaking on a Scala-UDF
+        // closure. The sketch rides the plan as a binary literal (same
+        // driver round-trip stat.bloomFilter made; at the 10⁹-gram
+        // regime a scalar-subquery sketch — InjectRuntimeFilter's
+        // spelling — replaces the literal, identical probe plan).
+        // xxhash64 on both sides matches the sketch's long-probe API;
+        // hash collisions only admit extra candidates, which the exact
+        // join below kills like any other false positive.
+        trainGrams.where(call_function("graft_might_contain",
+          lit(sketch), xxhash64(col("gram")))) // map-side: ≥99% dropped
       }
     val hits = prefiltered
       .join(evalGrams.hint("shuffle_hash"), "gram") // exact: kills FPs

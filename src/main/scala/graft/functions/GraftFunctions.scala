@@ -411,5 +411,20 @@ object GraftFunctions {
       (e: Seq[Expression]) => IntVecDot(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_int_l2sq",
       (e: Seq[Expression]) => IntVecL2Sq(e(0), e(1)), "built-in")
+    // Spark's own runtime-filter sketch pair (registered internally as
+    // bloom_filter_agg / might_contain, reachable only by the optimizer)
+    // surfaced under graft names so queries can call them directly:
+    // a distributed TypedImperativeAggregate sketch build and a
+    // codegen'd probe expression — no Scala-UDF closure in the hot
+    // map-side filter (dd10's regime). Probe values are longs
+    // (mightContainLong), so callers hash with xxhash64 on both sides.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      (e: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      (e: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(e(0), e(1)), "built-in")
   }
 }

@@ -238,14 +238,16 @@ class PlanSpec extends AnyFunSuite {
   test("dd10: bloom prefilter runs map-side; the exact verify join is " +
     "NOT a gram broadcast") {
     // the operator exists for the regime where eval grams can't be
-    // broadcast raw: the only broadcast allowed is the filter itself
-    // (a sketch inside a UDF); hits must flow through a shuffled join
+    // broadcast raw: the only broadcast allowed is the sketch itself
+    // (a codegen'd might_contain probe); hits must flow through a
+    // shuffled join
     val df = graft.dedup.Dedup.decontaminateBloomPlan(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the UDF collapses into the gram expression and pushes below the
-    // projection: Filter (UDF(array_join(slice(tk…
-    assert(p.contains("Filter (UDF("), s"dd10 bloom prefilter missing:\n$p")
+    // the probe is Spark's BloomFilterMightContain expression pushed
+    // into the scan-side filter — codegen'd, never a Scala-UDF closure
+    assert(p.contains("might_contain"), s"dd10 bloom prefilter missing:\n$p")
+    assert(!p.contains("UDF"), s"dd10 probe fell back to a Scala UDF:\n$p")
     assert("ShuffledHashJoin \\[gram".r.findFirstIn(p).isDefined,
       s"dd10 verify join is not the hinted shuffle join:\n$p")
     assert(!"BroadcastHashJoin \\[gram".r.findFirstIn(p).isDefined,

@@ -28,10 +28,27 @@ class DedupClusterSpec extends AnyFunSuite {
     rows.foreach { case (cid, _, mx) => assert(cid < mx) }
   }
 
-  test("star contraction equals min-label propagation on the corpus") {
-    val ord = org.apache.spark.sql.functions.col("cluster_id")
-    assert(Dedup.starClusters(spark, dir).orderBy(ord).collect().toSeq ===
-      Dedup.dupClusters(spark, dir).orderBy(ord).collect().toSeq)
+  test("star contraction matches an in-memory union-find on the corpus") {
+    // independent oracle: collect the (small) verified pair set and run
+    // classic union-find on the driver; cluster summaries must agree
+    val edges = Dedup.ngramJaccard(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) =>
+        (root, members.size.toLong, members.max) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.dupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
   }
 
   test("star contraction closes a 512-node chain — the long-diameter " +
