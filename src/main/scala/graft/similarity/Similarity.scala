@@ -44,6 +44,41 @@ object Similarity {
       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
       |""".stripMargin
 
+  /** Config key: coarse-quantizer width — the IVF/k-NN-graph cell count
+    * (sim03/04/08); sim02 derives its hyperplane count from it as
+    * max(1, ⌈log₂ cells⌉) (buckets ≈ cells). Unset → ⌈√n⌉ over the
+    * nonzero-norm corpus: cells ≈ √n makes the blocked self-join's
+    * total pairwise work cells · (n/cells)² = O(n^1.5) — SURVEY's scale
+    * claim as code, where a fixed cell count would degenerate toward
+    * all-pairs at 100× the data. Centroids/planes remain the
+    * deterministic first-k corpus vectors (no RNG), so results are
+    * reproducible and the oracle mirrors the selection exactly. */
+  val IvfCellsKey = "spark.graft.ivfCells"
+
+  /** One-row {c: LONG} frame: the conf override, else ⌈√n⌉ as a scalar
+    * aggregate of the corpus — declarative (no driver-side count
+    * action); consumers broadcast it onto a `vec_id < c` prefix filter. */
+  private def cellsOf(s: SparkSession, n: DataFrame): DataFrame =
+    s.conf.getOption(IvfCellsKey) match {
+      case Some(k) => s.range(1).select(lit(k.toLong).as("c"))
+      case None => n.agg(ceil(sqrt(count(lit(1)))).as("c"))
+    }
+
+  /** The deterministic first-⌈cells⌉ corpus prefix as IVF centroids. */
+  private def centroids(s: SparkSession, n: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cellsOf(s, n)))
+      .where(col("vec_id") < col("c"))
+      .select(col("vec_id").as("pid"), col("e").as("ce"),
+        col("nrm").as("cnrm"))
+
+  /** Oracle mirror of [[cellsOf]] (default path) + [[centroids]]. */
+  private val centCte: String =
+    """cells AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n WHERE nrm > 0),
+      |cent AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
+      |  WHERE vec_id < cells.c)""".stripMargin
+
   /** Exact top-k per query as ONE bounded-heap aggregation
     * ([[graft.functions.TopKStruct]]): `groupBy(query_id)` with the
     * `graft_topk` TypedImperativeAggregate, which
@@ -104,13 +139,16 @@ object Similarity {
       |ORDER BY query_id, rnk""".stripMargin
 
   // --------------------------------------------------------------- sim02
-  /** LSH-bucketed ANN: 4 sign-of-dot hyperplane bits (planes = the first
-    * 4 data vectors — deterministic, no RNG), bucket equi-join, cosine
-    * top-3 within bucket. Trades recall for touching ~1/16 of
-    * candidates. */
+  /** LSH-bucketed ANN: max(1, ⌈log₂ cells⌉) sign-of-dot hyperplane bits
+    * (planes = the first k data vectors — deterministic, no RNG; k
+    * scales with [[IvfCellsKey]], default ⌈log₂√n⌉ bits ⇒ ~√n buckets),
+    * bucket equi-join, cosine top-3 within bucket. Trades recall for
+    * touching ~n/buckets of the candidates per query. */
   def lshAnn(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val planes = n.where(col("vec_id") < 4)
+    val planes = n.crossJoin(broadcast(cellsOf(s, n)
+        .select(greatest(lit(1L), ceil(log2(col("c")))).as("np"))))
+      .where(col("vec_id") < col("np"))
       .select(col("vec_id").as("pid"), col("e").as("pe"))
     val sigs = n.crossJoin(broadcast(planes))
       .withColumn("bit",
@@ -136,7 +174,10 @@ object Similarity {
   }
 
   val lshAnnSql: String = normedCte + "," +
-    """planes AS (SELECT vec_id AS pid, e AS pe FROM n WHERE vec_id < 4),
+    """cells AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n WHERE nrm > 0),
+      |np AS (SELECT GREATEST(1, CAST(ceil(log2(c)) AS BIGINT)) AS p FROM cells),
+      |planes AS (SELECT vec_id AS pid, e AS pe FROM n, np WHERE vec_id < np.p),
       |sigs AS (
       |  SELECT v.vec_id, v.label, v.e, v.nrm,
       |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) >= 0
@@ -155,18 +196,17 @@ object Similarity {
       |ORDER BY query_id, rnk""".stripMargin
 
   // --------------------------------------------------------------- sim03
-  /** IVF (inverted-file) ANN: centroids = the first 4 data vectors
-    * (deterministic, no k-means RNG), every vector assigned to its
-    * nearest centroid by cosine (row_number tie-broken on centroid id),
-    * queries probe ONLY their own cell (nprobe=1). The classic
-    * coarse-quantizer trade: each probe touches |corpus|/k candidates.
-    * At 100 TB the assignment is one broadcast-join map pass and the
-    * probe is an equi-join on cell id — no pairwise blowup anywhere. */
+  /** IVF (inverted-file) ANN: centroids = the first ⌈cells⌉ data vectors
+    * (deterministic, no k-means RNG; cells from [[IvfCellsKey]], default
+    * ⌈√n⌉), every vector assigned to its nearest centroid by cosine
+    * (row_number tie-broken on centroid id), queries probe ONLY their
+    * own cell (nprobe=1). The classic coarse-quantizer trade: each probe
+    * touches |corpus|/cells candidates. At 100 TB the assignment is one
+    * broadcast-join map pass and the probe is an equi-join on cell id —
+    * no pairwise blowup anywhere. */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cent = n.where(col("vec_id") < 4)
-      .select(col("vec_id").as("pid"), col("e").as("ce"),
-        col("nrm").as("cnrm"))
+    val cent = centroids(s, n)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pid"))
     val assigned = n.crossJoin(broadcast(cent))
@@ -193,9 +233,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val ivfAnnSql: String = normedCte + "," +
-    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
-      |assigned AS (
+  val ivfAnnSql: String = normedCte + "," + centCte + "," +
+    """assigned AS (
       |  SELECT vec_id, e, nrm, pid AS cell FROM (
       |    SELECT v.vec_id, v.e, v.nrm, c.pid,
       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -226,9 +265,7 @@ object Similarity {
     * needs no distinct. */
   def ivfMultiProbe(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cent = n.where(col("vec_id") < 4)
-      .select(col("vec_id").as("pid"), col("e").as("ce"),
-        col("nrm").as("cnrm"))
+    val cent = centroids(s, n)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pid"))
     val ranked = n.crossJoin(broadcast(cent))
@@ -254,9 +291,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val ivfMultiProbeSql: String = normedCte + "," +
-    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
-      |ranked AS (
+  val ivfMultiProbeSql: String = normedCte + "," + centCte + "," +
+    """ranked AS (
       |  SELECT v.vec_id, v.e, v.nrm, c.pid,
       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
       |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
@@ -524,17 +560,17 @@ object Similarity {
     * The sim03 coarse quantizer blocks the self-join instead — each
     * vector scores only the candidates in its own IVF cell, an
     * equi-join on cell id whose per-cell cost is (n/cells)² rather
-    * than n²; production picks cells ≈ √n so the whole graph build is
-    * O(n^1.5) and every stage is cell-parallel. Ranking is the same
+    * than n²; cells defaults to ⌈√n⌉ ([[IvfCellsKey]]), so the whole
+    * graph build is O(n^1.5) and every stage is cell-parallel — the
+    * parameter GROWS with the corpus instead of degenerating toward
+    * all-pairs at 100× the data. Ranking is the same
     * bounded-heap `graft_topk` aggregate as every other sim query —
     * with n groups (one per vector) instead of 5, the map-side
     * partial reduction is doing its real job: the shuffle carries
     * ≤ k×partitions rows per VECTOR, never a scored candidate set. */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cent = n.where(col("vec_id") < 4)
-      .select(col("vec_id").as("pid"), col("e").as("ce"),
-        col("nrm").as("cnrm"))
+    val cent = centroids(s, n)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pid"))
     val assigned = n.crossJoin(broadcast(cent))
@@ -561,9 +597,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val knnGraphSql: String = normedCte + "," +
-    """cent AS (SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 4),
-      |assigned AS (
+  val knnGraphSql: String = normedCte + "," + centCte + "," +
+    """assigned AS (
       |  SELECT vec_id, e, nrm, pid AS cell FROM (
       |    SELECT v.vec_id, v.e, v.nrm, c.pid,
       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
