@@ -100,17 +100,36 @@ object Multimodal {
 
   // ---------------------------------------------------------------- mm03
   /** Decode + feature-extract through the typed batch path
-    * ([[DecodeStub]] via mapPartitions — the Scala analog of a
+    * ([[ImageDecode]] via mapPartitions — the Scala analog of a
     * mapInPandas decode stage): per-partition imperative loop over raw
-    * bytes, emitting small numeric features. */
+    * bytes, emitting small numeric features.
+    *
+    * The decode is REAL for image payloads: `javax.imageio` (PNG / JPEG
+    * / GIF / BMP readers ship inside the JDK — zero new dependencies)
+    * parses the container and rasterizes pixels; features then come
+    * from the DECODED raster (width / height / channels / mean sample /
+    * sample checksum; ImageDecodeSpec drives an in-memory PNG through
+    * this exact pipeline). Payloads no reader claims — this synthetic
+    * corpus's UTF-8 text bytes, or a codec the JDK lacks — fall back to
+    * [[DecodeStub]]'s byte-stream features with width/height/channels
+    * = −1 and decoded = 0, keeping the operator total over mixed
+    * corpora (and the oracle a pure-SQL mirror on this corpus, where
+    * nothing parses as an image). */
   def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    media(s, d)
-      .select(col("media_id"), col("kind"), col("payload"))
-      .as[DecodeStub.MediaRow]
-      .mapPartitions(rows => rows.map(DecodeStub.decode))
+    decodeFrames(s, media(s, d))
       .toDF()
       .orderBy(col("media_id"))
+  }
+
+  /** The decode stage alone, over any (media_id, kind, payload) frame —
+    * shared by mm03 and the PNG-fixture spec. */
+  private[graft] def decodeFrames(s: SparkSession, m: DataFrame)
+      : org.apache.spark.sql.Dataset[ImageDecode.MediaFeatures] = {
+    import s.implicits._
+    m.select(col("media_id"), col("kind"), col("payload"))
+      .as[DecodeStub.MediaRow]
+      .mapPartitions(rows => rows.map(ImageDecode.decode))
   }
 
   val decodeFeaturesSql: String = mediaCte +
@@ -121,7 +140,11 @@ object Multimodal {
       |    / octet_length(payload) AS mean_byte,
       |  list_reduce(list_transform(range(1, LENGTH(text) + 1),
       |    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+      |  CAST(-1 AS INTEGER) AS width,
+      |  CAST(-1 AS INTEGER) AS height,
+      |  CAST(-1 AS INTEGER) AS channels,
+      |  CAST(0 AS INTEGER) AS decoded
       |FROM media
       |ORDER BY media_id""".stripMargin
 
@@ -281,19 +304,77 @@ object Multimodal {
     "mm05_phash_neardup" -> phashNearDupSql)
 }
 
-/** STUB DECODER — stands in for libjpeg/ffmpeg/etc., which this
-  * container does not ship. The "decode" just reads the raw bytes as
-  * the sample stream. The surrounding plumbing (typed rows, partition
-  * iterator, feature schema) is exactly what a real codec would plug
-  * into: replace [[decode]]'s body and nothing else moves. */
+/** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
+  * GIF / BMP readers are part of every JRE — no new dependency). The
+  * typed mapPartitions slot is shared with the byte-stream fallback:
+  * a payload some installed reader recognizes yields RASTER features
+  * (dimensions, channel count, mean sample, sample checksum); anything
+  * else flows through [[DecodeStub]] untouched. */
+object ImageDecode {
+  // decode entirely in memory: the default ImageIO disk cache would
+  // write a temp file per payload inside the executor hot loop
+  javax.imageio.ImageIO.setUseCache(false)
+
+  final case class MediaFeatures(media_id: Long, kind: String,
+      n_bytes: Int, mean_byte: Double, checksum: Long,
+      width: Int, height: Int, channels: Int, decoded: Int)
+
+  /** Decode features: for a real image, mean_byte/checksum run over the
+    * decoded samples in row-major, channel-minor order (the same
+    * fold shape as the byte fallback, so downstream consumers treat
+    * both identically); otherwise [[DecodeStub.decode]]'s byte-stream
+    * features with sentinel dimensions. ImageIO.read returning null
+    * (no reader claims the bytes) and a reader throwing on a truncated
+    * container both take the fallback — the stage is total. */
+  def decode(m: DecodeStub.MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val f = DecodeStub.decode(m)
+      MediaFeatures(f.media_id, f.kind, f.n_bytes, f.mean_byte, f.checksum,
+        width = -1, height = -1, channels = -1, decoded = 0)
+    } else {
+      val raster = img.getRaster
+      val (w, h, ch) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L
+      var hash = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < ch) {
+            val v = raster.getSample(x, y, c)
+            sum += v
+            hash = (hash * 31 + v) % 1000000007L
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val nSamples = w.toLong * h * ch
+      MediaFeatures(m.media_id, m.kind, m.payload.length,
+        sum.toDouble / nSamples, hash, w, h, ch, decoded = 1)
+    }
+  }
+}
+
+/** BYTE-STREAM FALLBACK — the pre-round-6 stub, now the total-function
+  * safety net behind [[ImageDecode]] for payloads no JDK reader claims
+  * (this corpus's UTF-8 text bytes; in production, codecs the JDK
+  * lacks — video/audio would plug a real library into the same slot).
+  * The "decode" just reads the raw bytes as the sample stream. */
 object DecodeStub {
   final case class MediaRow(media_id: Long, kind: String,
       payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Int, mean_byte: Double, checksum: Long)
 
-  /** Deterministic fake decode: mean "sample" value and a polynomial
-    * rolling checksum over the byte stream (mirrors
+  /** Deterministic fallback decode: mean "sample" value and a
+    * polynomial rolling checksum over the byte stream (mirrors
     * graft.functions.PolyHash for ASCII payloads, which the oracle
     * exploits — bytes ≡ codepoints there). */
   def decode(m: MediaRow): MediaFeatures = {
