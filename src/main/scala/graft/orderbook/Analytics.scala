@@ -338,7 +338,16 @@ object Analytics {
   // ------------------------------------------------------------------ B8
   /** Ingest-latency distribution (exact percentiles; latency is the
     * deterministic event_id-derived skew so both engines see identical
-    * integer samples). */
+    * integer samples).
+    *
+    * BOUNDED-BUFFER INVARIANT: exact `percentile` buffers every DISTINCT
+    * value per group (with counts), so its per-group state is
+    * O(distinct latencies), NOT O(rows) — safe here ONLY because latency
+    * = event_id % 7 has a 7-value domain (LatencyBoundSpec pins this).
+    * Real ingest latencies are unbounded-cardinality: at 100 TB the
+    * registered spelling must become `approx_percentile` (t-digest,
+    * O(1) state, ±ε rank error) or bucket the latency first. Do not
+    * widen the domain of this column without switching the aggregate. */
   def latency(s: SparkSession, d: String): DataFrame =
     Derive.deltas(s, d)
       .select(col("ticker"), (col("event_id") % 7).cast(IntegerType).as("latency"))

@@ -15,10 +15,33 @@ class EntrySpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
   }
 
-  test("query names are unique across modules") {
-    val all = relational.Relational.queries.map(_._1) ++
-      orderbook.Analytics.queries.map(_._1)
+  /** Batch queries whose semantics DuckDB cannot replay as one SQL
+    * statement — each entry must say why. Empty today: every registered
+    * query is oracle-checked. (Streaming components live outside the
+    * registry entirely, in their own suites.) A registry key landing
+    * here silently would drop it from the driver's hash gate — hence
+    * the explicit list + reason strings. */
+  private val oracleExempt: Map[String, String] = Map.empty
+
+  test("every registered query is oracle-gated or explicitly exempted") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val unGated = q -- o -- oracleExempt.keySet
+    assert(unGated.isEmpty,
+      s"queries with no oracle and no documented exemption: $unGated")
+    val staleExempt = oracleExempt.keySet -- q
+    assert(staleExempt.isEmpty, s"exemptions for dead keys: $staleExempt")
+  }
+
+  test("query names are unique across modules, and so are bench prefixes") {
+    val all = SparkEntry.queries.keys.toSeq
     assert(all.size === all.distinct.size)
+    // Bench keys its JSON by the id prefix (q01, dd03, …) and aborts on
+    // collision — pin it here so a registry merge fails as a fast spec,
+    // not two passes into a benchmark run
+    val prefixes = all.map(_.takeWhile(_ != '_'))
+    assert(prefixes.size === prefixes.distinct.size,
+      s"bench prefix collision: ${prefixes.diff(prefixes.distinct)}")
   }
 
   test("all queries run and return rows at sf0.001") {
