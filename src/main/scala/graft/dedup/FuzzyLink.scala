@@ -100,10 +100,20 @@ object FuzzyLink {
     val wBest = Window.partitionBy(col("dname"))
       .orderBy(col("dist"), col("canon_id"))
     val matched = dirtyRare.join(canonRare, "gram")
+      // levenshtein ≥ |length gap|: pairs more than the tolerance apart
+      // in length alone can never verify — prune INSIDE the blocking
+      // join, before the distinct shuffle and the edit-distance pass
+      // (mirrored in the oracle; removes nothing the ≤2 gate keeps)
+      .where(abs(length(col("dname")) - length(col("cname"))) <= 2)
       .select(col("dname"), col("cname"), col("canon_id")).distinct()
+      // banded early-exit edit distance: 3-arg levenshtein walks only a
+      // 2k+1 diagonal band and returns -1 past the threshold — O(len·k)
+      // per pair instead of O(len²), the dominant cost of this operator
+      // on candidate-heavy blocks. Survivors' distances are exact, so
+      // the oracle's plain levenshtein ≤ 2 selects identical rows.
       .withColumn("dist",
-        levenshtein(col("dname"), col("cname")).cast(IntegerType))
-      .where(col("dist") <= 2)
+        levenshtein(col("dname"), col("cname"), 2).cast(IntegerType))
+      .where(col("dist") >= 0)
       .withColumn("rk", row_number().over(wBest))
       .where(col("rk") === 1)
     // broadcast-back: dictionary verdicts rejoin the dirty dictionary
@@ -155,7 +165,8 @@ object FuzzyLink {
       |  WHERE rk <= 3),
       |cand AS (
       |  SELECT DISTINCT dr.dname, cr.cname, cr.canon_id
-      |  FROM drare dr JOIN crare cr ON dr.gram = cr.gram),
+      |  FROM drare dr JOIN crare cr ON dr.gram = cr.gram
+      |  WHERE abs(LENGTH(dr.dname) - LENGTH(cr.cname)) <= 2),
       |best AS (
       |  SELECT dname, cname, canon_id, dist FROM (
       |    SELECT dname, cname, canon_id,
