@@ -257,6 +257,43 @@ object Advanced {
       |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** TPC-H Q16 shape (parts/supplier relationship counts): for each
+    * (brand, type, size-octile), how many DISTINCT suppliers ship the
+    * part — excluding "problem" suppliers (negative account balance; the
+    * synthetic stand-in for Q16's complaints LIKE filter) via a
+    * broadcast ANTI-join. The supplier-part relation comes from
+    * lineitem (this corpus has no partsupp table); the distinct-count
+    * runs on (group, suppkey) AFTER the slim project, so the shuffle
+    * carries keys, never lineitem rows. Exercises: multi-join +
+    * anti-join + COUNT(DISTINCT) + computed grouping key, the Q16
+    * rubric row. */
+  def q38PartSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+    li.join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+          col("p_type"), expr("p_size div 8").as("size_octile"))),
+        "l_partkey")
+      .groupBy(col("p_brand"), col("p_type"), col("size_octile"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("size_octile"))
+  }
+
+  val q38Sql: String =
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size // 8 AS BIGINT) AS size_octile,
+      |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, size_octile
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, size_octile""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -264,7 +301,8 @@ object Advanced {
     "q34_grouping_sets" -> (q34GroupingSets _),
     "q35_ntile_quartiles" -> (q35NtileQuartiles _),
     "q36_percentiles" -> (q36Percentiles _),
-    "q37_range_frames" -> (q37RangeFrames _))
+    "q37_range_frames" -> (q37RangeFrames _),
+    "q38_part_supplier_counts" -> (q38PartSupplierCounts _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -272,5 +310,6 @@ object Advanced {
     "q34_grouping_sets" -> q34Sql,
     "q35_ntile_quartiles" -> q35Sql,
     "q36_percentiles" -> q36Sql,
-    "q37_range_frames" -> q37Sql)
+    "q37_range_frames" -> q37Sql,
+    "q38_part_supplier_counts" -> q38Sql)
 }

@@ -617,6 +617,104 @@ object Similarity {
       |WHERE rnk <= 2
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim09
+  /** SemDeDup END-TO-END: the semantic-dedup decision sim08's graph
+    * exists to feed. Corpus = embeddings ∪ injected scaled copies
+    * (dd06's augmentation — scaling preserves direction, so a copy is
+    * an exact semantic dup), near-pairs = same-IVF-cell pairs with
+    * cosine ≥ 0.95 (the blocked self-join, never all-pairs; cells from
+    * [[IvfCellsKey]], default ⌈√n⌉), and pair → CLUSTER assembly runs
+    * on the dedup family's one CC engine
+    * ([[graft.dedup.Dedup.connectedComponentsStar]]) — the same
+    * prefilter-verify-contract composition a production SemDeDup
+    * pipeline ships: per cluster, everything but min vec_id is dropped.
+    *
+    * Output: one row per near-dup cluster (cluster_id = the kept
+    * vector, n_vecs, n_dropped, max_id). A scaled copy lands in its
+    * source's cell (same direction ⇒ same centroid cosines, mirrored
+    * fold-exact in the oracle), so recall on true dups is structural,
+    * not probabilistic. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val n = v.unionByName(v.where(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          expr("transform(e, x -> x * 1.1d)").as("e")))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+      .where(col("nrm") > 0)
+    val cent = centroids(s, n)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val c = assigned.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nrm_b"), col("cell"))
+    val pairs = assigned
+      .select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("nrm_a"), col("cell"))
+      .join(c, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(call_function("graft_vec_dot", col("ea"), col("eb"))
+        / (col("nrm_a") * col("nrm_b")) >= 0.95)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Dedup.connectedComponentsStar(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val semDedupSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |aug AS (
+      |  SELECT * FROM v
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, list_transform(e, x -> x * 1.1) FROM v
+      |  WHERE vec_id % 9 = 0),
+      |n AS (
+      |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM aug
+      |  WHERE sqrt(list_dot_product(e, e)) > 0),
+      |cells AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
+      |cent AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
+      |  WHERE vec_id < cells.c),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs),
+      |walk(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS n_vecs, COUNT(*) - 1 AS n_dropped,
+      |  MAX(id) AS max_id
+      |FROM comp GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
@@ -626,7 +724,8 @@ object Similarity {
     "sim05_sq8_topk" -> (sq8TopK _),
     "sim06_sq8_rerank" -> (sq8Rerank _),
     "sim07_pq_adc" -> (pqAdc _),
-    "sim08_knn_graph" -> (knnGraph _))
+    "sim08_knn_graph" -> (knnGraph _),
+    "sim09_semdedup" -> (semDedup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -636,5 +735,6 @@ object Similarity {
     "sim05_sq8_topk" -> sq8TopKSql,
     "sim06_sq8_rerank" -> sq8RerankSql,
     "sim07_pq_adc" -> pqAdcSql,
-    "sim08_knn_graph" -> knnGraphSql)
+    "sim08_knn_graph" -> knnGraphSql,
+    "sim09_semdedup" -> semDedupSql)
 }

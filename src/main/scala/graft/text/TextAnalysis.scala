@@ -937,6 +937,62 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY ord""".stripMargin
 
+  // ---------------------------------------------------------------- txt20
+  /** Cross-corpus n-gram NOVELTY scoring: for each document, the
+    * fraction of its distinct word-5-grams appearing in NO earlier
+    * document (doc_id order = ingestion order) — the "how much does
+    * this example add" signal dedup-aware curation ranks on (a doc
+    * that's 90% old grams is boilerplate even if no single source
+    * matches it; dd03/dd05 can't see that because no PAIR crosses
+    * their threshold).
+    *
+    * Scale shape: explode to distinct (doc_id, gram) rows (dd08's
+    * spelling), ONE groupBy(gram).min(doc_id) — the shuffle key is the
+    * gram, cardinality grows with the corpus — and one gram-keyed
+    * equi-join back; per-doc novelty is then a doc_id-keyed hash-agg.
+    * Nothing pairwise, nothing broadcast-sized: the canonical
+    * big-big-join-on-content-key plan, 3 shuffles total at any corpus
+    * size. */
+  def noveltyScore(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 4)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), col("i"), lit(5)), " ").as("gram"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyScoreSql: String =
+    """WITH tg AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |        i -> array_to_string(string_split_regex(trim(text), '\s+')
+      |               [CAST(i AS INT):CAST(i AS INT) + 4], ' '))) AS gram
+      |    FROM documents
+      |    WHERE len(string_split_regex(trim(text), '\s+')) >= 5) t),
+      |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM tg GROUP BY gram)
+      |SELECT tg.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN fs.first_doc = tg.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN fs.first_doc = tg.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS novelty
+      |FROM tg JOIN fs ON fs.gram = tg.gram
+      |GROUP BY tg.doc_id
+      |ORDER BY tg.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -957,7 +1013,8 @@ object TextAnalysis {
     "txt16_quality_model" -> (qualityModel _),
     "txt17_mixture_reweight" -> (mixtureReweight _),
     "txt18_heavy_hitters" -> (heavyHitters _),
-    "txt19_curriculum_order" -> (curriculumOrder _))
+    "txt19_curriculum_order" -> (curriculumOrder _),
+    "txt20_novelty" -> (noveltyScore _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -978,5 +1035,6 @@ object TextAnalysis {
     "txt16_quality_model" -> qualityModelSql,
     "txt17_mixture_reweight" -> mixtureReweightSql,
     "txt18_heavy_hitters" -> heavyHittersSql,
-    "txt19_curriculum_order" -> curriculumOrderSql)
+    "txt19_curriculum_order" -> curriculumOrderSql,
+    "txt20_novelty" -> noveltyScoreSql)
 }
