@@ -453,14 +453,26 @@ object Relational {
       |ORDER BY window_start_ms, event_type""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** CUBE over (returnflag, linestatus): all four grouping-set levels in
-    * one pass (partial aggregation replicates rows per set, still one
-    * shuffle). Grouping-null markers replaced with 'ALL' so the hash
-    * compare never depends on engine null-ordering. */
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels.
+    * Grouping-null markers replaced with 'ALL' so the hash compare
+    * never depends on engine null-ordering.
+    *
+    * Two-level spelling: CUBE plans as an Expand that replicates its
+    * INPUT once per grouping set, so cubing the raw fact table pushes
+    * 2^dims × |lineitem| rows through the map stage. Aggregating to
+    * the (rf, ls) base first (one ordinary hash-agg with map-side
+    * partials) makes the Expand's input |distinct dim combos| — a
+    * handful of rows — so the cube's cost is independent of fact
+    * cardinality. Decimal partials stay exact across both levels, so
+    * the final double is bit-identical to the one-level sum. */
   def q18Cube(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    li.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+    val base = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("l_quantity").cast(dec)).as("q0"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n0")).as("n_rows"),
+        sum(col("q0")).cast(DoubleType).as("sum_qty"),
         grouping(col("l_returnflag")).as("g_rf"),
         grouping(col("l_linestatus")).as("g_ls"))
       .select(
