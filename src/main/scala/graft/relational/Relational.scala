@@ -222,11 +222,19 @@ object Relational {
       |ORDER BY l_suppkey, ship_ms, l_orderkey, l_linenumber""".stripMargin
 
   // ---------------------------------------------------------------- q11
-  /** ROLLUP hierarchy totals (returnflag → linestatus → grand total). */
+  /** ROLLUP hierarchy totals (returnflag → linestatus → grand total).
+    * Two-level like q18: rollup's Expand replicates its input per
+    * grouping level, so the rollup runs on the pre-aggregated
+    * (rf, ls) base — Expand cost independent of fact cardinality,
+    * decimal partials exact across both levels. */
   def q11Rollup(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    val base = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).as("q0"),
+        count(lit(1)).as("n0"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("q0")).cast(DoubleType).as("sum_qty"),
+        sum(col("n0")).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
