@@ -71,6 +71,28 @@ object Similarity {
       .select(col("vec_id").as("pid"), col("e").as("ce"),
         col("nrm").as("cnrm"))
 
+  /** Nearest-centroid assignment as ONE hash aggregate: every corpus
+    * row crosses the broadcast centroid set map-side and reduces to its
+    * argmax-cosine centroid via a lexicographic `min(struct(-csim,
+    * pid))` partial aggregate — each vector's candidates all originate
+    * in one scan partition, so the assignment shuffle carries ONE row
+    * per vector. The window spelling (`row_number() OVER (PARTITION BY
+    * vec_id ORDER BY csim DESC, pid) = 1`, which the oracle keeps)
+    * exchanges and sorts the full |corpus|×cells candidate frame
+    * instead. Winners are identical: no NaNs (nrm > 0 upstream), and
+    * -0.0 ≡ 0.0 under Spark's normalized comparison, so -csim
+    * ascending is csim descending with the same pid tiebreak. */
+  private def assignCells(n: DataFrame, cent: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"), col("e"), col("nrm"))
+      .agg(min(struct((-col("csim")).as("nc"), col("pid").as("pid")))
+        .as("w"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("w").getField("pid").as("cell"))
+
   /** Oracle mirror of [[cellsOf]] (default path) + [[centroids]]. */
   private val centCte: String =
     """cells AS (
@@ -206,16 +228,7 @@ object Similarity {
     * no pairwise blowup anywhere. */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cent = centroids(s, n)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("pid"))
-    val assigned = n.crossJoin(broadcast(cent))
-      .withColumn("csim",
-        call_function("graft_vec_dot", col("e"), col("ce"))
-          / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val assigned = assignCells(n, centroids(s, n))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
     val scored = broadcast(assigned.where(col("vec_id") < 5)
@@ -266,16 +279,17 @@ object Similarity {
   def ivfMultiProbe(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
     val cent = centroids(s, n)
+    val assigned = assignCells(n, cent)
+    // probe ranking windows only the QUERY rows (queries × cells — a
+    // handful), so the corpus never pays rank-2 bookkeeping it drops
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pid"))
-    val ranked = n.crossJoin(broadcast(cent))
+    val probes = n.where(col("vec_id") < 5).crossJoin(broadcast(cent))
       .withColumn("csim",
         call_function("graft_vec_dot", col("e"), col("ce"))
           / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wAssign))
-    val assigned = ranked.where(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
-    val probes = ranked.where(col("vec_id") < 5 && col("rn") <= 2)
+      .where(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nrm_q"), col("pid").as("cell"))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
@@ -570,16 +584,7 @@ object Similarity {
     * ≤ k×partitions rows per VECTOR, never a scored candidate set. */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val cent = centroids(s, n)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("pid"))
-    val assigned = n.crossJoin(broadcast(cent))
-      .withColumn("csim",
-        call_function("graft_vec_dot", col("e"), col("ce"))
-          / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val assigned = assignCells(n, centroids(s, n))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
     val scored = assigned
@@ -643,16 +648,7 @@ object Similarity {
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
       .where(col("nrm") > 0)
-    val cent = centroids(s, n)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("pid"))
-    val assigned = n.crossJoin(broadcast(cent))
-      .withColumn("csim",
-        call_function("graft_vec_dot", col("e"), col("ce"))
-          / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("pid").as("cell"))
+    val assigned = assignCells(n, centroids(s, n))
     val c = assigned.select(col("vec_id").as("id_b"), col("e").as("eb"),
       col("nrm").as("nrm_b"), col("cell"))
     val pairs = assigned
