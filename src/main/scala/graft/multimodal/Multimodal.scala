@@ -150,9 +150,13 @@ object Multimodal {
 
   // ---------------------------------------------------------------- mm04
   /** Resize: the metadata half of a real image resize — target dims =
-    * halved (min 1), aspect preserved, payload untouched (a real codec
-    * would rewrite it inside the same mapPartitions slot as mm03; the
-    * md5 column proves the blob passed through unmodified). */
+    * halved (min 1), aspect preserved, payload untouched. The codec
+    * half EXISTS ([[ImageDecode.resize]]: rasterize → bilinear scale →
+    * PNG re-encode, exercised over real PNGs in ImageDecodeSpec) and
+    * plugs into the same mapPartitions slot as mm03's decode; the
+    * REGISTERED query keeps the metadata path because this corpus's
+    * payloads are text bytes no reader claims (the md5 column proves
+    * the blob passed through unmodified). */
   def resizeMeta(s: SparkSession, d: String): DataFrame =
     media(s, d).where(col("kind") === "image")
       .select(col("media_id"),
@@ -318,6 +322,33 @@ object ImageDecode {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Int, mean_byte: Double, checksum: Long,
       width: Int, height: Int, channels: Int, decoded: Int)
+
+  /** Real raster RESIZE in the same slot (the mm04 operator's codec
+    * half): rasterize, bilinear-scale through a Graphics2D draw
+    * (headless-safe — BufferedImage needs no display), re-encode PNG.
+    * None when no reader claims the payload — callers keep the
+    * metadata-only fallback, so the stage stays total. PNG out
+    * regardless of input container: the resize slot is also the
+    * normalize-format slot in a real pipeline. */
+  def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
 
   /** Decode features: for a real image, mean_byte/checksum run over the
     * decoded samples in row-major, channel-minor order (the same

@@ -56,6 +56,16 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(txt.mean_byte === stub.mean_byte && txt.checksum === stub.checksum)
   }
 
+  test("a real PNG resizes to the target raster (and re-decodes cleanly)") {
+    val half = ImageDecode.resize(pngBytes(), 2, 1)
+      .getOrElse(fail("resize refused a valid PNG"))
+    val back = ImageDecode.decode(DecodeStub.MediaRow(3L, "image", half))
+    assert(back.decoded === 1 && back.width === 2 && back.height === 1 &&
+      back.channels === 3, s"resized image misread: $back")
+    // non-image payloads keep the metadata-only fallback
+    assert(ImageDecode.resize("plain text".getBytes("UTF-8"), 2, 1).isEmpty)
+  }
+
   test("mm03 over the text corpus keeps the fallback path everywhere") {
     val df = Multimodal.decodeFeatures(spark, "/root/testdata/sf0.001")
     assert(df.where(col("decoded") =!= 0).count() === 0,
