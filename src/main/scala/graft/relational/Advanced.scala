@@ -294,6 +294,68 @@ object Advanced {
       |GROUP BY p.p_brand, p.p_type, size_octile
       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, size_octile""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers in one nation
+    * who, for some 'red%' part, shipped MORE THAN HALF of that part's
+    * total 1996 flow — the deepest classic nesting: an IN subquery
+    * whose HAVING contains a correlated scalar aggregate (Q20 spells
+    * it availqty > 0.5·SUM; this corpus has no partsupp, so the
+    * supplier-part quantity proxies availqty, as in q38).
+    *
+    * Spark-first: both correlation levels decorrelate into plain
+    * aggregates — per-(part, supplier) lifetime quantity, and
+    * per-part 1996 totals — joined on the part key; the correlated
+    * scalar becomes a LEFT join (parts with no 1996 flow keep
+    * threshold 0 via coalesce, exactly the empty-scalar-subquery
+    * semantics). The ×2 comparison stays in DECIMAL — no 0.5 double
+    * rounding on either engine. The 'red%' filter broadcasts into
+    * BOTH lineitem passes so the shuffles only ever carry the ~1/9
+    * of rows that can matter; the surviving supplier keys are a
+    * dimension-scale set, broadcast-semi-joined back to supplier. */
+  def q39ExcessShare(s: SparkSession, d: String): DataFrame = {
+    val red = Tables.part(s, d).where(col("p_name").like("red%"))
+      .select(col("p_partkey").as("l_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .join(broadcast(red), Seq("l_partkey"))
+    val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("qty_ps"))
+    val win = li
+      .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+             col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("qty_96"))
+    val excess = ps.join(win, Seq("l_partkey"), "left")
+      .where(col("qty_ps") * 2 > coalesce(col("qty_96"), lit(0).cast(dec)))
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    val nat = Tables.nation(s, d).where(col("n_name") === "NATION_3")
+      .select(col("n_nationkey"))
+    Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(excess), Seq("s_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q39Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT ps.l_suppkey FROM lineitem ps
+      |    WHERE ps.l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    GROUP BY ps.l_partkey, ps.l_suppkey
+      |    HAVING SUM(CAST(ps.l_quantity AS DECIMAL(18,2))) * 2 >
+      |      (SELECT COALESCE(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))),
+      |                       CAST(0 AS DECIMAL(18,2)))
+      |       FROM lineitem l2
+      |       WHERE l2.l_partkey = ps.l_partkey
+      |         AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      |         AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_suppkey""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -302,7 +364,8 @@ object Advanced {
     "q35_ntile_quartiles" -> (q35NtileQuartiles _),
     "q36_percentiles" -> (q36Percentiles _),
     "q37_range_frames" -> (q37RangeFrames _),
-    "q38_part_supplier_counts" -> (q38PartSupplierCounts _))
+    "q38_part_supplier_counts" -> (q38PartSupplierCounts _),
+    "q39_excess_share" -> (q39ExcessShare _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -311,5 +374,6 @@ object Advanced {
     "q35_ntile_quartiles" -> q35Sql,
     "q36_percentiles" -> q36Sql,
     "q37_range_frames" -> q37Sql,
-    "q38_part_supplier_counts" -> q38Sql)
+    "q38_part_supplier_counts" -> q38Sql,
+    "q39_excess_share" -> q39Sql)
 }

@@ -993,6 +993,96 @@ object TextAnalysis {
       |GROUP BY tg.doc_id
       |ORDER BY tg.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- txt21
+  /** Zipf-law fit over the corpus frequency head: least-squares slope /
+    * intercept / R² of ln(freq) vs ln(rank) for the top-100 tokens —
+    * the corpus-health diagnostic (natural text ⇒ slope ≈ −1; template
+    * spam bends the head, OCR noise fattens the tail) that curation
+    * dashboards track per snapshot.
+    *
+    * Scale + determinism shape: token counts are ONE hash-agg shuffle
+    * (exact BIGINT); the head is `orderBy.limit(100)` — a map-side
+    * partial top-k (TakeOrderedAndProject), never a vocabulary-wide
+    * sort — and the rank window only ever sees those ≤100 rows. The
+    * regression is NOT regr_slope: streaming-covariance aggregates are
+    * merge-order-dependent in the last double bits, so equal answers
+    * across engines (and across Spark runs) aren't guaranteed. Instead
+    * the per-row points round to DECIMAL(28,10) (deterministic given
+    * the same libm doubles), the moment sums Σx Σy Σxy Σx² Σy² run in
+    * EXACT decimal arithmetic (order-independent — also what makes the
+    * map-side partials safe), and the closed-form slope/intercept/R²
+    * are a fixed-shape double expression over those six exact scalars
+    * — bit-identical on any engine that agrees on ln of the same 100
+    * integers. */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val d10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val d12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val freq = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("token")).limit(100)
+    // rank window is bounded by the LIMIT above — ≤100 rows, one task
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val pts = top.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast(DoubleType)).cast(d10).as("x"),
+        log(col("cnt").cast(DoubleType)).cast(d10).as("y"))
+    val m = pts
+      .select(col("x"), col("y"),
+        (col("x").cast(DoubleType) * col("y").cast(DoubleType))
+          .cast(d12).as("xy"),
+        (col("x").cast(DoubleType) * col("x").cast(DoubleType))
+          .cast(d12).as("xx"),
+        (col("y").cast(DoubleType) * col("y").cast(DoubleType))
+          .cast(d12).as("yy"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("xy")).cast(DoubleType).as("sxy"),
+        sum(col("xx")).cast(DoubleType).as("sxx"),
+        sum(col("yy")).cast(DoubleType).as("syy"))
+    m.select(col("n").cast(LongType).as("n_terms"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+        col("n")).as("intercept"),
+      (((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+         (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH freq AS (
+      |  SELECT t AS token, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+      |    FROM documents) u
+      |  WHERE t <> '' GROUP BY t),
+      |top AS (SELECT token, cnt FROM freq
+      |        ORDER BY cnt DESC, token LIMIT 100),
+      |ranked AS (SELECT cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r FROM top),
+      |pts AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,10)) AS x,
+      |               CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,10)) AS y
+      |        FROM ranked),
+      |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS syy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |    AS intercept,
+      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM m""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1014,7 +1104,8 @@ object TextAnalysis {
     "txt17_mixture_reweight" -> (mixtureReweight _),
     "txt18_heavy_hitters" -> (heavyHitters _),
     "txt19_curriculum_order" -> (curriculumOrder _),
-    "txt20_novelty" -> (noveltyScore _))
+    "txt20_novelty" -> (noveltyScore _),
+    "txt21_zipf_slope" -> (zipfSlope _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1036,5 +1127,6 @@ object TextAnalysis {
     "txt17_mixture_reweight" -> mixtureReweightSql,
     "txt18_heavy_hitters" -> heavyHittersSql,
     "txt19_curriculum_order" -> curriculumOrderSql,
-    "txt20_novelty" -> noveltyScoreSql)
+    "txt20_novelty" -> noveltyScoreSql,
+    "txt21_zipf_slope" -> zipfSlopeSql)
 }
