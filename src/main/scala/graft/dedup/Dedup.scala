@@ -832,6 +832,95 @@ object Dedup {
       |HAVING COUNT(*) > 1
       |ORDER BY prefix_fp""".stripMargin
 
+  // ---------------------------------------------------------------- dd13
+  /** Asymmetric CONTAINMENT (quote/excerpt) detection: pairs where ≥90%
+    * of the small doc's word-3-grams appear in a doc at least twice its
+    * gram size — the relation Jaccard dedup is structurally blind to
+    * (an excerpt of a 10× longer source has Jaccard ≤ 0.1, so no
+    * minhash band ever collides; dd03/dd05 CANNOT find these pairs).
+    * The corpus has no natural excerpts, so the input is documents ∪
+    * injected mid-slices (doc_id%13, tokens [4, 3+n/2]) — same
+    * convention as docs_aug, mirrored in the oracle CTE.
+    *
+    * Scale shape: a DF-PRUNED INVERTED INDEX, not minhash — containment
+    * candidates must share the SMALL side's grams, so the equi-join key
+    * is the gram itself (cardinality grows with the corpus). Per-gram
+    * fan-out is bounded by the document-frequency cap (df ≤ 50):
+    * boilerplate grams that would quadratically explode the pair count
+    * are dropped from BOTH the index and the denominator (containment
+    * is then exact over the rare-gram universe — the score a curation
+    * pipeline wants anyway, since matching only boilerplate is not
+    * quoting). Pair counts are a hash-agg on (id_a, id_b); sizes join
+    * back per-doc. Σ df² per gram ≤ 50·|postings| keeps the join
+    * output linear in the index size. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val MaxDf = 50
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val tk = split(col("text"), " ")
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 13 === 0 && size(tk) >= 12)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          array_join(slice(tk, lit(4), (size(tk) / 2).cast(
+            org.apache.spark.sql.types.IntegerType)), " ").as("text"),
+          col("lang")))
+    val grams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 2)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), col("i"), lit(3)), " ").as("gram"))
+      .distinct()
+    val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val rare = grams
+      .join(dfc.where(col("df") <= MaxDf).select(col("gram")), "gram")
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = rare.select(col("doc_id").as("id_a"), col("gram"))
+    val b = rare.select(col("doc_id").as("id_b"), col("gram"))
+    a.join(b, a("gram") === b("gram") && col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) / col("n_a"))
+      .where(col("containment") >= 0.9 && col("n_a") * 2 <= col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val containmentPairsSql: String =
+    """WITH docs_exc AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    array_to_string(string_split(text,' ')
+      |      [4:3 + len(string_split(text,' '))//2], ' '), lang
+      |  FROM documents
+      |  WHERE doc_id % 13 = 0 AND len(string_split(text,' ')) >= 12),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |      range(1, len(string_split(text,' '))-1),
+      |      i -> array_to_string(string_split(text,' ')
+      |             [CAST(i AS INT):CAST(i AS INT)+2],' '))) AS gram
+      |  FROM docs_exc WHERE len(string_split(text,' ')) >= 3) t),
+      |dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+      |rare AS (SELECT g.doc_id, g.gram FROM g
+      |         JOIN dfq ON g.gram = dfq.gram WHERE dfq.df <= 50),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+      |pc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    COUNT(*) AS n_common
+      |  FROM rare a JOIN rare b
+      |    ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(n_common AS DOUBLE)/sa.n AS containment
+      |FROM pc JOIN sz sa ON sa.doc_id = id_a
+      |        JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE)/sa.n >= 0.9 AND sa.n * 2 <= sb.n
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -845,7 +934,8 @@ object Dedup {
     "dd09_star_clusters" -> (starClusters _),
     "dd10_bloom_decontaminate" -> (decontaminateBloom _),
     "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _),
-    "dd12_prefix_clusters" -> (prefixClusters _))
+    "dd12_prefix_clusters" -> (prefixClusters _),
+    "dd13_containment" -> (containmentPairs _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -862,5 +952,6 @@ object Dedup {
     // the bloom is routing only — dd10's answer is exactly dd08's
     "dd10_bloom_decontaminate" -> decontaminateSql,
     "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql,
-    "dd12_prefix_clusters" -> prefixClustersSql)
+    "dd12_prefix_clusters" -> prefixClustersSql,
+    "dd13_containment" -> containmentPairsSql)
 }
