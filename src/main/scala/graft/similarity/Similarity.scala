@@ -712,6 +712,76 @@ object Similarity {
       |ORDER BY cluster_id""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // --------------------------------------------------------------- sim10
+  /** One Lloyd k-means iteration — the clustering primitive embedding
+    * curation loops on (topic balancing, SemDeDup's cluster stage,
+    * IVF codebook training): assign every vector to its nearest
+    * centroid (the shared [[assignCells]] argmin aggregate over the
+    * deterministic first-⌈√n⌉ prefix), then recompute each centroid
+    * as the member MEAN, reported per (cell, dim) with the old
+    * component and the shift.
+    *
+    * Scale shape: the mean is a hash aggregate keyed (cell, dim) after
+    * a posexplode — map-side partials compress every scan partition to
+    * ≤ cells·dims rows before the one shuffle, and no vector array is
+    * ever driver-collected (contrast a collect-and-average driver
+    * loop). Component sums run in EXACT decimal (order-independent —
+    * what makes the partials safe AND the doubles engine-identical);
+    * the mean divides once, in double, at the end. Old components
+    * broadcast back onto the result (centroid-set scale). */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    // 6 frac digits: inside float32's own precision, and coarse enough
+    // that DuckDB's scale-in-double cast can't double-round differently
+    // from Spark's exact BigDecimal rounding (odds ~1e-6 per table vs
+    // ~0.5 at 12 digits — one flip was observed there)
+    val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val n = normed(s, d)
+    val cent = centroids(s, n)
+    val mem = assignCells(n, cent)
+      .select(col("cell"), posexplode(col("e")))
+      .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+        col("col").as("v"))
+    val agg = mem.groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("v").cast(d6))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)))
+          .as("new_c"))
+    val old = cent.select(col("pid").as("cell"), posexplode(col("ce")))
+      .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+        col("col").as("old_c"))
+    agg.join(broadcast(old), Seq("cell", "dim"))
+      .withColumn("shift", col("new_c") - col("old_c"))
+      .select(col("cell"), col("dim"), col("n_members"), col("new_c"),
+        col("old_c"), col("shift"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val kmeansStepSql: String = normedCte + "," + centCte + "," +
+    """assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |mem AS (
+      |  SELECT a.cell, CAST(t.i AS INT) AS dim,
+      |    a.e[CAST(t.i AS INT)] AS v
+      |  FROM assigned a, unnest(range(1, len(a.e) + 1)) AS t(i)),
+      |agg AS (
+      |  SELECT cell, dim, COUNT(*) AS n_members,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS new_c
+      |  FROM mem GROUP BY cell, dim),
+      |old AS (
+      |  SELECT c.pid AS cell, CAST(t.i AS INT) AS dim,
+      |    c.ce[CAST(t.i AS INT)] AS old_c
+      |  FROM cent c, unnest(range(1, len(c.ce) + 1)) AS t(i))
+      |SELECT a.cell, a.dim, a.n_members, a.new_c, o.old_c,
+      |  a.new_c - o.old_c AS shift
+      |FROM agg a JOIN old o ON o.cell = a.cell AND o.dim = a.dim
+      |ORDER BY a.cell, a.dim""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -721,7 +791,8 @@ object Similarity {
     "sim06_sq8_rerank" -> (sq8Rerank _),
     "sim07_pq_adc" -> (pqAdc _),
     "sim08_knn_graph" -> (knnGraph _),
-    "sim09_semdedup" -> (semDedup _))
+    "sim09_semdedup" -> (semDedup _),
+    "sim10_kmeans_step" -> (kmeansStep _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -732,5 +803,6 @@ object Similarity {
     "sim06_sq8_rerank" -> sq8RerankSql,
     "sim07_pq_adc" -> pqAdcSql,
     "sim08_knn_graph" -> knnGraphSql,
-    "sim09_semdedup" -> semDedupSql)
+    "sim09_semdedup" -> semDedupSql,
+    "sim10_kmeans_step" -> kmeansStepSql)
 }
