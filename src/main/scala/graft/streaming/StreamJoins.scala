@@ -33,6 +33,41 @@ object StreamJoins {
         col("yes_delta"), col("no_delta"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every yes-side delta
+    * emits — paired rows as soon as both sides arrive (inner
+    * semantics), and UNMATCHED yes rows with null no-side columns once
+    * the watermark passes their join window, i.e. once a match has
+    * provably not happened. That late, state-eviction-driven null
+    * emission is the semantic difference from [[yesNoPairs]]: an
+    * unanswered order-flow probe is a SIGNAL (one-sided pressure), and
+    * an inner join silently drops it.
+    *
+    * State bounds are the inner join's: both sides watermarked, the
+    * ±5 s band caps match state per ticker; the outer side's rows are
+    * additionally held only until watermark − 5 s passes their event
+    * time, then emitted-with-nulls and evicted. Emission latency for
+    * unmatched rows is therefore watermark delay + band — the price of
+    * proving a negative on an unbounded stream. */
+  def yesNoPairsOuter(messages: DataFrame): DataFrame = {
+    def side(tag: String) = messages
+      .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
+      .select(col("msg.market_ticker").as(s"${tag}_ticker"),
+        timestamp_millis(col("msg.ts")).as(s"${tag}_time"),
+        col("msg.price").as(s"${tag}_price"),
+        col("msg.delta").as(s"${tag}_delta"),
+        col("seq").as(s"${tag}_seq"))
+      .withWatermark(s"${tag}_time", "1 minute")
+    side("yes").join(side("no"),
+      col("yes_ticker") === col("no_ticker") &&
+        col("no_time") >= col("yes_time") - expr("INTERVAL 5 SECONDS") &&
+        col("no_time") <= col("yes_time") + expr("INTERVAL 5 SECONDS"),
+      "leftOuter")
+      .select(col("yes_ticker").as("ticker"),
+        col("yes_seq"), col("no_seq"),
+        col("yes_price"), col("no_price"),
+        col("yes_delta"), col("no_delta"))
+  }
+
   /** Stream-STATIC enrichment: attach a slow-changing dimension (the
     * ticker → series map A1's discovery produces) to the delta stream.
     * The static side is re-resolved per micro-batch (standard

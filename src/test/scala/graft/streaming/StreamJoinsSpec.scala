@@ -40,6 +40,59 @@ class StreamJoinsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits unmatched yes rows with " +
+    "nulls after watermark eviction") {
+    val in = Files.createTempDirectory("graft-ssjo-in")
+    val ck = Files.createTempDirectory("graft-ssjo-ck")
+    Fixtures.ndjsonLines.grouped(20).zipWithIndex.foreach { case (g, i) =>
+      Files.write(in.resolve(f"part-$i%02d.ndjson"), g.asJava)
+    }
+    // an isolated late yes delta with no no-side row within ±5 s — the
+    // unmatched probe the outer join exists to surface — then sentinel
+    // files whose only job is to push the watermark past its join
+    // window in later micro-batches. The query watermark is the MIN
+    // across BOTH join inputs, so each sentinel file advances yes AND
+    // no sides, on two distinct never-matching tickers (the sentinels'
+    // own unmatched rows may stay in state; they are excluded below)
+    def late(side: String, ticker: String, seq: Long, offsetMs: Long) =
+      Fixtures.envelopeJson(Right(Fixtures.Delta(1L, seq, ticker,
+        Fixtures.baseTs + offsetMs, s"${Fixtures.baseTs + offsetMs}-0",
+        side, 42, 3)))
+    Files.write(in.resolve("part-90.ndjson"),
+      Seq(late("yes", "KXTEST-A", 100L, 10000000L)).asJava)
+    Files.write(in.resolve("part-91.ndjson"),
+      Seq(late("yes", "KXTEST-Y", 101L, 20000000L),
+          late("no", "KXTEST-Z", 201L, 20000000L)).asJava)
+    Files.write(in.resolve("part-92.ndjson"),
+      Seq(late("yes", "KXTEST-Y", 102L, 30000000L),
+          late("no", "KXTEST-Z", 202L, 30000000L)).asJava)
+    val q = StreamJoins.yesNoPairsOuter(
+        StreamPipeline.readMessages(spark, in.toString, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("yes_no_outer")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("yes_no_outer").collect()
+      .filter(_.getLong(1) < 101L) // sentinel rows may be withheld
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch twin over the same lines (sentinels excluded the same way):
+    // batch left-join needs no watermark to prove a non-match
+    val batch = StreamJoins.yesNoPairsOuter(
+        StreamPipeline.parseMessages(spark,
+          Fixtures.ndjsonLines :+ late("yes", "KXTEST-A", 100L, 10000000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed === batch)
+    // the unmatched probe came out with a null no-side
+    assert(streamed.contains(("KXTEST-A", 100L, -1L)))
+    // and matched pairs still emitted with inner semantics
+    assert(streamed.exists(_._3 >= 0L))
+  }
+
   test("stream-static enrichment broadcasts the dim, keeps unknown " +
     "tickers, and matches its batch twin") {
     import spark.implicits._
