@@ -737,6 +737,64 @@ object Analytics {
       |ORDER BY ticker, day""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ----------------------------------------------------------------- B10
+  /** Price impact (Kyle's λ) per ticker: OLS slope of intra-minute
+    * price move on net signed order flow — the microstructure
+    * regression desks monitor per market (how many cents does a unit
+    * of one-sided flow move the book). Per (ticker, minute):
+    * flow = Σ(±delta) (yes buys +, no sells −) and dp = price at the
+    * minute's last event − price at its first (max_by/min_by on the
+    * unique event_id — no window, no sort). Per ticker the slope is
+    * closed-form over EXACT BIGINT moments (n, Σx, Σy, Σxy, Σx²) —
+    * integer inputs, so unlike a streaming regr_slope the partial
+    * aggregation is order-independent and engine-exact; the single
+    * double division happens once, identically, at the end (NULL when
+    * flow never varies — a one-minute ticker has no slope).
+    *
+    * Scale: two hash aggregates — (ticker, minute) then (ticker) —
+    * both map-side combinable; no per-ticker sort anywhere. */
+  def priceImpact(s: SparkSession, d: String): DataFrame = {
+    val minutes = Derive.deltas(s, d)
+      .groupBy(col("ticker"), expr("ts_ms div 60000").as("minute"))
+      .agg(
+        sum(when(col("side") === "yes", col("delta"))
+          .otherwise(-col("delta"))).as("flow"),
+        (expr("max_by(price, event_id)") - expr("min_by(price, event_id)"))
+          .cast(LongType).as("dp"))
+    minutes.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_minutes"),
+        sum(col("flow")).as("sx"), sum(col("dp")).as("sy"),
+        sum(col("flow") * col("dp")).as("sxy"),
+        sum(col("flow") * col("flow")).as("sxx"))
+      .withColumn("lambda",
+        when(col("n_minutes") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          (col("n_minutes") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+          (col("n_minutes") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)))
+      .select(col("ticker"), col("n_minutes"), col("lambda"))
+      .orderBy(col("ticker"))
+  }
+
+  val priceImpactSql: String = Derive.cte +
+    """, mn AS (
+      |  SELECT ticker, ts_ms // 60000 AS minute,
+      |    SUM(CASE WHEN side = 'yes' THEN delta ELSE -delta END) AS flow,
+      |    CAST(arg_max(price, event_id) - arg_min(price, event_id)
+      |      AS BIGINT) AS dp
+      |  FROM ob_deltas GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT ticker, COUNT(*) AS n_minutes,
+      |    SUM(flow) AS sx, SUM(dp) AS sy,
+      |    SUM(flow * dp) AS sxy, SUM(flow * flow) AS sxx
+      |  FROM mn GROUP BY ticker)
+      |SELECT ticker, n_minutes,
+      |  CASE WHEN n_minutes * sxx - sx * sx <> 0 THEN
+      |    CAST(n_minutes * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_minutes * sxx - sx * sx AS DOUBLE)
+      |  END AS lambda
+      |FROM mo ORDER BY ticker""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -757,7 +815,8 @@ object Analytics {
     "ob16_flow_imbalance" -> (flowImbalance _),
     "ob17_microprice" -> (microprice _),
     "ob18_realized_var" -> (realizedVariance _),
-    "ob20_twap" -> (twap _))
+    "ob20_twap" -> (twap _),
+    "ob21_price_impact" -> (priceImpact _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -779,5 +838,6 @@ object Analytics {
     "ob16_flow_imbalance" -> flowImbalanceSql,
     "ob17_microprice" -> micropriceSql,
     "ob18_realized_var" -> realizedVarianceSql,
-    "ob20_twap" -> twapSql)
+    "ob20_twap" -> twapSql,
+    "ob21_price_impact" -> priceImpactSql)
 }
