@@ -712,6 +712,68 @@ object Similarity {
       |ORDER BY cluster_id""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // --------------------------------------------------------------- sim11
+  /** MaxSim LATE-INTERACTION scoring (the ColBERT retrieval operator):
+    * query and document are MULTI-vector — here the 64-dim embedding
+    * read as 4 × 16-dim "token" subvectors (sim07's subspace
+    * convention) — and the score is Σ over query tokens of the MAX
+    * dot against any document token. That sum-of-maxes is not a dot
+    * product: it rewards a document containing each query facet
+    * SOMEWHERE, which single-vector cosine (sim01) averages away —
+    * the reason late-interaction out-ranks bi-encoders on multi-topic
+    * queries.
+    *
+    * Shape: queries broadcast; each corpus partition scores rows
+    * map-side with a pure codegen'd column expression (nested
+    * transform + array_max + fixed-order fold over graft_vec_dot
+    * sub-dots — sequential left folds on both engines, so doubles
+    * are bit-identical); ranking is the graft_topk bounded-heap
+    * aggregate. Exact brute-force — the correctness baseline; at
+    * corpus scale the sim03 coarse quantizer blocks the candidate
+    * set the same way it does for single-vector search. */
+  def maxSim(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"))
+    val scored = broadcast(q)
+      .join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("maxsim", expr(
+        """aggregate(
+          |  transform(sequence(0, 3), i ->
+          |    array_max(transform(sequence(0, 3), j ->
+          |      graft_vec_dot(slice(eq, i * 16 + 1, 16),
+          |                    slice(ec, j * 16 + 1, 16))))),
+          |  0D, (acc, x) -> acc + x)""".stripMargin))
+    topKPerQuery(scored, 3, col("maxsim"), col("neighbor_id"),
+        Seq("neighbor_id", "maxsim"))
+      .select(col("query_id"), col("neighbor_id"), col("maxsim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val maxSimSql: String = normedCte +
+    """SELECT query_id, neighbor_id, maxsim, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce([CAST(0 AS DOUBLE)] ||
+      |      list_transform(range(0, 4), i ->
+      |        list_max(list_transform(range(0, 4), j ->
+      |          list_dot_product(
+      |            q.e[CAST(i * 16 + 1 AS INT):CAST(i * 16 + 16 AS INT)],
+      |            c.e[CAST(j * 16 + 1 AS INT):CAST(j * 16 + 16 AS INT)])))),
+      |      (acc, x) -> acc + x) AS maxsim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_reduce([CAST(0 AS DOUBLE)] ||
+      |        list_transform(range(0, 4), i ->
+      |          list_max(list_transform(range(0, 4), j ->
+      |            list_dot_product(
+      |              q.e[CAST(i * 16 + 1 AS INT):CAST(i * 16 + 16 AS INT)],
+      |              c.e[CAST(j * 16 + 1 AS INT):CAST(j * 16 + 16 AS INT)])))),
+      |        (acc, x) -> acc + x) DESC, c.vec_id) AS INTEGER) AS rnk
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // --------------------------------------------------------------- sim10
   /** One Lloyd k-means iteration — the clustering primitive embedding
     * curation loops on (topic balancing, SemDeDup's cluster stage,
@@ -792,7 +854,8 @@ object Similarity {
     "sim07_pq_adc" -> (pqAdc _),
     "sim08_knn_graph" -> (knnGraph _),
     "sim09_semdedup" -> (semDedup _),
-    "sim10_kmeans_step" -> (kmeansStep _))
+    "sim10_kmeans_step" -> (kmeansStep _),
+    "sim11_maxsim" -> (maxSim _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -804,5 +867,6 @@ object Similarity {
     "sim07_pq_adc" -> pqAdcSql,
     "sim08_knn_graph" -> knnGraphSql,
     "sim09_semdedup" -> semDedupSql,
-    "sim10_kmeans_step" -> kmeansStepSql)
+    "sim10_kmeans_step" -> kmeansStepSql,
+    "sim11_maxsim" -> maxSimSql)
 }
