@@ -921,6 +921,57 @@ object Dedup {
       |WHERE CAST(n_common AS DOUBLE)/sa.n >= 0.9 AND sa.n * 2 <= sb.n
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- dd14
+  /** INCREMENTAL dedup — the daily-snapshot production pattern: a new
+    * increment is deduplicated against the historical corpus WITHOUT
+    * re-deduplicating history against itself. History contributes only
+    * its distinct fingerprint set (the precomputed "fingerprint store"
+    * a real pipeline persists between snapshots — the same
+    * materialize-the-expensive-stage seam as the minhash sig cache);
+    * each increment doc gets a three-way verdict: duplicate of
+    * history, duplicate within the increment (fingerprint tie broken
+    * by min doc_id), or kept. docs_aug's injected copies play the
+    * increment (doc_id ≥ 1 000 000): exact copies must die against
+    * history, suffixed near-copies must survive an EXACT-hash gate.
+    *
+    * Scale: one fp-keyed equi-join against the store (the dd10 Bloom
+    * route composes in front of it when the store outgrows a
+    * shuffle-hash build side) + one fp-partitioned window over the
+    * increment only — history is never windowed or rescanned beyond
+    * the store projection. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val aug = docsAug(s, d)
+      .withColumn("fp", md5(col("text").cast(BinaryType)))
+    val store = aug.where(col("doc_id") < 1000000)
+      .select(col("fp")).distinct().withColumn("in_hist", lit(1))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    aug.where(col("doc_id") >= 1000000)
+      .withColumn("rn", row_number().over(w))
+      .join(store, Seq("fp"), "left")
+      .withColumn("verdict",
+        when(col("in_hist") === 1, "dup_of_history")
+          .when(col("rn") > 1, "dup_in_increment")
+          .otherwise("kept"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  val incrementalDedupSql: String = docsAugCte + """,
+      |aug AS (SELECT doc_id, lang, md5(text) AS fp FROM docs_aug),
+      |hist AS (SELECT DISTINCT fp FROM aug WHERE doc_id < 1000000),
+      |incr AS (SELECT doc_id, lang, fp,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM aug WHERE doc_id >= 1000000),
+      |m AS (SELECT i.lang,
+      |    CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+      |         WHEN i.rn > 1 THEN 'dup_in_increment'
+      |         ELSE 'kept' END AS verdict
+      |  FROM incr i LEFT JOIN hist h ON h.fp = i.fp)
+      |SELECT lang, verdict, COUNT(*) AS n FROM m
+      |GROUP BY lang, verdict
+      |ORDER BY lang, verdict""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -935,7 +986,8 @@ object Dedup {
     "dd10_bloom_decontaminate" -> (decontaminateBloom _),
     "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _),
     "dd12_prefix_clusters" -> (prefixClusters _),
-    "dd13_containment" -> (containmentPairs _))
+    "dd13_containment" -> (containmentPairs _),
+    "dd14_incremental" -> (incrementalDedup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -953,5 +1005,6 @@ object Dedup {
     "dd10_bloom_decontaminate" -> decontaminateSql,
     "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql,
     "dd12_prefix_clusters" -> prefixClustersSql,
-    "dd13_containment" -> containmentPairsSql)
+    "dd13_containment" -> containmentPairsSql,
+    "dd14_incremental" -> incrementalDedupSql)
 }

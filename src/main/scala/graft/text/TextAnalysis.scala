@@ -1083,6 +1083,70 @@ object TextAnalysis {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- txt22
+  /** Per-document token ENTROPY: Shannon entropy of the token
+    * histogram, plus the ln(n_unique)-normalized efficiency — the
+    * information-density quality signal that separates natural text
+    * (high entropy) from templated/repetitive spam (low) where raw
+    * repetition ratios (txt11) only see the single worst token.
+    *
+    * Map-only: one codegen'd column expression per row, no shuffle at
+    * any corpus size. Engine parity: the histogram folds over the
+    * SORTED distinct token list (fixed fold order ⇒ deterministic
+    * double sums), and every ln() passes through a DECIMAL(28,10)
+    * quantization — the txt21 lesson, relearned: JVM Math.log and
+    * libm CAN disagree by 1 ulp, and a raw ln in the term flunked the
+    * exact-equality gate exactly once in 500 docs. Counts and sizes
+    * are exact ints; each term is the same expression shape on both
+    * sides. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_unique"),
+        expr("""aggregate(
+          |  transform(array_sort(array_distinct(tk)),
+          |    t -> size(filter(tk, x -> x = t))),
+          |  0D, (acc, c) ->
+          |    acc - (cast(c as double) / size(tk))
+          |        * cast(cast(ln(cast(c as double) / size(tk))
+          |               as decimal(28,10)) as double))""".stripMargin)
+          .as("entropy"))
+      .withColumn("efficiency",
+        when(col("n_unique") > 1,
+          col("entropy") /
+            log(col("n_unique").cast(DoubleType))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 10))
+              .cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+
+  val tokenEntropySql: String =
+    s"""SELECT doc_id,
+      |  CAST(len($tokensSqlD) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct($tokensSqlD)) AS INTEGER) AS n_unique,
+      |  list_reduce([CAST(0 AS DOUBLE)] ||
+      |    list_transform(list_sort(list_distinct($tokensSqlD)),
+      |      t -> len(list_filter($tokensSqlD, x -> x = t))),
+      |    (acc, c) ->
+      |      acc - (CAST(c AS DOUBLE) / len($tokensSqlD))
+      |          * CAST(CAST(ln(CAST(c AS DOUBLE) / len($tokensSqlD))
+      |                 AS DECIMAL(28,10)) AS DOUBLE)) AS entropy,
+      |  CASE WHEN len(list_distinct($tokensSqlD)) > 1 THEN
+      |    (list_reduce([CAST(0 AS DOUBLE)] ||
+      |      list_transform(list_sort(list_distinct($tokensSqlD)),
+      |        t -> len(list_filter($tokensSqlD, x -> x = t))),
+      |      (acc, c) ->
+      |        acc - (CAST(c AS DOUBLE) / len($tokensSqlD))
+      |            * CAST(CAST(ln(CAST(c AS DOUBLE) / len($tokensSqlD))
+      |                   AS DECIMAL(28,10)) AS DOUBLE)))
+      |    / CAST(CAST(ln(CAST(len(list_distinct($tokensSqlD)) AS DOUBLE))
+      |           AS DECIMAL(28,10)) AS DOUBLE)
+      |  ELSE 0.0 END AS efficiency
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1105,7 +1169,8 @@ object TextAnalysis {
     "txt18_heavy_hitters" -> (heavyHitters _),
     "txt19_curriculum_order" -> (curriculumOrder _),
     "txt20_novelty" -> (noveltyScore _),
-    "txt21_zipf_slope" -> (zipfSlope _))
+    "txt21_zipf_slope" -> (zipfSlope _),
+    "txt22_entropy" -> (tokenEntropy _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1128,5 +1193,6 @@ object TextAnalysis {
     "txt18_heavy_hitters" -> heavyHittersSql,
     "txt19_curriculum_order" -> curriculumOrderSql,
     "txt20_novelty" -> noveltyScoreSql,
-    "txt21_zipf_slope" -> zipfSlopeSql)
+    "txt21_zipf_slope" -> zipfSlopeSql,
+    "txt22_entropy" -> tokenEntropySql)
 }
