@@ -712,6 +712,132 @@ object Similarity {
       |ORDER BY cluster_id""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // --------------------------------------------------------------- sim12
+  /** FILTERED vector search (the vector-DB "metadata filter"): top-3
+    * cosine among candidates passing a predicate — here, sharing the
+    * query's label (same-category search). The predicate applies
+    * BEFORE ranking (pre-filter): top-k is exact over qualifying rows,
+    * where post-filtering an unfiltered top-k silently returns < k —
+    * or zero — rows once the filter is selective; with a pushed
+    * predicate the scan prunes first and the scorer never touches
+    * non-qualifying rows. Same broadcast + map-side-score +
+    * graft_topk shape as sim01. */
+  def filteredAnn(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("label").as("q_label"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+      col("nrm").as("nrm_c"), col("label").as("c_label"))
+    val scored = broadcast(q)
+      .join(c, col("neighbor_id") =!= col("query_id") &&
+        col("q_label") === col("c_label"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "c_label", "cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("c_label").as("label"), col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val filteredAnnSql: String = normedCte +
+    """SELECT query_id, neighbor_id, label, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS label,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |               c.vec_id) AS INTEGER) AS rnk
+      |  FROM n q JOIN n c
+      |    ON c.vec_id <> q.vec_id AND c.label = q.label
+      |  WHERE q.vec_id < 5) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim13
+  /** kNN LABEL-VOTE evaluation — embedding-quality audit: every vector
+    * is classified by majority vote of its 3 nearest (cell-blocked)
+    * neighbors' labels, scored against its own label, reported as
+    * per-label accuracy. The leave-one-out probe that tells a curation
+    * pipeline whether an embedding column actually separates its
+    * classes BEFORE a training run pays for it.
+    *
+    * Shape: sim08's blocked k-NN graph (never all-pairs) with the
+    * neighbor's label riding the graft_topk payload; the vote is two
+    * hash aggregates — (query, label) vote counts, then argmax via
+    * lexicographic min(struct(-votes, label)) (ties break to the
+    * smaller label, mirrored in the oracle's ORDER BY v DESC, label). */
+  def knnVote(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val assigned = assignCells(n, centroids(s, n))
+    val lbl = n.select(col("vec_id"), col("label"))
+    val c = assigned.join(lbl, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c"), col("cell"), col("label").as("n_label"))
+    val scored = assigned
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("cell"))
+      .join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val pred = topKPerQuery(scored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "n_label"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("v")).as("nv"), col("n_label").as("pl")))
+        .getField("pl").as("pred"))
+    pred.join(lbl.select(col("vec_id").as("query_id"), col("label")),
+        "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_vecs"))
+      .orderBy(col("label"))
+  }
+
+  val knnVoteSql: String = normedCte + "," + centCte + "," +
+    """assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |top AS (
+      |  SELECT query_id, n_label FROM (
+      |    SELECT q.vec_id AS query_id, cn.label AS n_label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM assigned q
+      |    JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      |    JOIN n cn ON cn.vec_id = c.vec_id) t
+      |  WHERE rnk <= 3),
+      |votes AS (
+      |  SELECT query_id, n_label, COUNT(*) AS v FROM top GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, n_label AS pred FROM (
+      |    SELECT query_id, n_label, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY v DESC, n_label) AS r
+      |    FROM votes) t WHERE r = 1)
+      |SELECT nn.label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN p.pred = nn.label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN p.pred = nn.label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS accuracy
+      |FROM pred p JOIN n nn ON nn.vec_id = p.query_id
+      |GROUP BY nn.label
+      |ORDER BY nn.label""".stripMargin
+
   // --------------------------------------------------------------- sim11
   /** MaxSim LATE-INTERACTION scoring (the ColBERT retrieval operator):
     * query and document are MULTI-vector — here the 64-dim embedding
@@ -855,7 +981,9 @@ object Similarity {
     "sim08_knn_graph" -> (knnGraph _),
     "sim09_semdedup" -> (semDedup _),
     "sim10_kmeans_step" -> (kmeansStep _),
-    "sim11_maxsim" -> (maxSim _))
+    "sim11_maxsim" -> (maxSim _),
+    "sim12_filtered_ann" -> (filteredAnn _),
+    "sim13_knn_vote" -> (knnVote _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -868,5 +996,7 @@ object Similarity {
     "sim08_knn_graph" -> knnGraphSql,
     "sim09_semdedup" -> semDedupSql,
     "sim10_kmeans_step" -> kmeansStepSql,
-    "sim11_maxsim" -> maxSimSql)
+    "sim11_maxsim" -> maxSimSql,
+    "sim12_filtered_ann" -> filteredAnnSql,
+    "sim13_knn_vote" -> knnVoteSql)
 }
