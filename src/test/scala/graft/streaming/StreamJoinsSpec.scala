@@ -44,8 +44,15 @@ class StreamJoinsSpec extends AnyFunSuite {
     "nulls after watermark eviction") {
     val in = Files.createTempDirectory("graft-ssjo-in")
     val ck = Files.createTempDirectory("graft-ssjo-ck")
+    // the file source orders batches by mtime: pin strictly increasing
+    // stamps, or same-millisecond writes under suite load can put a
+    // sentinel batch BEFORE the probe — after which no later batch
+    // ever evicts it
+    def stamp(p: java.nio.file.Path, i: Int): Unit =
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
     Fixtures.ndjsonLines.grouped(20).zipWithIndex.foreach { case (g, i) =>
-      Files.write(in.resolve(f"part-$i%02d.ndjson"), g.asJava)
+      stamp(Files.write(in.resolve(f"part-$i%02d.ndjson"), g.asJava), i)
     }
     // an isolated late yes delta with no no-side row within ±5 s — the
     // unmatched probe the outer join exists to surface — then sentinel
@@ -58,14 +65,14 @@ class StreamJoinsSpec extends AnyFunSuite {
       Fixtures.envelopeJson(Right(Fixtures.Delta(1L, seq, ticker,
         Fixtures.baseTs + offsetMs, s"${Fixtures.baseTs + offsetMs}-0",
         side, 42, 3)))
-    Files.write(in.resolve("part-90.ndjson"),
-      Seq(late("yes", "KXTEST-A", 100L, 10000000L)).asJava)
-    Files.write(in.resolve("part-91.ndjson"),
+    stamp(Files.write(in.resolve("part-90.ndjson"),
+      Seq(late("yes", "KXTEST-A", 100L, 10000000L)).asJava), 90)
+    stamp(Files.write(in.resolve("part-91.ndjson"),
       Seq(late("yes", "KXTEST-Y", 101L, 20000000L),
-          late("no", "KXTEST-Z", 201L, 20000000L)).asJava)
-    Files.write(in.resolve("part-92.ndjson"),
+          late("no", "KXTEST-Z", 201L, 20000000L)).asJava), 91)
+    stamp(Files.write(in.resolve("part-92.ndjson"),
       Seq(late("yes", "KXTEST-Y", 102L, 30000000L),
-          late("no", "KXTEST-Z", 202L, 30000000L)).asJava)
+          late("no", "KXTEST-Z", 202L, 30000000L)).asJava), 92)
     val q = StreamJoins.yesNoPairsOuter(
         StreamPipeline.readMessages(spark, in.toString, maxFilesPerTrigger = 1))
       .writeStream.format("memory").queryName("yes_no_outer")
