@@ -185,7 +185,8 @@ class PlanSpec extends AnyFunSuite {
     // (partial below the query-keyed exchange, final above) and no
     // window operator anywhere in the ranking
     Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc",
-        "sim08_knn_graph").foreach { q =>
+        "sim08_knn_graph", "sim11_maxsim", "sim12_filtered_ann",
+        "sim13_knn_vote").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
@@ -294,6 +295,47 @@ class PlanSpec extends AnyFunSuite {
       s"q32 per-order aggregation is not map-side partial:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"q32 supplier attach is not broadcast:\n$p")
+  }
+
+  test("dd13: containment pairs come from a gram equi-join — no " +
+    "cartesian, no nested loop") {
+    val p = plan("dd13_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dd13 pair stage is not an equi-join:\n$p")
+  }
+
+  test("sim10: assignment and means are hash aggregates — no window " +
+    "anywhere in a k-means step") {
+    val p = plan("sim10_kmeans_step")
+    assert(!p.contains("windowspecdefinition"),
+      s"sim10 fell back to a window:\n$p")
+    assert("HashAggregate\\(keys=\\[cell#\\d+L?, dim#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"sim10 member means are not a (cell, dim) hash aggregate:\n$p")
+  }
+
+  test("txt21: the frequency head is a map-side partial top-k, never " +
+    "a vocabulary-wide sort") {
+    val p = plan("txt21_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"txt21 head is not TakeOrderedAndProject:\n$p")
+  }
+
+  test("q39: double decorrelation stays equi-join + broadcast — no " +
+    "nested loop") {
+    val p = plan("q39_excess_share")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q39 decorrelation fell back to a nested loop:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q39 expected broadcast part-filter and semi-join:\n$p")
+  }
+
+  test("ob21: both regression levels are windowless hash aggregates") {
+    val p = plan("ob21_price_impact")
+    assert(!p.contains("windowspecdefinition"),
+      s"ob21 uses a window where aggregates suffice:\n$p")
   }
 
   test("ob20: TWAP lead is bucketed, never whole-ticker") {
