@@ -356,6 +356,48 @@ object Advanced {
       |         AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** RECURSIVE CTE — the hierarchy/graph-walk surface (BOM explosion,
+    * org rollups, path closures) that was unreachable before Spark 4's
+    * `WITH RECURSIVE` (executed as an iterative `UnionLoop` fixed
+    * point, each step a distributed job over only the frontier rows —
+    * NOT a driver loop). The hierarchy is synthesized from data:
+    * parent(k) = k div 10 makes the customer keys a 10-ary tree; the
+    * walk emits every (key, ancestor) pair with its depth, i.e. the
+    * ancestor closure, aggregated per level.
+    *
+    * Run as SQL text through [[graft.SqlInterface]] (the DataFrame API
+    * has no recursion surface). Note the division spellings differ —
+    * Spark `div`, DuckDB `//` — but both are exact BIGINT floor-div on
+    * non-negative keys. dd09's star contraction stays the CC engine
+    * because component labeling needs the alternating contraction to
+    * be O(log n); plain DAG walks like this one map directly onto
+    * WITH RECURSIVE. */
+  def q40HierarchyWalk(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS k, c_custkey div 10 AS anc, 1 AS depth
+        |  FROM customer WHERE c_custkey > 0
+        |  UNION ALL
+        |  SELECT k, anc div 10, depth + 1 FROM anc WHERE anc > 0)
+        |SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_paths,
+        |  COUNT(DISTINCT k) AS n_keys,
+        |  MIN(anc) AS min_anc, MAX(anc) AS max_anc
+        |FROM anc GROUP BY depth
+        |ORDER BY depth""".stripMargin)
+
+  val q40Sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS k, c_custkey // 10 AS anc, 1 AS depth
+      |  FROM customer WHERE c_custkey > 0
+      |  UNION ALL
+      |  SELECT k, anc // 10, depth + 1 FROM anc WHERE anc > 0)
+      |SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_paths,
+      |  COUNT(DISTINCT k) AS n_keys,
+      |  MIN(anc) AS min_anc, MAX(anc) AS max_anc
+      |FROM anc GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -365,7 +407,8 @@ object Advanced {
     "q36_percentiles" -> (q36Percentiles _),
     "q37_range_frames" -> (q37RangeFrames _),
     "q38_part_supplier_counts" -> (q38PartSupplierCounts _),
-    "q39_excess_share" -> (q39ExcessShare _))
+    "q39_excess_share" -> (q39ExcessShare _),
+    "q40_hierarchy_walk" -> (q40HierarchyWalk _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -375,5 +418,6 @@ object Advanced {
     "q36_percentiles" -> q36Sql,
     "q37_range_frames" -> q37Sql,
     "q38_part_supplier_counts" -> q38Sql,
-    "q39_excess_share" -> q39Sql)
+    "q39_excess_share" -> q39Sql,
+    "q40_hierarchy_walk" -> q40Sql)
 }
