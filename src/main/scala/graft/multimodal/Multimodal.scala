@@ -250,7 +250,9 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val phashNearDupSql: String = mediaCte + "," +
+  /** Shared CTE chain through the verified pair set — mm05 presents
+    * the pairs, mm06 walks them into clusters. */
+  private val phashPairCtes: String =
     """aug AS (
       |  SELECT media_id, text FROM media
       |  UNION ALL
@@ -283,14 +285,52 @@ object Multimodal {
       |cand AS (
       |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
       |  FROM bands a JOIN bands c
-      |    ON a.band = c.band AND a.bkey = c.bkey AND a.media_id < c.media_id)
-      |SELECT id_a, id_b,
-      |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
-      |FROM cand
-      |JOIN sig sa ON sa.media_id = id_a
-      |JOIN sig sb ON sb.media_id = id_b
-      |WHERE bit_count(xor(sa.sig, sb.sig)) <= 4
+      |    ON a.band = c.band AND a.bkey = c.bkey AND a.media_id < c.media_id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.media_id = id_a
+      |  JOIN sig sb ON sb.media_id = id_b
+      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 4)""".stripMargin
+
+  val phashNearDupSql: String = mediaCte + "," + phashPairCtes + """
+      |SELECT id_a, id_b, hamming FROM pairs
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- mm06
+  /** pHash near-dup CLUSTERS — the keep/drop decision mm05's pairs
+    * exist to feed (sim09's composition, for media): verified Hamming
+    * pairs become edges, cluster assembly runs on the dedup family's
+    * ONE CC engine (star contraction), and each cluster reports its
+    * keep (= min id, the cluster label), drop count, and max id. An
+    * exact-copy wave (+1M ids) must collapse onto its sources. */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.connectedComponentsStar(
+        phashNearDup(s, d)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_items"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+
+  val phashClustersSql: String =
+    mediaCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      phashPairCtes + """,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs),
+      |walk(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS n_items, COUNT(*) - 1 AS n_dropped,
+      |  MAX(id) AS max_id
+      |FROM comp GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
 
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -298,14 +338,16 @@ object Multimodal {
     "mm02_frame_sample" -> (frameSample _),
     "mm03_decode_features" -> (decodeFeatures _),
     "mm04_resize" -> (resizeMeta _),
-    "mm05_phash_neardup" -> (phashNearDup _))
+    "mm05_phash_neardup" -> (phashNearDup _),
+    "mm06_phash_clusters" -> (phashClusters _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
     "mm02_frame_sample" -> frameSampleSql,
     "mm03_decode_features" -> decodeFeaturesSql,
     "mm04_resize" -> resizeMetaSql,
-    "mm05_phash_neardup" -> phashNearDupSql)
+    "mm05_phash_neardup" -> phashNearDupSql,
+    "mm06_phash_clusters" -> phashClustersSql)
 }
 
 /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /

@@ -398,6 +398,40 @@ object Advanced {
       |FROM anc GROUP BY depth
       |ORDER BY depth""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Gap filling / LOCF imputation — `last_value(… IGNORE NULLS)`: the
+    * sparse-observation carry-forward every sensor/market pipeline
+    * runs (a book price is only quoted when it changes; analytics
+    * need it at every row). The IGNORE-NULLS frame variant is a
+    * different window semantics from q10/q37's dense frames: the
+    * carried value comes from an unbounded-preceding running frame
+    * that skips nulls, and rows before a partition's first
+    * observation STAY null (there is nothing to carry — an engine
+    * that invents a default here corrupts the series). Sparsity is
+    * synthesized (value visible on every 3rd event); the carried
+    * doubles are copies, not arithmetic, so hash-exact. Partitioning
+    * is by user_id — data-scale keys, parallel sorts. */
+  def q41GapFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        when(col("event_id") % 3 === 0, col("value")).as("sparse"))
+      .withColumn("filled",
+        last(col("sparse"), ignoreNulls = true).over(w))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q41Sql: String =
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_id % 3 = 0 THEN value END AS sparse,
+      |  LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN value END
+      |    IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -408,7 +442,8 @@ object Advanced {
     "q37_range_frames" -> (q37RangeFrames _),
     "q38_part_supplier_counts" -> (q38PartSupplierCounts _),
     "q39_excess_share" -> (q39ExcessShare _),
-    "q40_hierarchy_walk" -> (q40HierarchyWalk _))
+    "q40_hierarchy_walk" -> (q40HierarchyWalk _),
+    "q41_gap_fill" -> (q41GapFill _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -419,5 +454,6 @@ object Advanced {
     "q37_range_frames" -> q37Sql,
     "q38_part_supplier_counts" -> q38Sql,
     "q39_excess_share" -> q39Sql,
-    "q40_hierarchy_walk" -> q40Sql)
+    "q40_hierarchy_walk" -> q40Sql,
+    "q41_gap_fill" -> q41Sql)
 }
