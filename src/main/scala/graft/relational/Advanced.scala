@@ -432,6 +432,36 @@ object Advanced {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Semi-structured JSON processing: the `props` payload column
+    * parsed with a SCHEMA (`from_json` → codegen'd JsonToStructs, one
+    * parse per row feeding typed extraction) instead of per-path
+    * string probing — N `get_json_object` calls parse the document N
+    * times. Aggregates run on the extracted integers; malformed or
+    * missing keys become NULLs and fall out of the sums on both
+    * engines (PERMISSIVE mode ≙ json_extract's null). */
+  def q42JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q42Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_k,
+      |  SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+      |  MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -443,7 +473,8 @@ object Advanced {
     "q38_part_supplier_counts" -> (q38PartSupplierCounts _),
     "q39_excess_share" -> (q39ExcessShare _),
     "q40_hierarchy_walk" -> (q40HierarchyWalk _),
-    "q41_gap_fill" -> (q41GapFill _))
+    "q41_gap_fill" -> (q41GapFill _),
+    "q42_json_extract" -> (q42JsonExtract _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -455,5 +486,6 @@ object Advanced {
     "q38_part_supplier_counts" -> q38Sql,
     "q39_excess_share" -> q39Sql,
     "q40_hierarchy_walk" -> q40Sql,
-    "q41_gap_fill" -> q41Sql)
+    "q41_gap_fill" -> q41Sql,
+    "q42_json_extract" -> q42Sql)
 }
