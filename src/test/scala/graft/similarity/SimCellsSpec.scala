@@ -83,6 +83,29 @@ class SimCellsSpec extends AnyFunSuite {
       s"default cell count is not ceil(sqrt($n)) = $expected")
   }
 
+  test("sim10 k-means step honors the conf: partition of the corpus, " +
+    "centroid set bounded by cells") {
+    val key = Similarity.IvfCellsKey
+    spark.conf.set(key, "4")
+    try {
+      val out = Similarity.kmeansStep(spark, dir).collect()
+      val cells = out.map(_.getLong(0)).distinct
+      assert(cells.length <= 4 && cells.forall(_ < 4L),
+        s"conf=4 but cells ${cells.mkString(",")}")
+      // the assignment is a PARTITION: per dim, member counts sum to
+      // the nonzero-norm corpus size
+      val nz = graft.Tables.embeddings(spark, dir)
+        .where(expr(
+          "aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x) > 0"))
+        .count()
+      val dims = out.map(_.getInt(1)).distinct
+      dims.foreach { dim =>
+        val total = out.filter(_.getInt(1) == dim).map(_.getLong(2)).sum
+        assert(total === nz, s"dim $dim member counts sum to $total != $nz")
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("sim08 honors the conf too (cells flow through the graph build)") {
     val key = Similarity.IvfCellsKey
     spark.conf.set(key, "2")
