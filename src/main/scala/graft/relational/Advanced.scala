@@ -462,6 +462,41 @@ object Advanced {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Multiplicity-preserving set operations — INTERSECT ALL / EXCEPT
+    * ALL (q12 covers the DISTINCT variants; these are different
+    * operators with different physics: Spark plans them as
+    * replication-count joins via `generate`, not as distinct-then-
+    * join, so each row's multiplicity min/difference survives). The
+    * multisets are supplier keys of heavy vs discounted lineitems;
+    * per-key multiplicities aggregate after the set op, proving
+    * counts, not just membership, flowed through. */
+  def q43SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.where(col("l_quantity") > 25).select(col("l_suppkey"))
+    val b = li.where(col("l_discount") >= 0.05).select(col("l_suppkey"))
+    a.intersectAll(b).withColumn("tag", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("tag", lit("except_all")))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_keys"))
+      .orderBy(col("tag"))
+  }
+
+  val q43Sql: String =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25),
+      |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05),
+      |t AS (
+      |  SELECT l_suppkey, 'intersect_all' AS tag
+      |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT l_suppkey, 'except_all' AS tag
+      |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      |SELECT tag, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_suppkey) AS n_keys
+      |FROM t GROUP BY tag
+      |ORDER BY tag""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -474,7 +509,8 @@ object Advanced {
     "q39_excess_share" -> (q39ExcessShare _),
     "q40_hierarchy_walk" -> (q40HierarchyWalk _),
     "q41_gap_fill" -> (q41GapFill _),
-    "q42_json_extract" -> (q42JsonExtract _))
+    "q42_json_extract" -> (q42JsonExtract _),
+    "q43_set_ops_all" -> (q43SetOpsAll _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -487,5 +523,6 @@ object Advanced {
     "q39_excess_share" -> q39Sql,
     "q40_hierarchy_walk" -> q40Sql,
     "q41_gap_fill" -> q41Sql,
-    "q42_json_extract" -> q42Sql)
+    "q42_json_extract" -> q42Sql,
+    "q43_set_ops_all" -> q43Sql)
 }
