@@ -795,6 +795,98 @@ object Analytics {
       |  END AS lambda
       |FROM mo ORDER BY ticker""".stripMargin
 
+  // ----------------------------------------------------------------- B11
+  /** Return AUTOCORRELATION per (ticker, day): Pearson r between
+    * consecutive price moves — THE microstructure diagnostic (negative
+    * ⇒ bid-ask bounce/mean reversion, positive ⇒ momentum/stale
+    * quotes). Same determinism recipe as ob21: moves are exact
+    * integers, all five moments sum in BIGINT, and the only floating
+    * point is the final fixed-shape expression (sqrt is IEEE
+    * correctly-rounded, so even it is engine-identical); NULL when
+    * either variance is zero.
+    *
+    * Scale: consecutive-move pairing runs the two-level bucketed-lag
+    * scan TWICE (price → move, move → previous move) — both lags are
+    * per-bucket local windows plus a per-bucket carry summary, so no
+    * whole-ticker sort exists anywhere (ob18's shape, composed). */
+  def returnAutocorr(s: SparkSession, d: String): DataFrame = {
+    val rows = Derive.deltas(s, d)
+      .select(col("ticker"), dayCol.as("day"), col("event_id"), col("price"))
+      .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
+    val wPrefix = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLocal = Window.partitionBy(col("ticker"), col("day"), col("bucket"))
+      .orderBy(col("event_id"))
+    val carry = rows.groupBy(col("ticker"), col("day"), col("bucket"))
+      .agg(expr("max_by(price, event_id)").as("blp"))
+      .withColumn("carry_price", last(col("blp")).over(wPrefix))
+      .select(col("ticker"), col("day"), col("bucket"), col("carry_price"))
+    val moves = rows
+      .withColumn("prev_in_bucket", lag(col("price"), 1).over(wLocal))
+      .join(carry, Seq("ticker", "day", "bucket"))
+      .withColumn("prev_price",
+        coalesce(col("prev_in_bucket"), col("carry_price")))
+      .where(col("prev_price").isNotNull)
+      .withColumn("mv", (col("price") - col("prev_price")).cast(LongType))
+      .select(col("ticker"), col("day"), col("bucket"), col("event_id"),
+        col("mv"))
+    val carryMv = moves.groupBy(col("ticker"), col("day"), col("bucket"))
+      .agg(expr("max_by(mv, event_id)").as("blm"))
+      .withColumn("carry_mv", last(col("blm")).over(wPrefix))
+      .select(col("ticker"), col("day"), col("bucket"), col("carry_mv"))
+    val pairs = moves
+      .withColumn("prev_in_bucket", lag(col("mv"), 1).over(wLocal))
+      .join(carryMv, Seq("ticker", "day", "bucket"))
+      .withColumn("prev_mv",
+        coalesce(col("prev_in_bucket"), col("carry_mv")))
+      .where(col("prev_mv").isNotNull)
+    pairs.groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("prev_mv")).as("sx"), sum(col("mv")).as("sy"),
+        sum(col("prev_mv") * col("mv")).as("sxy"),
+        sum(col("prev_mv") * col("prev_mv")).as("sxx"),
+        sum(col("mv") * col("mv")).as("syy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("autocorr",
+        when(col("vx") > 0L && col("vy") > 0L,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+          sqrt(col("vx").cast(DoubleType) * col("vy").cast(DoubleType))))
+      .select(col("ticker"), col("day"), col("n_pairs"), col("autocorr"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val returnAutocorrSql: String = Derive.cte + s""",
+      |ac_base AS (
+      |  SELECT ticker, $daySqlD AS day, event_id, price FROM ob_deltas),
+      |ac_mv AS (
+      |  SELECT ticker, day, event_id,
+      |    CAST(price - LAG(price) OVER w AS BIGINT) AS mv
+      |  FROM ac_base
+      |  WINDOW w AS (PARTITION BY ticker, day ORDER BY event_id)),
+      |ac_nn AS (SELECT * FROM ac_mv WHERE mv IS NOT NULL),
+      |ac_pairs AS (
+      |  SELECT ticker, day, mv,
+      |    LAG(mv) OVER (PARTITION BY ticker, day ORDER BY event_id)
+      |      AS prev_mv
+      |  FROM ac_nn),
+      |mo AS (
+      |  SELECT ticker, day, COUNT(*) AS n_pairs,
+      |    SUM(prev_mv) AS sx, SUM(mv) AS sy, SUM(prev_mv * mv) AS sxy,
+      |    SUM(prev_mv * prev_mv) AS sxx, SUM(mv * mv) AS syy
+      |  FROM ac_pairs WHERE prev_mv IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT ticker, day, n_pairs,
+      |  CASE WHEN n_pairs * sxx - sx * sx > 0
+      |        AND n_pairs * syy - sy * sy > 0 THEN
+      |    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+      |  END AS autocorr
+      |FROM mo ORDER BY ticker, day""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -816,7 +908,8 @@ object Analytics {
     "ob17_microprice" -> (microprice _),
     "ob18_realized_var" -> (realizedVariance _),
     "ob20_twap" -> (twap _),
-    "ob21_price_impact" -> (priceImpact _))
+    "ob21_price_impact" -> (priceImpact _),
+    "ob22_return_autocorr" -> (returnAutocorr _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -839,5 +932,6 @@ object Analytics {
     "ob17_microprice" -> micropriceSql,
     "ob18_realized_var" -> realizedVarianceSql,
     "ob20_twap" -> twapSql,
-    "ob21_price_impact" -> priceImpactSql)
+    "ob21_price_impact" -> priceImpactSql,
+    "ob22_return_autocorr" -> returnAutocorrSql)
 }

@@ -497,6 +497,40 @@ object Advanced {
       |FROM t GROUP BY tag
       |ORDER BY tag""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** UNPIVOT / melt — the inverse of q19's pivot and a first-class
+    * narrow operator in Spark 3.4+ (`Dataset.unpivot` → Expand: each
+    * input row fans to one row per metric MAP-SIDE, no shuffle, no
+    * join against a metric dimension). Wide per-priority aggregates
+    * (count / distinct customers / exact total cents) melt into
+    * (priority, metric, value) — the long shape dashboards and ML
+    * feature stores ingest. All three metrics are exact BIGINTs, so
+    * the melt is type-lossless on both engines. */
+  def q44Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        (sum(col("o_totalprice").cast(dec)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("total_cents"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("n_custs"), col("total_cents")),
+        "metric", "val")
+      .orderBy(col("o_orderpriority"), col("metric"))
+  }
+
+  val q44Sql: String =
+    """WITH wide AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_custs,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS total_cents
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, metric, val
+      |FROM wide UNPIVOT (val FOR metric IN (n_orders, n_custs, total_cents))
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -510,7 +544,8 @@ object Advanced {
     "q40_hierarchy_walk" -> (q40HierarchyWalk _),
     "q41_gap_fill" -> (q41GapFill _),
     "q42_json_extract" -> (q42JsonExtract _),
-    "q43_set_ops_all" -> (q43SetOpsAll _))
+    "q43_set_ops_all" -> (q43SetOpsAll _),
+    "q44_unpivot" -> (q44Unpivot _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -524,5 +559,6 @@ object Advanced {
     "q40_hierarchy_walk" -> q40Sql,
     "q41_gap_fill" -> q41Sql,
     "q42_json_extract" -> q42Sql,
-    "q43_set_ops_all" -> q43Sql)
+    "q43_set_ops_all" -> q43Sql,
+    "q44_unpivot" -> q44Sql)
 }
