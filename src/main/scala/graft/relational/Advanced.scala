@@ -531,6 +531,43 @@ object Advanced {
       |FROM wide UNPIVOT (val FOR metric IN (n_orders, n_custs, total_cents))
       |ORDER BY o_orderpriority, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    * spelling where NULL keys MATCH each other instead of silently
+    * dropping — Catalyst keeps EqualNullSafe as a hash-join key
+    * (null-safe ≠ non-equi; no nested-loop fallback), which a naive
+    * `=` + COALESCE sentinel rewrite gets wrong the day a real value
+    * collides with the sentinel. One segment is nulled out
+    * (BUILDING → NULL) on both sides; the NULL bucket must survive
+    * the join with its aggregate attached. */
+  def q45NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val seg = when(col("c_mktsegment") =!= "BUILDING", col("c_mktsegment"))
+    val dim = Tables.customer(s, d)
+      .groupBy(seg.as("dseg"))
+      .agg((sum(col("c_acctbal").cast(dec)).cast(DoubleType)
+          / count(lit(1))).as("seg_avg"))
+    Tables.customer(s, d).select(seg.as("seg"), col("c_custkey"))
+      .join(broadcast(dim), col("seg") <=> col("dseg"))
+      .groupBy(col("seg").as("tag"))
+      .agg(count(lit(1)).as("n_custs"), max(col("seg_avg")).as("seg_avg"))
+      .orderBy(col("tag"))
+  }
+
+  val q45Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment END AS seg
+      |  FROM customer),
+      |dim AS (
+      |  SELECT seg AS dseg,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      AS seg_avg
+      |  FROM c JOIN customer USING (c_custkey) GROUP BY 1)
+      |SELECT c.seg AS tag, COUNT(*) AS n_custs, MAX(d.seg_avg) AS seg_avg
+      |FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.dseg
+      |GROUP BY c.seg
+      |ORDER BY tag""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -545,7 +582,8 @@ object Advanced {
     "q41_gap_fill" -> (q41GapFill _),
     "q42_json_extract" -> (q42JsonExtract _),
     "q43_set_ops_all" -> (q43SetOpsAll _),
-    "q44_unpivot" -> (q44Unpivot _))
+    "q44_unpivot" -> (q44Unpivot _),
+    "q45_nullsafe_join" -> (q45NullSafeJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -560,5 +598,6 @@ object Advanced {
     "q41_gap_fill" -> q41Sql,
     "q42_json_extract" -> q42Sql,
     "q43_set_ops_all" -> q43Sql,
-    "q44_unpivot" -> q44Sql)
+    "q44_unpivot" -> q44Sql,
+    "q45_nullsafe_join" -> q45Sql)
 }
