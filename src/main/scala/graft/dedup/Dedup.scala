@@ -972,6 +972,49 @@ object Dedup {
       |GROUP BY lang, verdict
       |ORDER BY lang, verdict""".stripMargin
 
+  // ---------------------------------------------------------------- dd15
+  /** Sketch CALIBRATION audit: MinHash's estimate (matching signature
+    * positions / 32) against the exact Jaccard, per verified pair —
+    * the drift monitor a production dedup pipeline runs before
+    * trusting banding thresholds on a new corpus (estimator variance
+    * is √(j(1−j)/32) ≈ 0.07 at j = 0.8; a systematic error beyond
+    * that means the shingle distribution broke the permutation
+    * assumptions — e.g. tiny shingle sets). Reuses the cached
+    * signature stage and the dd03 pair seam; the only new work is a
+    * codegen'd positional-equality count per surviving pair. Both
+    * scores are exact-integer ratios (k/32, common/union), so the
+    * error column is bit-identical across engines. */
+  def sketchCalibration(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigCached(s, d).select(col("doc_id"), col("sig"))
+    ngramPairs(s, d)
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .withColumn("est_jaccard",
+        call_function("graft_positional_eq_count",
+          col("sig_a"), col("sig_b")).cast(DoubleType) / 32)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("jaccard").as("exact_jaccard"),
+        (col("est_jaccard") - col("jaccard")).as("err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val sketchCalibrationSql: String = docsAugCte + "," + verifiedPairsCtes +
+    """SELECT v.id_a, v.id_b,
+      |  CAST(list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+      |         THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard,
+      |  v.jaccard AS exact_jaccard,
+      |  CAST(list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+      |         THEN 1 ELSE 0 END)) AS DOUBLE) / 32 - v.jaccard AS err
+      |FROM ver v
+      |JOIN sig sa ON sa.doc_id = v.id_a
+      |JOIN sig sb ON sb.doc_id = v.id_b
+      |WHERE v.jaccard >= 0.8
+      |ORDER BY v.id_a, v.id_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -987,7 +1030,8 @@ object Dedup {
     "dd11_fuzzy_link" -> (FuzzyLink.fuzzyLink _),
     "dd12_prefix_clusters" -> (prefixClusters _),
     "dd13_containment" -> (containmentPairs _),
-    "dd14_incremental" -> (incrementalDedup _))
+    "dd14_incremental" -> (incrementalDedup _),
+    "dd15_sketch_calibration" -> (sketchCalibration _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -1006,5 +1050,6 @@ object Dedup {
     "dd11_fuzzy_link" -> FuzzyLink.fuzzyLinkSql,
     "dd12_prefix_clusters" -> prefixClustersSql,
     "dd13_containment" -> containmentPairsSql,
-    "dd14_incremental" -> incrementalDedupSql)
+    "dd14_incremental" -> incrementalDedupSql,
+    "dd15_sketch_calibration" -> sketchCalibrationSql)
 }
