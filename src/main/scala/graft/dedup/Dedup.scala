@@ -672,8 +672,10 @@ object Dedup {
   }
 
   /** Distinct (doc_id, word-5-gram) rows — positions exploded in
-    * codegen, grams sliced per row, no per-doc gram arrays. */
-  private def wordGrams(df: DataFrame): DataFrame = df
+    * codegen, grams sliced per row, no per-doc gram arrays. Shared
+    * with [[graft.text.TextAnalysis.noveltyScore]] (txt20), whose
+    * oracle SQL mirrors this exact tokenization. */
+  private[graft] def wordGrams(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
     .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
     .select(col("doc_id"),

@@ -437,9 +437,12 @@ object Advanced {
     * parsed with a SCHEMA (`from_json` → codegen'd JsonToStructs, one
     * parse per row feeding typed extraction) instead of per-path
     * string probing — N `get_json_object` calls parse the document N
-    * times. Aggregates run on the extracted integers; malformed or
-    * missing keys become NULLs and fall out of the sums on both
-    * engines (PERMISSIVE mode ≙ json_extract's null). */
+    * times. Aggregates run on the extracted integers; malformed JSON
+    * or missing keys become NULLs and fall out of the sums on both
+    * engines (PERMISSIVE mode ≙ TRY_CAST of json_extract's null).
+    * Contract: `k` is an unquoted integer or absent — a QUOTED number
+    * ({"k":"5"}) is outside it (Spark's typed parse nulls the record,
+    * DuckDB's text extract still casts). */
   def q42JsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
@@ -454,10 +457,10 @@ object Advanced {
 
   val q42Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_k,
-      |  SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
-      |  MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
-      |  MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+      |  COUNT(TRY_CAST(props ->> '$.k' AS BIGINT)) AS n_k,
+      |  SUM(TRY_CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+      |  MIN(TRY_CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+      |  MAX(TRY_CAST(props ->> '$.k' AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -41,7 +41,9 @@ object Similarity {
     """WITH v AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
-      |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+      |n AS (SELECT * FROM (
+      |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+      |  WHERE nrm > 0)
       |""".stripMargin
 
   /** Config key: coarse-quantizer width — the IVF/k-NN-graph cell count
@@ -96,10 +98,23 @@ object Similarity {
   /** Oracle mirror of [[cellsOf]] (default path) + [[centroids]]. */
   private val centCte: String =
     """cells AS (
-      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n WHERE nrm > 0),
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
       |cent AS (
       |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
       |  WHERE vec_id < cells.c)""".stripMargin
+
+  /** Oracle mirror of [[assignCells]] — the window-ranked spelling
+    * (shared by every oracle that consumes the nearest-centroid
+    * partition; the tie-break MUST stay `csim DESC, pid`). */
+  private val assignedCte: String =
+    """assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn = 1)""".stripMargin
 
   /** Exact top-k per query as ONE bounded-heap aggregation
     * ([[graft.functions.TopKStruct]]): `groupBy(query_id)` with the
@@ -197,7 +212,7 @@ object Similarity {
 
   val lshAnnSql: String = normedCte + "," +
     """cells AS (
-      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n WHERE nrm > 0),
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
       |np AS (SELECT GREATEST(1, CAST(ceil(log2(c)) AS BIGINT)) AS p FROM cells),
       |planes AS (SELECT vec_id AS pid, e AS pe FROM n, np WHERE vec_id < np.p),
       |sigs AS (
@@ -246,16 +261,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val ivfAnnSql: String = normedCte + "," + centCte + "," +
-    """assigned AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
-      |                 c.pid) AS rn
-      |    FROM n v CROSS JOIN cent c) t
-      |  WHERE rn = 1)
-      |SELECT query_id, neighbor_id, cell, cosine, rnk FROM (
+  val ivfAnnSql: String = normedCte + "," + centCte + "," + assignedCte + "\n" +
+    """SELECT query_id, neighbor_id, cell, cosine, rnk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
       |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -602,16 +609,8 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val knnGraphSql: String = normedCte + "," + centCte + "," +
-    """assigned AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
-      |                 c.pid) AS rn
-      |    FROM n v CROSS JOIN cent c) t
-      |  WHERE rn = 1)
-      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+  val knnGraphSql: String = normedCte + "," + centCte + "," + assignedCte + "\n" +
+    """SELECT query_id, neighbor_id, cosine, rnk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -684,14 +683,7 @@ object Similarity {
       |cent AS (
       |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
       |  WHERE vec_id < cells.c),
-      |assigned AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
-      |                 c.pid) AS rn
-      |    FROM n v CROSS JOIN cent c) t
-      |  WHERE rn = 1),
+      |""".stripMargin + assignedCte + "," + """
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM assigned a JOIN assigned b
@@ -803,15 +795,8 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  val knnVoteSql: String = normedCte + "," + centCte + "," +
-    """assigned AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
-      |                 c.pid) AS rn
-      |    FROM n v CROSS JOIN cent c) t
-      |  WHERE rn = 1),
+  val knnVoteSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    """
       |top AS (
       |  SELECT query_id, n_label FROM (
       |    SELECT q.vec_id AS query_id, cn.label AS n_label,
@@ -944,15 +929,8 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
-  val kmeansStepSql: String = normedCte + "," + centCte + "," +
-    """assigned AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
-      |                 c.pid) AS rn
-      |    FROM n v CROSS JOIN cent c) t
-      |  WHERE rn = 1),
+  val kmeansStepSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    """
       |mem AS (
       |  SELECT a.cell, CAST(t.i AS INT) AS dim,
       |    a.e[CAST(t.i AS INT)] AS v

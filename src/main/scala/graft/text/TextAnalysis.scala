@@ -954,14 +954,7 @@ object TextAnalysis {
     * big-big-join-on-content-key plan, 3 shuffles total at any corpus
     * size. */
   def noveltyScore(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
-      .where(size(col("tk")) >= 5) // sequence(1, n-4) descends for n<5
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("tk")) - 4)).as("i"), col("tk"))
-      .select(col("doc_id"),
-        array_join(slice(col("tk"), col("i"), lit(5)), " ").as("gram"))
-      .distinct()
+    val grams = graft.dedup.Dedup.wordGrams(Tables.documents(s, d))
     val firstSeen = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstSeen, "gram")

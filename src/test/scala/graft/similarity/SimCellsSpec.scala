@@ -76,7 +76,12 @@ class SimCellsSpec extends AnyFunSuite {
 
   test("spark.graft.ivfCells unset → default is ceil(sqrt(corpus rows))") {
     spark.conf.unset(Similarity.IvfCellsKey)
-    val n = graft.Tables.embeddings(spark, dir).count()
+    // the default is defined over the NONZERO-NORM corpus (the frame
+    // the engine actually quantizes), not the raw table row count
+    val n = graft.Tables.embeddings(spark, dir)
+      .where(expr(
+        "aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x) > 0"))
+      .count()
     val expected = math.ceil(math.sqrt(n.toDouble)).toLong
     assert(rows(Similarity.ivfAnn(spark, dir)) ===
       rows(refIvf(spark, dir, expected)),
