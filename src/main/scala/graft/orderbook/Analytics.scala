@@ -503,6 +503,53 @@ object Analytics {
         col("staleness"))
       .orderBy(col("ticker"), col("event_id"))
 
+  /** ob23 — EFFECTIVE SPREAD against the prevailing quote: for every
+    * snapshot anchor, 2·|top-of-book − the STRICTLY-previous quote's
+    * price| (the execution-quality metric a venue reports — how far
+    * the book has drifted from the last print when a snapshot lands),
+    * aggregated per ticker. Composes [[asofCore]] (strict: a quote at
+    * the anchor's own event must not count as "prevailing") with an
+    * exact-integer aggregate: BIGINT spread sums, one double division
+    * at the end; anchors with no previous quote are counted, never
+    * averaged. Anchor top-of-book is the level-1 yes price, which is
+    * event_id-derived ([[Derive.snapshots]]) so no snapshot re-join is
+    * needed. */
+  def effectiveSpread(s: SparkSession, d: String): DataFrame = {
+    val topYes = col("event_id") % 90 + 1
+    asofCore(s, d, strict = true)
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("last_price").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        sum(when(col("last_price").isNotNull,
+          abs(topYes - col("last_price")) * 2)).as("eff_sum"))
+      .withColumn("avg_eff_spread",
+        when(col("n_anchors") > col("n_unmatched"),
+          col("eff_sum").cast(DoubleType) /
+            (col("n_anchors") - col("n_unmatched"))))
+      .select(col("ticker"), col("n_anchors"), col("n_unmatched"),
+        col("avg_eff_spread"))
+      .orderBy(col("ticker"))
+  }
+
+  val effectiveSpreadSql: String = Derive.cte +
+    """SELECT ticker, n_anchors, n_unmatched,
+      |  CASE WHEN n_anchors > n_unmatched
+      |       THEN CAST(eff_sum AS DOUBLE) / (n_anchors - n_unmatched)
+      |  END AS avg_eff_spread
+      |FROM (
+      |  SELECT s.ticker, COUNT(*) AS n_anchors,
+      |    CAST(SUM(CASE WHEN d.price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_unmatched,
+      |    CAST(SUM(CASE WHEN d.price IS NOT NULL
+      |      THEN ABS(s.event_id % 90 + 1 - d.price) * 2 END) AS BIGINT)
+      |      AS eff_sum
+      |  FROM (SELECT DISTINCT ticker, event_id FROM ob_snapshots) s
+      |  ASOF LEFT JOIN ob_deltas d
+      |    ON s.ticker = d.ticker AND d.event_id < s.event_id
+      |  GROUP BY s.ticker) t
+      |ORDER BY ticker""".stripMargin
+
   val asofPriceSql: String = Derive.cte +
     """SELECT s.ticker, s.event_id,
       |  d.price AS last_price, d.seq AS last_seq
@@ -909,7 +956,8 @@ object Analytics {
     "ob18_realized_var" -> (realizedVariance _),
     "ob20_twap" -> (twap _),
     "ob21_price_impact" -> (priceImpact _),
-    "ob22_return_autocorr" -> (returnAutocorr _))
+    "ob22_return_autocorr" -> (returnAutocorr _),
+    "ob23_eff_spread" -> (effectiveSpread _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -933,5 +981,6 @@ object Analytics {
     "ob18_realized_var" -> realizedVarianceSql,
     "ob20_twap" -> twapSql,
     "ob21_price_impact" -> priceImpactSql,
-    "ob22_return_autocorr" -> returnAutocorrSql)
+    "ob22_return_autocorr" -> returnAutocorrSql,
+    "ob23_eff_spread" -> effectiveSpreadSql)
 }

@@ -571,6 +571,153 @@ object Advanced {
       |GROUP BY c.seg
       |ORDER BY tag""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Column PROFILING — the ANALYZE-style statistics pass every
+    * warehouse runs before trusting a new feed (row/null/distinct
+    * counts, min/max, mode): melt the profiled columns into one long
+    * (colname, v) frame via a literal-array explode (narrow Generate —
+    * NOT `unpivot`, whose null handling differs from SQL UNPIVOT's
+    * default null-exclusion; the explode retains nulls identically on
+    * both engines), then TWO hash aggregates: per-column stats, and
+    * per-(column, value) counts reduced to the mode by lexicographic
+    * `min(struct(-cnt, v))`. Scale shape: the long frame is 4× the
+    * source but never wider than two columns; both shuffles key on
+    * content whose cardinality grows with the data; the 4-row mode
+    * side broadcasts back. All values profile as strings (ASCII here,
+    * so byte order ≡ DuckDB collation); `status_nulled` proves the
+    * null path (NULLIF keeps reals out of the null bucket — a sentinel
+    * would collide). */
+  def q46Profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val long = o.select(explode(array(
+        struct(lit("o_orderstatus").as("colname"),
+          col("o_orderstatus").as("v")),
+        struct(lit("o_orderpriority").as("colname"),
+          col("o_orderpriority").as("v")),
+        struct(lit("status_nulled").as("colname"),
+          nullif(col("o_orderstatus"), lit("O")).as("v")),
+        struct(lit("o_custkey").as("colname"),
+          col("o_custkey").cast(org.apache.spark.sql.types.StringType)
+            .as("v")))).as("e"))
+      .select(col("e.colname").as("colname"), col("e.v").as("v"))
+    val prof = long.groupBy(col("colname"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val mode = long.where(col("v").isNotNull)
+      .groupBy(col("colname"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("colname"))
+      .agg(min(struct((-col("c")).as("nc"), col("v").as("v"))).as("w"))
+      .select(col("colname"), col("w.v").as("mode_v"),
+        (-col("w.nc")).as("mode_n"))
+    prof.join(broadcast(mode), "colname")
+      .withColumn("null_frac",
+        col("n_null").cast(DoubleType) / col("n_rows"))
+      .orderBy(col("colname"))
+  }
+
+  val q46Sql: String =
+    """WITH long AS (
+      |  SELECT 'o_orderstatus' AS colname, o_orderstatus AS v FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'status_nulled', NULLIF(o_orderstatus, 'O') FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+      |prof AS (
+      |  SELECT colname, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    COUNT(DISTINCT v) AS n_distinct,
+      |    MIN(v) AS min_v, MAX(v) AS max_v
+      |  FROM long GROUP BY colname),
+      |mode AS (
+      |  SELECT colname, v AS mode_v, c AS mode_n FROM (
+      |    SELECT colname, v, c,
+      |      ROW_NUMBER() OVER (PARTITION BY colname
+      |        ORDER BY c DESC, v) AS rn
+      |    FROM (SELECT colname, v, COUNT(*) AS c FROM long
+      |          WHERE v IS NOT NULL GROUP BY colname, v) t) r
+      |  WHERE rn = 1)
+      |SELECT p.colname, n_rows, n_null, n_distinct, min_v, max_v,
+      |  mode_v, mode_n, CAST(n_null AS DOUBLE) / n_rows AS null_frac
+      |FROM prof p JOIN mode USING (colname)
+      |ORDER BY colname""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Two-sided LINEAR interpolation between sparse observations — the
+    * time-series imputation q41's LOCF can't do (LOCF steps, this
+    * slopes): per user, each gap row gets
+    * prev + (next − prev) · (pos − prev_pos)/(next_pos − prev_pos),
+    * with LOCF carry after the last observation and null before the
+    * first. Both direction scans are `last/first(… IGNORE NULLS)`
+    * frames over ONE user-keyed sort (same partition + ordering →
+    * Spark reuses the exchange and sort across both WindowExecs).
+    * Double parity: the carried values are copies and the interpolated
+    * ones come from the identical parenthesized expression — IEEE
+    * mul/div/add are correctly rounded, so same shape ⇒ same bits. */
+  def q47Interpolate(s: SparkSession, d: String): DataFrame = {
+    val sparse = when(col("event_id") % 3 === 0, col("value"))
+    val obsPos = when(sparse.isNotNull, col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), sparse.as("sparse"))
+      .withColumn("prev_v", last(col("sparse"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_pos",
+        last(when(col("sparse").isNotNull, col("event_id")),
+          ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("sparse"), ignoreNulls = true).over(wNext))
+      .withColumn("next_pos",
+        first(when(col("sparse").isNotNull, col("event_id")),
+          ignoreNulls = true).over(wNext))
+      .withColumn("interp",
+        when(col("sparse").isNotNull, col("sparse"))
+          .when(col("prev_v").isNull, lit(null))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            ((col("event_id") - col("prev_pos")).cast(DoubleType) /
+              (col("next_pos") - col("prev_pos")).cast(DoubleType))))
+      .select(col("user_id"), col("event_id"), col("sparse"), col("interp"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q47Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN event_id % 3 = 0 THEN value END AS sparse
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, sparse,
+      |    LAST_VALUE(sparse IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    LAST_VALUE(CASE WHEN sparse IS NOT NULL THEN event_id END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pos,
+      |    FIRST_VALUE(sparse IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    FIRST_VALUE(CASE WHEN sparse IS NOT NULL THEN event_id END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pos
+      |  FROM s)
+      |SELECT user_id, event_id, sparse,
+      |  CASE WHEN sparse IS NOT NULL THEN sparse
+      |       WHEN prev_v IS NULL THEN NULL
+      |       WHEN next_v IS NULL THEN prev_v
+      |       ELSE prev_v + (next_v - prev_v) *
+      |         (CAST(event_id - prev_pos AS DOUBLE) /
+      |          CAST(next_pos - prev_pos AS DOUBLE)) END AS interp
+      |FROM f
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -586,7 +733,9 @@ object Advanced {
     "q42_json_extract" -> (q42JsonExtract _),
     "q43_set_ops_all" -> (q43SetOpsAll _),
     "q44_unpivot" -> (q44Unpivot _),
-    "q45_nullsafe_join" -> (q45NullSafeJoin _))
+    "q45_nullsafe_join" -> (q45NullSafeJoin _),
+    "q46_profile" -> (q46Profile _),
+    "q47_interpolate" -> (q47Interpolate _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -602,5 +751,7 @@ object Advanced {
     "q42_json_extract" -> q42Sql,
     "q43_set_ops_all" -> q43Sql,
     "q44_unpivot" -> q44Sql,
-    "q45_nullsafe_join" -> q45Sql)
+    "q45_nullsafe_join" -> q45Sql,
+    "q46_profile" -> q46Sql,
+    "q47_interpolate" -> q47Sql)
 }
