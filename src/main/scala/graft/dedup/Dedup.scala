@@ -855,7 +855,22 @@ object Dedup {
     * quoting). Pair counts are a hash-agg on (id_a, id_b); sizes join
     * back per-doc. Σ df² per gram ≤ 50·|postings| keeps the join
     * output linear in the index size. */
-  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentOn(s, d, materialize = true)
+
+  /** The dd13 plan fully lazy (no checkpoint) — plan-shape tests
+    * inspect this; runtime goes through [[containmentPairs]]. */
+  private[graft] def containmentPairsPlan(s: SparkSession, d: String)
+      : DataFrame = containmentOn(s, d, materialize = false)
+
+  /** `materialize = true` localCheckpoints the two shared seams — the
+    * distinct (doc_id, gram) postings feed BOTH the df count and the
+    * pruned index, and the pruned index feeds THREE consumers (sizes,
+    * both join sides); left lazy, Spark recomputes the explode+distinct
+    * subtree once per branch (~2× the query's whole wall time). Same
+    * seam pattern as [[embedNearDup]]. */
+  private def containmentOn(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
     val MaxDf = 50
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"))
@@ -866,7 +881,7 @@ object Dedup {
           array_join(slice(tk, lit(4), (size(tk) / 2).cast(
             org.apache.spark.sql.types.IntegerType)), " ").as("text"),
           col("lang")))
-    val grams = corpus
+    val gramsRaw = corpus
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .where(size(col("tk")) >= 3)
       .select(col("doc_id"),
@@ -874,9 +889,11 @@ object Dedup {
       .select(col("doc_id"),
         array_join(slice(col("tk"), col("i"), lit(3)), " ").as("gram"))
       .distinct()
+    val grams = if (materialize) gramsRaw.localCheckpoint() else gramsRaw
     val dfc = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val rare = grams
+    val rareRaw = grams
       .join(dfc.where(col("df") <= MaxDf).select(col("gram")), "gram")
+    val rare = if (materialize) rareRaw.localCheckpoint() else rareRaw
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = rare.select(col("doc_id").as("id_a"), col("gram"))
     val b = rare.select(col("doc_id").as("id_b"), col("gram"))

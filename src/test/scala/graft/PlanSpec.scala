@@ -299,7 +299,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("dd13: containment pairs come from a gram equi-join — no " +
     "cartesian, no nested loop") {
-    val p = plan("dd13_containment")
+    // the lazy twin: the runtime query checkpoints its shared seams,
+    // which would hide the join shape behind an ExistingRDD scan
+    val p = dedup.Dedup.containmentPairsPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"dd13 pair stage is not an equi-join:\n$p")
@@ -343,6 +346,35 @@ class PlanSpec extends AnyFunSuite {
     assert("lead\\(ts_ms#\\d+L?, -?1, null\\) windowspecdefinition\\(ticker#\\d+, day#\\d+, bucket#".r
       .findFirstIn(p).isDefined,
       s"ob20 lead is not bucketed:\n$p")
+  }
+
+  test("q47: both direction scans share ONE exchange + sort — the " +
+    "forward and backward IGNORE NULLS frames must not re-shuffle") {
+    val p = plan("q47_interpolate")
+    // one user_id hash exchange for the windows (+ the final rangepartition
+    // for orderBy); a second hashpartitioning(user_id) means the reversed
+    // frame re-exchanged
+    val userHash = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userHash <= 1, s"q47 re-shuffles between window passes:\n$p")
+  }
+
+  test("q46: the profile melt is a narrow Generate; the mode side joins " +
+    "back broadcast") {
+    val p = plan("q46_profile")
+    assert(p.contains("Generate explode"), s"q46 melt is not an explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q46 mode join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ob23: the spread aggregate rides the as-of core — no extra " +
+    "whole-ticker window beyond the bucketed scan") {
+    val p = plan("ob23_eff_spread")
+    // every windowspecdefinition must carry the bucket key; a bare
+    // (ticker) partition would be the whole-ticker sort the core avoids
+    val bare = "windowspecdefinition\\(ticker#\\d+, (?!bucket)[a-z_]+#".r
+      .findAllIn(p).size
+    assert(bare == 0, s"ob23 windows a whole ticker:\n$p")
   }
 
   test("ingest normalize path is shuffle-free (narrow ops only)") {
