@@ -718,6 +718,58 @@ object Advanced {
       |FROM f
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Robust outlier gating via MAD (median absolute deviation) — the
+    * curation filter that survives what a z-score doesn't: mean and
+    * stddev are themselves dragged by the outliers they're supposed to
+    * catch, while median/MAD have a 50% breakdown point. Per event
+    * type: median, MAD (median of |x − med|), and the count/fraction
+    * beyond 3·MAD. Two grouped EXACT percentile passes with a
+    * broadcast median join between them (event types are
+    * dimension-scale, so the per-group value buffer is bounded the
+    * same way ob11/q36 are — fact-scale groups would switch to
+    * approx_percentile); the outlier verdicts are plain comparisons of
+    * identically-shaped doubles, so both engines flag the same rows. */
+  def q48MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5d)").as("med"))
+    val dev = Tables.events(s, d)
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val st = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        expr("percentile(adev, 0.5d)").as("mad"))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(st), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast(DoubleType) / col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q48Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n, MAX(med) AS med,
+      |    quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT s.event_type, s.n, s.med, s.mad,
+      |  CAST(SUM(CASE WHEN d.adev > s.mad * 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN d.adev > s.mad * 3 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / s.n AS outlier_frac
+      |FROM st s JOIN dev d USING (event_type)
+      |GROUP BY s.event_type, s.n, s.med, s.mad
+      |ORDER BY s.event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -735,7 +787,8 @@ object Advanced {
     "q44_unpivot" -> (q44Unpivot _),
     "q45_nullsafe_join" -> (q45NullSafeJoin _),
     "q46_profile" -> (q46Profile _),
-    "q47_interpolate" -> (q47Interpolate _))
+    "q47_interpolate" -> (q47Interpolate _),
+    "q48_mad_outliers" -> (q48MadOutliers _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -753,5 +806,6 @@ object Advanced {
     "q44_unpivot" -> q44Sql,
     "q45_nullsafe_join" -> q45Sql,
     "q46_profile" -> q46Sql,
-    "q47_interpolate" -> q47Sql)
+    "q47_interpolate" -> q47Sql,
+    "q48_mad_outliers" -> q48Sql)
 }
