@@ -770,6 +770,49 @@ object Advanced {
       |GROUP BY s.event_type, s.n, s.med, s.mad
       |ORDER BY s.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** SCHEMA EVOLUTION on read — the source capability a long-lived feed
+    * needs the day a producer adds a column: two parquet batches with
+    * DIFFERENT schemas (the second adds `o_totalprice`) land in one
+    * dataset, and a `mergeSchema` scan reconciles them — old-batch rows
+    * surface the new column as NULL, and the aggregate distinguishes
+    * "absent in the batch schema" (counted by `n_with_price`) from a
+    * value. The batches are derived from the orders table and written
+    * to a per-invocation temp dir (the write is the fixture, not the
+    * operator; the oracle recomputes the logical result straight from
+    * the base table). Scale: schema merge is a FOOTER-level operation —
+    * Spark reads every file's footer schema and unions them; the row
+    * scan itself stays columnar with per-file projection pushdown. */
+  def q49SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo")
+    dir.toFile.deleteOnExit()
+    val o = Tables.orders(s, d)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch1")
+    o.where(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch1", s"$dir/batch2")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        dsum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q49Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
+      |    AS n_with_price,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS price_sum
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -788,7 +831,8 @@ object Advanced {
     "q45_nullsafe_join" -> (q45NullSafeJoin _),
     "q46_profile" -> (q46Profile _),
     "q47_interpolate" -> (q47Interpolate _),
-    "q48_mad_outliers" -> (q48MadOutliers _))
+    "q48_mad_outliers" -> (q48MadOutliers _),
+    "q49_schema_evolution" -> (q49SchemaEvolution _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -807,5 +851,6 @@ object Advanced {
     "q45_nullsafe_join" -> q45Sql,
     "q46_profile" -> q46Sql,
     "q47_interpolate" -> q47Sql,
-    "q48_mad_outliers" -> q48Sql)
+    "q48_mad_outliers" -> q48Sql,
+    "q49_schema_evolution" -> q49Sql)
 }

@@ -210,7 +210,9 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val lshAnnSql: String = normedCte + "," +
+  /** Oracle mirror of the sim02 signature stage (cells → hyperplanes →
+    * per-vector signature) — shared with sim14's recall audit. */
+  private val lshSigCtes: String =
     """cells AS (
       |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
       |np AS (SELECT GREATEST(1, CAST(ceil(log2(c)) AS BIGINT)) AS p FROM cells),
@@ -220,8 +222,10 @@ object Similarity {
       |    CAST(SUM(CASE WHEN list_dot_product(v.e, p.pe) >= 0
       |      THEN (1 << CAST(p.pid AS INT)) ELSE 0 END) AS BIGINT) AS sig
       |  FROM n v CROSS JOIN planes p
-      |  GROUP BY v.vec_id, v.label, v.e, v.nrm)
-      |SELECT query_id, neighbor_id, sig, cosine, rnk FROM (
+      |  GROUP BY v.vec_id, v.label, v.e, v.nrm)""".stripMargin
+
+  val lshAnnSql: String = normedCte + "," + lshSigCtes + "\n" +
+    """SELECT query_id, neighbor_id, sig, cosine, rnk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.sig AS sig,
       |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -948,6 +952,64 @@ object Similarity {
       |FROM agg a JOIN old o ON o.cell = a.cell AND o.dim = a.dim
       |ORDER BY a.cell, a.dim""".stripMargin
 
+  // --------------------------------------------------------------- sim14
+  /** ANN RECALL@k audit — the acceptance gate run before an
+    * approximate index replaces an exact one: per query, how many of
+    * the true (brute-force) top-3 the LSH index recovered. Composes
+    * sim01 (ground truth) with sim02 (candidate index); the hit check
+    * is a (query_id, neighbor_id) semi-join, queries with zero hits
+    * survive via the left join from the truth side. Recall is an
+    * integer ratio divided once — engine-identical doubles. At scale
+    * the audit runs over a SAMPLE of queries (here the same 5-query
+    * probe set both retrievals share), so its cost is the sampled
+    * fraction of one exact pass — the standard price of knowing the
+    * index is safe to ship. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val ann = lshAnn(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String = normedCte + "," + lshSigCtes + "," +
+    """ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rnk <= 3),
+      |an AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM sigs q JOIN sigs c
+      |      ON q.sig = c.sig AND c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rnk <= 3),
+      |h AS (
+      |  SELECT e.query_id, COUNT(*) AS n_hit
+      |  FROM ex e JOIN an a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY e.query_id)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*) AS recall
+      |FROM ex e LEFT JOIN h ON h.query_id = e.query_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -961,7 +1023,8 @@ object Similarity {
     "sim10_kmeans_step" -> (kmeansStep _),
     "sim11_maxsim" -> (maxSim _),
     "sim12_filtered_ann" -> (filteredAnn _),
-    "sim13_knn_vote" -> (knnVote _))
+    "sim13_knn_vote" -> (knnVote _),
+    "sim14_ann_recall" -> (annRecall _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -976,5 +1039,6 @@ object Similarity {
     "sim10_kmeans_step" -> kmeansStepSql,
     "sim11_maxsim" -> maxSimSql,
     "sim12_filtered_ann" -> filteredAnnSql,
-    "sim13_knn_vote" -> knnVoteSql)
+    "sim13_knn_vote" -> knnVoteSql,
+    "sim14_ann_recall" -> annRecallSql)
 }

@@ -1140,6 +1140,50 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- txt23
+  /** Source-mix DIVERSITY audit — the per-provenance report a curation
+    * run publishes next to txt17's mixture plan: per source, document
+    * and language counts, the dominant language with its share, and
+    * total characters. One (source, lang) hash aggregate (content-
+    * keyed, grows with the corpus) reduced to per-source rows by the
+    * lexicographic `min(struct(-cnt, lang))` argmax; shares are
+    * integer ratios divided once, so the doubles are engine-identical
+    * without any entropy/ln machinery. */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    byLang.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("n")).as("nc"), col("lang").as("lang"))).as("w"),
+        sum(col("chars")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("w.lang").as("top_lang"),
+        ((-col("w.nc")).cast(DoubleType) / col("n_docs"))
+          .as("top_lang_share"),
+        col("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val sourceMixSql: String =
+    """WITH bl AS (
+      |  SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      |  FROM documents GROUP BY source, lang),
+      |top AS (
+      |  SELECT source, lang AS top_lang, n AS top_n FROM (
+      |    SELECT source, lang, n,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY n DESC, lang) AS rn
+      |    FROM bl) t WHERE rn = 1)
+      |SELECT b.source, CAST(SUM(b.n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_langs, MAX(t.top_lang) AS top_lang,
+      |  CAST(MAX(t.top_n) AS DOUBLE) / SUM(b.n) AS top_lang_share,
+      |  CAST(SUM(b.chars) AS BIGINT) AS total_chars
+      |FROM bl b JOIN top t USING (source)
+      |GROUP BY b.source
+      |ORDER BY b.source""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1163,7 +1207,8 @@ object TextAnalysis {
     "txt19_curriculum_order" -> (curriculumOrder _),
     "txt20_novelty" -> (noveltyScore _),
     "txt21_zipf_slope" -> (zipfSlope _),
-    "txt22_entropy" -> (tokenEntropy _))
+    "txt22_entropy" -> (tokenEntropy _),
+    "txt23_source_mix" -> (sourceMix _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1187,5 +1232,6 @@ object TextAnalysis {
     "txt19_curriculum_order" -> curriculumOrderSql,
     "txt20_novelty" -> noveltyScoreSql,
     "txt21_zipf_slope" -> zipfSlopeSql,
-    "txt22_entropy" -> tokenEntropySql)
+    "txt22_entropy" -> tokenEntropySql,
+    "txt23_source_mix" -> sourceMixSql)
 }
