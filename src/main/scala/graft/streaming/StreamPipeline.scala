@@ -180,6 +180,33 @@ object StreamPipeline {
         unix_millis(col("session_window.end")).as("session_end"),
         col("n_msgs"))
 
+  /** STREAMING OHLC — ob08's time-bucketed candle rollup (B6) as a
+    * watermarked tumbling-window aggregate: per (ticker, window),
+    * open/close by `min_by`/`max_by` on the sequence number (both are
+    * declarative aggregates with streaming partial merge — no sort,
+    * no per-window buffering beyond the running extremes), high/low by
+    * plain min/max. Append mode: a candle emits exactly once, when the
+    * watermark proves its window closed — late deltas inside the
+    * watermark still amend state before emission; beyond it they are
+    * dropped by the window operator (the same trade every candle feed
+    * makes). State is O(open windows × tickers). */
+  def candles(messages: DataFrame, window_ : String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    messages
+      .where(col("type") === "orderbook_delta" && col("msg.ts").isNotNull)
+      .withColumn("event_ts", timestamp_millis(col("msg.ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("msg.market_ticker").as("ticker"),
+        window(col("event_ts"), window_))
+      .agg(expr("min_by(msg.price, seq)").as("open"),
+        max(col("msg.price")).as("high"),
+        min(col("msg.price")).as("low"),
+        expr("max_by(msg.price, seq)").as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("ticker"),
+        unix_millis(col("window.start")).as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** A16: the reference's (dead-code) CSV debug sink — header-on-create
     * append (kalshi_ws_client.py:32-75). */
   def debugCsvSink(df: DataFrame, path: String): Unit =

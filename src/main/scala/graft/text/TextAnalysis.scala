@@ -1184,6 +1184,89 @@ object TextAnalysis {
       |GROUP BY b.source
       |ORDER BY b.source""".stripMargin
 
+  // ---------------------------------------------------------------- txt24
+  /** Split-LEAKAGE audit — the hygiene report run after txt09's
+    * hash-mod split and before anyone trusts a val/test metric: for
+    * each held-out split, how much of its word-5-gram mass also
+    * appears in train. Content-hash splitting guarantees a DOCUMENT
+    * never crosses splits, but says nothing about shared boilerplate
+    * or re-posted passages — exactly what this measures (dd08
+    * decontaminates against an EXTERNAL eval set; this audits the
+    * internal split boundary). Per held-out split: gram-bearing doc
+    * count, docs with any leaked gram, total/leaked gram counts, and
+    * the aggregate leak fraction (one division — no mean-of-ratios
+    * float accumulation). Shape: one gram-keyed semi-join against the
+    * distinct train grams (content-key cardinality, grows with the
+    * corpus) + doc-keyed aggregates; nothing pairwise. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val h = pmod(call_function("graft_polyhash", col("text")), lit(100))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+    val g = graft.dedup.Dedup.wordGrams(docs)
+      .join(docs.select(col("doc_id"), col("split")), "doc_id")
+    val trainGrams = g.where(col("split") === "train")
+      .select(col("gram")).distinct()
+    val ev = g.where(col("split") =!= "train")
+    val perDoc = ev
+      .join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("leaked"))
+    ev.groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("leaked", coalesce(col("leaked"), lit(0L)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("leaked") > 0, 1L).otherwise(0L)).as("n_docs_leaked"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("leaked")).as("n_leaked"))
+      .withColumn("leak_frac",
+        col("n_leaked").cast(DoubleType) / col("n_grams"))
+      .orderBy(col("split"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN list_reduce([CAST(0 AS BIGINT)] ||
+      |        list_transform(range(1, LENGTH(text) + 1),
+      |          i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80 THEN 'train'
+      |      WHEN list_reduce([CAST(0 AS BIGINT)] ||
+      |        list_transform(range(1, LENGTH(text) + 1),
+      |          i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents),
+      |tg AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        range(1, len(string_split_regex(trim(text), '\s+')) - 3),
+      |        i -> array_to_string(string_split_regex(trim(text), '\s+')
+      |               [CAST(i AS INT):CAST(i AS INT) + 4], ' '))) AS gram
+      |    FROM documents
+      |    WHERE len(string_split_regex(trim(text), '\s+')) >= 5) t),
+      |g AS (SELECT tg.doc_id, tg.gram, sp.split
+      |      FROM tg JOIN sp USING (doc_id)),
+      |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+      |pd AS (
+      |  SELECT doc_id, split, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN gram IN (SELECT gram FROM tr)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS leaked
+      |  FROM g WHERE split <> 'train'
+      |  GROUP BY doc_id, split)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN leaked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_leaked,
+      |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+      |  CAST(SUM(leaked) AS BIGINT) AS n_leaked,
+      |  CAST(SUM(leaked) AS DOUBLE) / SUM(n_grams) AS leak_frac
+      |FROM pd
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1208,7 +1291,8 @@ object TextAnalysis {
     "txt20_novelty" -> (noveltyScore _),
     "txt21_zipf_slope" -> (zipfSlope _),
     "txt22_entropy" -> (tokenEntropy _),
-    "txt23_source_mix" -> (sourceMix _))
+    "txt23_source_mix" -> (sourceMix _),
+    "txt24_split_leakage" -> (splitLeakage _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1233,5 +1317,6 @@ object TextAnalysis {
     "txt20_novelty" -> noveltyScoreSql,
     "txt21_zipf_slope" -> zipfSlopeSql,
     "txt22_entropy" -> tokenEntropySql,
-    "txt23_source_mix" -> sourceMixSql)
+    "txt23_source_mix" -> sourceMixSql,
+    "txt24_split_leakage" -> splitLeakageSql)
 }
