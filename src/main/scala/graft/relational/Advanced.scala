@@ -813,6 +813,54 @@ object Advanced {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Equi-WIDTH histogram — the distribution sketch a profiler draws
+    * next to q46's stats and q36's quantiles: one scalar min/max
+    * aggregate broadcast back over the scan, bin =
+    * ⌊(v − min)/width⌋ clamped into the last bucket (the max lands in
+    * bin 9, not a phantom bin 10), then ONE hash aggregate on the bin
+    * id. Histogram doubles stay parity-safe because the bin expression
+    * is the identical shape on both engines and per-bin outputs are
+    * min/max copies + a decimal-summed total; the degenerate all-
+    * equal-values column collapses to bin 0 by the width-zero guard
+    * rather than a 0/0 NaN. Two passes over the column, both
+    * full-width shuffle-free before their single-row/10-row
+    * exchanges — the classic profiler trade (approx_percentile-style
+    * sketches would do it in one pass at the price of exactness). */
+  def q50Histogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice"))
+    val mm = o.agg(min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(least(
+            floor((col("o_totalprice") - col("mn")) /
+              ((col("mx") - col("mn")) / 10)), lit(9L))
+            .cast(LongType)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("bin_min"),
+        max(col("o_totalprice")).as("bin_max"),
+        dsum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("bin"))
+  }
+
+  val q50Sql: String =
+    """WITH mm AS (
+      |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      |  FROM orders)
+      |SELECT CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(LEAST(FLOOR((o_totalprice - mn) /
+      |           ((mx - mn) / 10)), 9) AS BIGINT) END AS bin,
+      |  COUNT(*) AS n,
+      |  MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS price_sum
+      |FROM orders, mm
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -832,7 +880,8 @@ object Advanced {
     "q46_profile" -> (q46Profile _),
     "q47_interpolate" -> (q47Interpolate _),
     "q48_mad_outliers" -> (q48MadOutliers _),
-    "q49_schema_evolution" -> (q49SchemaEvolution _))
+    "q49_schema_evolution" -> (q49SchemaEvolution _),
+    "q50_histogram" -> (q50Histogram _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -852,5 +901,6 @@ object Advanced {
     "q46_profile" -> q46Sql,
     "q47_interpolate" -> q47Sql,
     "q48_mad_outliers" -> q48Sql,
-    "q49_schema_evolution" -> q49Sql)
+    "q49_schema_evolution" -> q49Sql,
+    "q50_histogram" -> q50Sql)
 }

@@ -377,6 +377,19 @@ class PlanSpec extends AnyFunSuite {
     assert(bare == 0, s"ob23 windows a whole ticker:\n$p")
   }
 
+  test("q48/q50: profiling stats attach by broadcast — the fact scan " +
+    "is never the build side") {
+    Seq("q48_mad_outliers", "q50_histogram").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q stat attach is not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q shuffles a join that should broadcast:\n$p")
+    }
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
