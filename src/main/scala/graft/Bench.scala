@@ -59,20 +59,10 @@ object Bench {
       probeTimes += sec
       System.err.println(f"[bench] probe q14 $sec%8.2f s")
     }
-    // Per-query cache reset: several queries legitimately pin session
-    // state (the dedup signature seam, CC-loop localCheckpoints) whose
-    // blocks are NOT evictable by the unified memory manager — left in
-    // place they squeeze execution memory for every LATER query, and by
-    // mid-run the heavy joins spill ~3× slower while the tiny probe
-    // stays fast (exactly the full-run-vs-solo gap this fixes). Each
-    // measurement is therefore COLD: within-query reuse still counts,
+    // Per-query cache reset (one shared definition — GraftSession):
+    // each measurement is COLD; within-query reuse still counts,
     // cross-query session caching deliberately does not.
-    def resetCaches(): Unit = {
-      graft.dedup.Dedup.releaseCaches(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def resetCaches(): Unit = GraftSession.resetCaches(spark)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvgs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ProbeEvery = 10
@@ -96,8 +86,9 @@ object Bench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         resetCaches()
-        // per-pass line: pass-1 carries any one-time cache/cold-start
-        // cost (e.g. the shared dedup signature seam) that the min hides
+        // per-pass line: with the per-query reset BOTH passes are cold
+        // (the dedup signature seam rebuilds inside every dd timing);
+        // min-of-2 only removes scheduling noise, never cache cost
         System.err.println(f"[bench] $tag $name%-24s $sec%8.2f s")
         name -> (if (ok) Some(sec) else None)
       }

@@ -27,4 +27,19 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop ALL session-pinned caches — the dedup signature seam, cached
+    * tables, and leftover persisted/localCheckpoint'ed RDDs. The
+    * harness mains (Bench, Verify) call this after EVERY query:
+    * checkpoint blocks are not evictable by the unified memory
+    * manager, so left in place they squeeze execution memory and make
+    * every LATER heavy join spill slower (an idle machine reads as
+    * contended — the round-6 161 s vs 81 s full-suite gap). One
+    * definition so the two harnesses can never drift. */
+  def resetCaches(s: SparkSession): Unit = {
+    graft.dedup.Dedup.releaseCaches(s)
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

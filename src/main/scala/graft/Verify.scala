@@ -22,13 +22,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same per-query cache hygiene as Bench: pinned session state
-      // (signature seam, CC localCheckpoints) is unevictable and would
-      // squeeze execution memory for every later query
-      graft.dedup.Dedup.releaseCaches(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // same per-query cache hygiene as Bench (shared definition)
+      GraftSession.resetCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -784,8 +784,14 @@ object Advanced {
     * Spark reads every file's footer schema and unions them; the row
     * scan itself stays columnar with per-file projection pushdown. */
   def q49SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-evo")
-    dir.toFile.deleteOnExit()
+    // ONE deterministic dir per corpus, overwritten each call — a
+    // fresh createTempDirectory would leak a full orders copy per
+    // invocation (deleteOnExit cannot remove non-empty directories)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-evo-$digest")
     val o = Tables.orders(s, d)
     o.where(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"))

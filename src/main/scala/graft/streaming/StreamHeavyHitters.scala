@@ -50,12 +50,15 @@ object StreamHeavyHitters {
 
     override def handleInputRows(key: Int, rows: Iterator[Tok],
         tv: TimerValues): Iterator[Summary] = {
-      var m = if (state.exists()) {
-        val st = state.get()
-        scala.collection.mutable.LinkedHashMap(
+      // ONE store lookup per key per batch — each exists()/get() is a
+      // state-store read on the hot path under RocksDB
+      val prior = if (state.exists()) Some(state.get()) else None
+      val m = prior match {
+        case Some(st) => scala.collection.mutable.LinkedHashMap(
           st.tokens.zip(st.counts): _*)
-      } else scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      var seen = if (state.exists()) state.get().seen else 0L
+        case None => scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      }
+      var seen = prior.map(_.seen).getOrElse(0L)
       rows.foreach { t =>
         seen += 1
         m.get(t.token) match {

@@ -37,6 +37,7 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
     }
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val tokens = spark.readStream.format("text")
       .option("maxFilesPerTrigger", 1).load(in.toString)
       .select(col("value").as("token"))
@@ -83,5 +84,8 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
     finals.keys.groupBy(_._1).foreach { case (b, ks) =>
       assert(ks.size <= K, s"cell $b holds ${ks.size} > K=$K tokens")
     }
+    // TestSpark's session is shared across suites — restore the
+    // default state-store provider
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
