@@ -867,6 +867,37 @@ object Advanced {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** NULL-AWARE anti join — `NOT IN (subquery)` under three-valued
+    * logic, the SQL trap every engine must get right: one NULL in the
+    * subquery makes `x NOT IN (…)` UNKNOWN for every x, so the NOT IN
+    * variant returns ZERO rows while the NOT EXISTS spelling (where
+    * NULL simply never equals) returns the real "customers without
+    * orders" count. Both variants side by side prove the engine
+    * distinguishes them instead of rewriting one into the other.
+    * Physical plan: Catalyst compiles NOT-IN-with-nullable-key to a
+    * null-aware anti join (broadcast-only — the null check needs the
+    * whole build side per task), a DIFFERENT join operator from q07's
+    * left-anti and q45's null-safe equi-join. */
+  def q51NotInNull(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d, q51Body)
+
+  private val q51Body: String =
+    """SELECT 'not_exists' AS variant, COUNT(*) AS n FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE (CASE WHEN o.o_orderkey % 1000 = 0 THEN NULL
+      |              ELSE o.o_custkey END) = c.c_custkey)
+      |UNION ALL
+      |SELECT 'not_in', COUNT(*) FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+      |              ELSE o_custkey END
+      |  FROM orders)
+      |ORDER BY variant""".stripMargin
+
+  val q51Sql: String = q51Body
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -887,7 +918,8 @@ object Advanced {
     "q47_interpolate" -> (q47Interpolate _),
     "q48_mad_outliers" -> (q48MadOutliers _),
     "q49_schema_evolution" -> (q49SchemaEvolution _),
-    "q50_histogram" -> (q50Histogram _))
+    "q50_histogram" -> (q50Histogram _),
+    "q51_notin_null" -> (q51NotInNull _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -908,5 +940,6 @@ object Advanced {
     "q47_interpolate" -> q47Sql,
     "q48_mad_outliers" -> q48Sql,
     "q49_schema_evolution" -> q49Sql,
-    "q50_histogram" -> q50Sql)
+    "q50_histogram" -> q50Sql,
+    "q51_notin_null" -> q51Sql)
 }

@@ -390,6 +390,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q51: NOT IN compiles to the NULL-AWARE anti join, NOT EXISTS " +
+    "to the plain one — two operators, not one rewritten into the other") {
+    val p = plan("q51_notin_null")
+    // BroadcastHashJoin's trailing boolean is isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"q51 NOT IN lost its null-aware anti join:\n$p")
+    assert(p.contains("LeftAnti, BuildRight, false"),
+      s"q51 NOT EXISTS became null-aware:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
