@@ -30,7 +30,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
-      operators.Salting.queries: _*)
+      operators.Salting.queries ++
+      operators.Pruning.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
-      operators.Salting.oracles: _*)
+      operators.Salting.oracles ++
+      operators.Pruning.oracles: _*)
 }

@@ -1267,6 +1267,58 @@ object TextAnalysis {
       |GROUP BY split
       |ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- txt25
+  /** Corpus-unigram NLL — the "LM-lite" quality signal: each
+    * document's mean token surprisal −Σ ln p(t) / n under the CORPUS
+    * unigram distribution (txt22's entropy is per-doc self-information;
+    * this scores against the corpus — boilerplate full of globally
+    * common tokens scores low, lexically unusual docs high, the
+    * ranking a real LM-perplexity filter approximates at 1/1000th the
+    * cost). Shape: one token-keyed count shuffle (vocabulary-sized,
+    * grows with the corpus), a scalar total broadcast, one token-keyed
+    * join back, one doc-keyed aggregate. Parity: each ln passes
+    * through the DECIMAL(28,10) quantization (the txt21/txt22 1-ulp
+    * lesson) and the per-doc sum runs IN DECIMAL — exact and
+    * order-independent, so map-side partials are safe AND
+    * engine-identical; the only double op is the final division. */
+  def unigramNll(s: SparkSession, d: String): DataFrame = {
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val lnp = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        log(col("cnt").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .cast(dec28).as("lnp"))
+    toks.join(lnp, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lnp")).as("sum_lnp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("sum_lnp").cast(DoubleType) / col("n_tokens")).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramNllSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, t.token FROM documents,
+      |    unnest($tokensSqlD) AS t(token)
+      |  WHERE LENGTH(t.token) > 0),
+      |cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT SUM(cnt) AS n_total FROM cnts),
+      |lnp AS (
+      |  SELECT token,
+      |    CAST(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |      AS DECIMAL(28,10)) AS lnp
+      |  FROM cnts, tot)
+      |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+      |  -CAST(SUM(l.lnp) AS DOUBLE) / COUNT(*) AS nll
+      |FROM tok JOIN lnp l USING (token)
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1292,7 +1344,8 @@ object TextAnalysis {
     "txt21_zipf_slope" -> (zipfSlope _),
     "txt22_entropy" -> (tokenEntropy _),
     "txt23_source_mix" -> (sourceMix _),
-    "txt24_split_leakage" -> (splitLeakage _))
+    "txt24_split_leakage" -> (splitLeakage _),
+    "txt25_unigram_nll" -> (unigramNll _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1318,5 +1371,6 @@ object TextAnalysis {
     "txt21_zipf_slope" -> zipfSlopeSql,
     "txt22_entropy" -> tokenEntropySql,
     "txt23_source_mix" -> sourceMixSql,
-    "txt24_split_leakage" -> splitLeakageSql)
+    "txt24_split_leakage" -> splitLeakageSql,
+    "txt25_unigram_nll" -> unigramNllSql)
 }

@@ -48,6 +48,17 @@ class EdgeDocsSpec extends AnyFunSuite {
     ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
         "p_retailprice")
       .write.mode("overwrite").parquet(s"$p/part.parquet")
+    // degenerate orders for the orders-backed op queries (op03):
+    // a single status (pruning selects everything or nothing) and an
+    // extreme price
+    Seq(
+      (0L, 0L, "F", 0.0, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+        "1-URGENT"),
+      (1L, 0L, "F", 1e9, java.sql.Timestamp.valueOf("1995-01-02 00:00:00"),
+        "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$p/orders.parquet")
     p.toString
   }
 

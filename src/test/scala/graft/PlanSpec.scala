@@ -400,6 +400,13 @@ class PlanSpec extends AnyFunSuite {
       s"q51 NOT EXISTS became null-aware:\n$p")
   }
 
+  test("op03: the status filter is a PARTITION filter resolved against " +
+    "directory names — not a data filter over every file") {
+    val p = plan("op03_partition_pruned")
+    assert("PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      s"op03 status filter did not reach PartitionFilters:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
