@@ -898,6 +898,31 @@ object Advanced {
 
   val q51Sql: String = q51Body
 
+  // ---------------------------------------------------------------- q52
+  /** LATERAL correlated subquery — the per-row table-valued shape
+    * (for every nation, its top-2 customers by balance) that is
+    * neither a scalar subquery (q20) nor EXISTS (q22): the inner
+    * SELECT references the outer row and returns ROWS. Catalyst
+    * decorrelates the LIMIT-per-group into a window-under-join plan
+    * (DecorrelateInnerQuery) instead of executing the subquery per
+    * outer row — the same answer as a rank window, reached from the
+    * SQL shape users actually write. Tie-broken on custkey so both
+    * engines pick identical rows. */
+  def q52Lateral(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d, q52Body)
+
+  private val q52Body: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |  LATERAL (
+      |    SELECT c_name, c_acctbal FROM customer c
+      |    WHERE c.c_nationkey = n.n_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey
+      |    LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  val q52Sql: String = q52Body
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -919,7 +944,8 @@ object Advanced {
     "q48_mad_outliers" -> (q48MadOutliers _),
     "q49_schema_evolution" -> (q49SchemaEvolution _),
     "q50_histogram" -> (q50Histogram _),
-    "q51_notin_null" -> (q51NotInNull _))
+    "q51_notin_null" -> (q51NotInNull _),
+    "q52_lateral" -> (q52Lateral _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -941,5 +967,6 @@ object Advanced {
     "q48_mad_outliers" -> q48Sql,
     "q49_schema_evolution" -> q49Sql,
     "q50_histogram" -> q50Sql,
-    "q51_notin_null" -> q51Sql)
+    "q51_notin_null" -> q51Sql,
+    "q52_lateral" -> q52Sql)
 }
