@@ -143,6 +143,17 @@ object Dedup {
   private[graft] def ngramPairsPlan(s: SparkSession, d: String): DataFrame =
     verifiedPairsOn(minhashSig(s, d))
 
+  /** One (doc_id, sig, band, bkey) row per (doc, band): the 4×8 band
+    * fold of the 32-slot signature to ONE long join key. Shared by the
+    * same-side candidate join and dd16's cross-side variant. */
+  private def withBandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"), explode(expr(
+      """transform(sequence(0, 3), b -> struct(b as band,
+        |  aggregate(slice(sig, 8 * b + 1, 8), 0L,
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) as bkey))""".stripMargin))
+      .as("bd")).select(col("doc_id"), col("sig"),
+        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+
   /** Banded candidates + exact-Jaccard verify: (id_a, id_b, n_common,
     * n_union, jaccard) for every candidate pair with jaccard ≥ 0.8.
     * Shared by dd03 (full detail), dd05 (score only) and dd07 (edges). */
@@ -354,12 +365,7 @@ object Dedup {
     * the identical banding + prefilter, so the (approximate) candidate
     * set is bit-reproducible. */
   private def bandedCandidatesOn(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), col("sig"), explode(expr(
-      """transform(sequence(0, 3), b -> struct(b as band,
-        |  aggregate(slice(sig, 8 * b + 1, 8), 0L,
-        |    (acc, h) -> (acc * 31 + h) % 1000000007) as bkey))""".stripMargin))
-      .as("bd")).select(col("doc_id"), col("sig"),
-        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val bands = withBandKeys(sig)
     val ba = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bkey"))
     val bb = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
@@ -1034,6 +1040,121 @@ object Dedup {
       |WHERE v.jaccard >= 0.8
       |ORDER BY v.id_a, v.id_b""".stripMargin
 
+  // ---------------------------------------------------------------- dd16
+  /** FUZZY decontamination — the near-dup twin of dd08/dd10's exact
+    * overlap: an eval document lightly edited before it leaked into
+    * train shares almost no intact word-5-gram with its source (one
+    * token edit kills 5 grams), so the exact route under-reports
+    * exactly the leaks that matter; banded MinHash catches them
+    * (J ≈ 0.95 for a one-token append). Cross-SIDE banding: both
+    * sides sign once, band keys join train×eval only (no same-side
+    * pairs — at 100 TB the train side must never self-join here),
+    * 26/32 prefilter, exact-Jaccard verify, best eval match per train
+    * doc by the lexicographic argmax. Same candidate physics as dd05:
+    * cost is band collisions, never |train|·|eval|. */
+  def fuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val eval_ = docs.where(col("doc_id") % 17 === 0)
+    val train = docs.where(col("doc_id") % 17 =!= 0)
+      .unionByName(eval_.select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text")))
+    val all = eval_.withColumn("side", lit("e"))
+      .unionByName(train.withColumn("side", lit("t")))
+    val sig = withHashedShingles(s, all)
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+      .select(col("doc_id"), col("side"), col("hsh"), col("sig"))
+    val bands = withBandKeys(sig.select(col("doc_id"), col("sig")))
+      .join(sig.select(col("doc_id"), col("side")), "doc_id")
+    val bt = bands.where(col("side") === "t")
+      .select(col("doc_id").as("id_t"), col("sig").as("sig_t"),
+        col("band"), col("bkey"))
+    val be = bands.where(col("side") === "e")
+      .select(col("doc_id").as("id_e"), col("sig").as("sig_e"),
+        col("band"), col("bkey"))
+    val cand = bt.join(be, Seq("band", "bkey"))
+      .where(call_function("graft_positional_eq_count",
+        col("sig_t"), col("sig_e")) >= 26)
+      .select(col("id_t"), col("id_e")).distinct()
+    val st = sig.where(col("side") === "t")
+      .select(col("doc_id").as("id_t"), col("hsh").as("sh_t"))
+    val se = sig.where(col("side") === "e")
+      .select(col("doc_id").as("id_e"), col("hsh").as("sh_e"))
+    cand.join(st, "id_t").join(se, "id_e")
+      .withColumn("n_common",
+        call_function("graft_sorted_intersect_count",
+          col("sh_t"), col("sh_e")))
+      .withColumn("n_union",
+        size(col("sh_t")).cast(LongType) + size(col("sh_e")) -
+          col("n_common"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_common").cast(DoubleType) / col("n_union")))
+      .where(col("jaccard") >= 0.8)
+      .groupBy(col("id_t"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("id_e").as("id_e")))
+        .as("w"))
+      .select(col("id_t"), col("w.id_e").as("id_e"),
+        (-col("w.nj")).as("jaccard"))
+      .orderBy(col("id_t"))
+  }
+
+  val fuzzyDecontaminateSql: String =
+    """WITH eval_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      |all_docs AS (
+      |  SELECT doc_id, text, 'e' AS side FROM eval_docs
+      |  UNION ALL
+      |  SELECT doc_id, text, 't' FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' extra token', 't'
+      |  FROM eval_docs),
+      |sh AS (
+      |  SELECT doc_id, side,
+      |    list_distinct(list_transform(range(1, LENGTH(text) - 1),
+      |                  i -> substr(text, CAST(i AS INT), 3))) AS shingles
+      |  FROM all_docs),
+      |hs AS (
+      |  SELECT doc_id, side, list_distinct(list_transform(shingles, s ->
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(s) + 1),
+      |      i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007))) AS hsh
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, side, hsh, list_transform(range(0, 32), j ->
+      |    list_min(list_transform(hsh, h ->
+      |      (((2654435761 * (CAST(j AS BIGINT) + 1)) % 1000000007) * h
+      |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, side, sig,  b.band,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      sig[CAST(8 * b.band + 1 AS INT):CAST(8 * b.band + 8 AS INT)],
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |pre AS (
+      |  SELECT DISTINCT t.doc_id AS id_t, e.doc_id AS id_e
+      |  FROM bands t JOIN bands e
+      |    ON t.band = e.band AND t.bkey = e.bkey
+      |   AND t.side = 't' AND e.side = 'e'
+      |  WHERE list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN t.sig[CAST(i AS INT)] = e.sig[CAST(i AS INT)]
+      |         THEN 1 ELSE 0 END)) >= 26),
+      |ver AS (
+      |  SELECT id_t, id_e,
+      |    CAST(len(list_intersect(st.hsh, se.hsh)) AS DOUBLE)
+      |      / len(list_distinct(st.hsh || se.hsh)) AS jaccard
+      |  FROM pre
+      |  JOIN hs st ON st.doc_id = id_t AND st.side = 't'
+      |  JOIN hs se ON se.doc_id = id_e AND se.side = 'e'),
+      |best AS (
+      |  SELECT id_t, id_e, jaccard,
+      |    ROW_NUMBER() OVER (PARTITION BY id_t
+      |      ORDER BY jaccard DESC, id_e) AS rn
+      |  FROM ver WHERE jaccard >= 0.8)
+      |SELECT id_t, id_e, jaccard FROM best WHERE rn = 1
+      |ORDER BY id_t""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -1050,7 +1171,8 @@ object Dedup {
     "dd12_prefix_clusters" -> (prefixClusters _),
     "dd13_containment" -> (containmentPairs _),
     "dd14_incremental" -> (incrementalDedup _),
-    "dd15_sketch_calibration" -> (sketchCalibration _))
+    "dd15_sketch_calibration" -> (sketchCalibration _),
+    "dd16_fuzzy_decontaminate" -> (fuzzyDecontaminate _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -1070,5 +1192,6 @@ object Dedup {
     "dd12_prefix_clusters" -> prefixClustersSql,
     "dd13_containment" -> containmentPairsSql,
     "dd14_incremental" -> incrementalDedupSql,
-    "dd15_sketch_calibration" -> sketchCalibrationSql)
+    "dd15_sketch_calibration" -> sketchCalibrationSql,
+    "dd16_fuzzy_decontaminate" -> fuzzyDecontaminateSql)
 }
