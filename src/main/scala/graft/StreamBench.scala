@@ -60,6 +60,21 @@ object StreamBench {
     val qRows = spark.read.parquet(s"$qout/orderbook_deltas").count()
     println(f"""{"metric":"queue_ingest","messages":$msgs,"sec":$qsec%.2f,"msgs_per_sec":${msgs / qsec}%.0f,"delta_rows":$qRows}""")
 
+    // Stateful-analytics throughput: the same replay driven through
+    // the watermarked OHLC candle aggregate (windowed state) — the
+    // analytic the reference computes nightly in Polars, here live.
+    val cout = Files.createTempDirectory("graft-sbench-candles")
+    val t2 = System.nanoTime()
+    val cq = StreamPipeline.candles(
+        StreamPipeline.readMessages(spark, in.toString))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$cout/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    cq.awaitTermination()
+    val csec = (System.nanoTime() - t2) / 1e9
+    println(f"""{"metric":"candle_agg","messages":$msgs,"sec":$csec%.2f,"msgs_per_sec":${msgs / csec}%.0f}""")
+
     bookLatency(spark)
     spark.stop()
   }
