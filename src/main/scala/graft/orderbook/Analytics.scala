@@ -3,7 +3,7 @@ package graft.orderbook
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** The analytic query surface of the reference's order-book tables
   * (SURVEY.md §2B, B1–B9) plus the A-operator batch twins (A3 seq
@@ -934,6 +934,61 @@ object Analytics {
       |  END AS autocorr
       |FROM mo ORDER BY ticker, day""".stripMargin
 
+  // ----------------------------------------------------------------- B13
+  /** ob24 — AMIHUD ILLIQUIDITY per (ticker, day): the mean over minutes
+    * of |price move| / traded volume — the standard price-impact-per-
+    * dollar proxy when quote data is all you have (Amihud 2002). Each
+    * minute contributes |last price − first price| (max_by/min_by on
+    * the unique event_id — no window, no sort) over Σ|delta|;
+    * zero-volume minutes are excluded (no trade ⇒ no impact sample).
+    *
+    * Determinism: the per-minute ratio is ONE double division of two
+    * BIGINTs (identical shape both engines), quantized to DECIMAL(28,6)
+    * — inside the ratio's information content, and coarse enough that
+    * DuckDB's scale-in-double cast can't double-round differently from
+    * Spark's exact BigDecimal rounding (the sim10 recipe) — then summed
+    * EXACTLY, so partial-aggregate merge order cannot perturb the mean;
+    * the final mean divides once, in double.
+    *
+    * Scale: two hash aggregates — (ticker, day, minute) then
+    * (ticker, day) — both map-side combinable; nothing sorts. */
+  def amihud(s: SparkSession, d: String): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    val minutes = Derive.deltas(s, d)
+      .groupBy(col("ticker"), dayCol.as("day"),
+        expr("ts_ms div 60000").as("minute"))
+      .agg(
+        abs(expr("max_by(price, event_id)") - expr("min_by(price, event_id)"))
+          .cast(LongType).as("adp"),
+        sum(abs(col("delta"))).as("vol"))
+      .where(col("vol") > 0L)
+      .withColumn("ratio",
+        (col("adp").cast(DoubleType) / col("vol").cast(DoubleType)).cast(d6))
+    minutes.groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("n_minutes"),
+        (sum(col("ratio")).cast(DoubleType) / count(lit(1)))
+          .as("amihud_illiq"))
+      .select(col("ticker"), col("day"), col("n_minutes"),
+        col("amihud_illiq"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val amihudSql: String = Derive.cte + s""",
+      |am_mn AS (
+      |  SELECT ticker, $daySqlD AS day, ts_ms // 60000 AS minute,
+      |    CAST(abs(arg_max(price, event_id) - arg_min(price, event_id))
+      |      AS BIGINT) AS adp,
+      |    SUM(abs(delta)) AS vol
+      |  FROM ob_deltas GROUP BY 1, 2, 3),
+      |am_r AS (
+      |  SELECT ticker, day,
+      |    CAST(CAST(adp AS DOUBLE) / CAST(vol AS DOUBLE) AS DECIMAL(28,6))
+      |      AS ratio
+      |  FROM am_mn WHERE vol > 0)
+      |SELECT ticker, day, COUNT(*) AS n_minutes,
+      |  CAST(SUM(ratio) AS DOUBLE) / COUNT(*) AS amihud_illiq
+      |FROM am_r GROUP BY 1, 2 ORDER BY ticker, day""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -957,7 +1012,8 @@ object Analytics {
     "ob20_twap" -> (twap _),
     "ob21_price_impact" -> (priceImpact _),
     "ob22_return_autocorr" -> (returnAutocorr _),
-    "ob23_eff_spread" -> (effectiveSpread _))
+    "ob23_eff_spread" -> (effectiveSpread _),
+    "ob24_amihud" -> (amihud _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -982,5 +1038,6 @@ object Analytics {
     "ob20_twap" -> twapSql,
     "ob21_price_impact" -> priceImpactSql,
     "ob22_return_autocorr" -> returnAutocorrSql,
-    "ob23_eff_spread" -> effectiveSpreadSql)
+    "ob23_eff_spread" -> effectiveSpreadSql,
+    "ob24_amihud" -> amihudSql)
 }
