@@ -1010,6 +1010,58 @@ object Similarity {
       |GROUP BY e.query_id
       |ORDER BY e.query_id""".stripMargin
 
+  // --------------------------------------------------------------- sim15
+  /** ANN RANK-OF-TRUTH audit — sim14's recall@k says whether the index
+    * finds the true neighbors; this says WHERE: the rank at which the
+    * LSH index surfaces each query's single true nearest neighbor
+    * (the per-query detail behind an MRR number). Truth = sim01's
+    * rank-1 row; the probe is a (query_id, true_nn) equi-join into
+    * sim02's ranked list, missing ⇒ ann_rank −1. The reciprocal rank
+    * ships as the EXACT integer 6/rank (rank ∈ {1,2,3} ⇒ rr6 ∈
+    * {6,3,2}; LCM trick) so MRR = Σrr6/(6·n) needs no float sums —
+    * the same why-not-doubles reasoning as ob21's integer moments.
+    * Scale: both inputs are the sampled query probe set; the join adds
+    * nothing beyond sim01+sim02 themselves. */
+  def rankMetrics(s: SparkSession, d: String): DataFrame = {
+    val truth = cosineTopK(s, d).where(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val ann = lshAnn(s, d)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"),
+        col("rnk"))
+    truth.join(ann, Seq("query_id", "true_nn"), "left")
+      .select(col("query_id"), col("true_nn"),
+        coalesce(col("rnk"), lit(-1)).cast(IntegerType).as("ann_rank"),
+        coalesce(expr("6 div rnk"), lit(0L)).as("rr6"))
+      .orderBy(col("query_id"))
+  }
+
+  val rankMetricsSql: String = normedCte + "," + lshSigCtes + "," +
+    """tr AS (
+      |  SELECT query_id, neighbor_id AS true_nn FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rnk = 1),
+      |ar AS (
+      |  SELECT query_id, neighbor_id, rnk FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM sigs q JOIN sigs c
+      |      ON q.sig = c.sig AND c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rnk <= 3)
+      |SELECT t.query_id, t.true_nn,
+      |  CAST(COALESCE(a.rnk, -1) AS INTEGER) AS ann_rank,
+      |  CAST(COALESCE(6 // a.rnk, 0) AS BIGINT) AS rr6
+      |FROM tr t LEFT JOIN ar a
+      |  ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn
+      |ORDER BY t.query_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1024,7 +1076,8 @@ object Similarity {
     "sim11_maxsim" -> (maxSim _),
     "sim12_filtered_ann" -> (filteredAnn _),
     "sim13_knn_vote" -> (knnVote _),
-    "sim14_ann_recall" -> (annRecall _))
+    "sim14_ann_recall" -> (annRecall _),
+    "sim15_rank_metrics" -> (rankMetrics _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1040,5 +1093,6 @@ object Similarity {
     "sim11_maxsim" -> maxSimSql,
     "sim12_filtered_ann" -> filteredAnnSql,
     "sim13_knn_vote" -> knnVoteSql,
-    "sim14_ann_recall" -> annRecallSql)
+    "sim14_ann_recall" -> annRecallSql,
+    "sim15_rank_metrics" -> rankMetricsSql)
 }
