@@ -923,6 +923,126 @@ object Advanced {
 
   val q52Sql: String = q52Body
 
+  // ---------------------------------------------------------------- q53
+  /** Higher-order ARRAY functions over the embedding column — the
+    * codegen'd lambda surface (`transform`/`filter`/`aggregate`/
+    * `zip_with`) that replaces per-element UDF loops: per vector, the
+    * positive-component count (filter+size), adjacent sign changes
+    * (zip_with over the two shifted slices), the argmax dimension
+    * (array_position on array_max — float copies, no arithmetic), and
+    * the L1 norm summed EXACTLY as round(|x|·10⁶) BIGINTs inside the
+    * aggregate lambda (floats quantized before the fold, so the fold
+    * order and the engines' float-sum orders are both irrelevant; the
+    * one double division at the end is engine-identical).
+    *
+    * Scale: every column is a map-side codegen'd expression — no
+    * explode, no shuffle, no UDF; the scan is the whole plan. */
+  def q53ArrayHof(s: SparkSession, d: String): DataFrame =
+    graft.Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(expr("filter(embedding, x -> x > 0)")).cast(LongType)
+          .as("n_pos"),
+        expr("""aggregate(
+            zip_with(slice(embedding, 1, size(embedding) - 1),
+                     slice(embedding, 2, size(embedding) - 1),
+                     (a, b) -> if(signum(a) <> signum(b), 1L, 0L)),
+            0L, (acc, x) -> acc + x)""").as("n_sign_changes"),
+        expr("array_position(embedding, array_max(embedding))")
+          .as("argmax_dim"),
+        expr("""aggregate(embedding, 0L,
+            (acc, x) -> acc + cast(round(abs(cast(x as double)) * 1000000)
+                                   as bigint))""").as("l1_micro"))
+      .withColumn("l1", col("l1_micro").cast(DoubleType) / lit(1000000.0d))
+      .orderBy(col("vec_id"))
+
+  val q53Sql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(range(1, len(embedding)),
+      |    i -> CASE WHEN sign(embedding[CAST(i AS INT)])
+      |                <> sign(embedding[CAST(i AS INT) + 1])
+      |         THEN 1 ELSE 0 END)) AS BIGINT) AS n_sign_changes,
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+      |    AS argmax_dim,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1000000) AS BIGINT)))
+      |    AS BIGINT) AS l1_micro,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1000000) AS BIGINT)))
+      |    AS DOUBLE) / 1000000.0 AS l1
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Markov TRANSITION-MATRIX analytics over the event stream — the
+    * behavioral-graph shape (funnel analysis, next-action prediction,
+    * session-flow audits): per-user consecutive event pairs become a
+    * weighted edge list, aggregated into the |types|² transition
+    * matrix with per-edge probability, plus the TWO-STEP closure
+    * (matrix square) computed as a self-join — the matrix-multiply-
+    * as-join pattern that is how graph/linear-algebra steps actually
+    * run on a cluster. Pairs reachable only in two steps survive the
+    * full-outer between the direct and squared matrices.
+    *
+    * Determinism: counts and path counts are exact BIGINTs; the edge
+    * probability is one double division. Scale: edge extraction is
+    * the only data-sized stage (a per-user lag — user-keyed, bounded
+    * partitions); everything after operates on the |types|²-bounded
+    * matrix, so the closure join is broadcast-trivial no matter how
+    * large the corpus that produced it. */
+  def q54MarkovChain(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .select(col("src"), col("event_type").as("dst"))
+    val cnts = edges.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = cnts.groupBy(col("src").as("o_src"))
+      .agg(sum(col("cnt")).as("out_cnt"))
+    val sq = cnts.select(col("src").as("a_src"), col("dst").as("mid"),
+        col("cnt").as("a_cnt"))
+      .join(cnts.select(col("src").as("mid"), col("dst").as("b_dst"),
+        col("cnt").as("b_cnt")), Seq("mid"))
+      .groupBy(col("a_src").as("src"), col("b_dst").as("dst"))
+      .agg(sum(col("a_cnt") * col("b_cnt")).as("paths2"))
+    cnts.join(sq, Seq("src", "dst"), "full_outer")
+      .join(broadcast(out), col("src") === col("o_src"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        when(col("cnt").isNotNull,
+            col("cnt").cast(DoubleType) / col("out_cnt").cast(DoubleType))
+          .otherwise(lit(0.0d)).as("p"),
+        coalesce(col("paths2"), lit(0L)).as("paths2"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val q54Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS src
+      |  FROM events),
+      |edges AS (SELECT src, event_type AS dst FROM ev WHERE src IS NOT NULL),
+      |cnts AS (SELECT src, dst, COUNT(*) AS cnt FROM edges GROUP BY 1, 2),
+      |outc AS (SELECT src, SUM(cnt) AS out_cnt FROM cnts GROUP BY 1),
+      |sq AS (
+      |  SELECT a.src AS src, b.dst AS dst, SUM(a.cnt * b.cnt) AS paths2
+      |  FROM cnts a JOIN cnts b ON a.dst = b.src
+      |  GROUP BY 1, 2)
+      |SELECT COALESCE(c.src, s.src) AS src, COALESCE(c.dst, s.dst) AS dst,
+      |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+      |  CASE WHEN c.cnt IS NOT NULL
+      |       THEN CAST(c.cnt AS DOUBLE) / CAST(o.out_cnt AS DOUBLE)
+      |       ELSE 0.0 END AS p,
+      |  CAST(COALESCE(s.paths2, 0) AS BIGINT) AS paths2
+      |FROM cnts c FULL OUTER JOIN sq s ON c.src = s.src AND c.dst = s.dst
+      |LEFT JOIN outc o ON o.src = COALESCE(c.src, s.src)
+      |ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -945,7 +1065,9 @@ object Advanced {
     "q49_schema_evolution" -> (q49SchemaEvolution _),
     "q50_histogram" -> (q50Histogram _),
     "q51_notin_null" -> (q51NotInNull _),
-    "q52_lateral" -> (q52Lateral _))
+    "q52_lateral" -> (q52Lateral _),
+    "q53_array_hof" -> (q53ArrayHof _),
+    "q54_markov_chain" -> (q54MarkovChain _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -968,5 +1090,7 @@ object Advanced {
     "q49_schema_evolution" -> q49Sql,
     "q50_histogram" -> q50Sql,
     "q51_notin_null" -> q51Sql,
-    "q52_lateral" -> q52Sql)
+    "q52_lateral" -> q52Sql,
+    "q53_array_hof" -> q53Sql,
+    "q54_markov_chain" -> q54Sql)
 }

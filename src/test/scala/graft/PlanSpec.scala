@@ -407,6 +407,26 @@ class PlanSpec extends AnyFunSuite {
       s"op03 status filter did not reach PartitionFilters:\n$p")
   }
 
+  test("q53: the array-HOF profile is map-only — no explode, no join, " +
+    "no shuffle before the output sort") {
+    val p = plan("q53_array_hof")
+    assert(!p.contains("Generate"), s"q53 exploded the array:\n$p")
+    assert(!p.contains("Join"), s"q53 joined:\n$p")
+    // the only exchange is the final orderBy's range partitioning
+    val nonSort = "Exchange (?!rangepartitioning)".r.findAllIn(p).size
+    assert(nonSort == 0, s"q53 shuffles beyond the output sort:\n$p")
+  }
+
+  test("q54: matrix-square and out-degree attach stay on the tiny " +
+    "|types|^2 matrix — no fact-scale join, no cartesian") {
+    val p = plan("q54_markov_chain")
+    assert(!p.contains("CartesianProduct"), s"q54 cartesian:\n$p")
+    // the out-degree attach must be broadcast; the edge extraction is
+    // the only stage allowed to shuffle event-scale rows
+    assert(p.contains("BroadcastHashJoin"),
+      s"q54 out-degree attach is not broadcast:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
