@@ -1319,6 +1319,64 @@ object TextAnalysis {
       |GROUP BY tok.doc_id
       |ORDER BY tok.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- txt26
+  /** BOILERPLATE-PASSAGE STRIP audit — the corpus-level duplicate-line
+    * removal of the CCNet/RefinedWeb pipelines, adapted to this
+    * corpus's unpunctuated texts: non-overlapping 8-token windows play
+    * the role of lines, a window whose digest appears in ≥ 2 DISTINCT
+    * documents is boilerplate (template headers/footers whole-document
+    * hashing can't see — dd12 catches only the shared HEAD; this scans
+    * the whole body), and each document reports how much of it
+    * survives. kept_frac is one double division of exact counts.
+    *
+    * Scale: windows shuffle as 32-char digests, never text; the
+    * boilerplate set GROWS with the corpus, so it attaches by a
+    * digest-keyed join (left + flag), not a broadcast — the same
+    * non-broadcastable-verdict regime as dd10, decided by AQE at
+    * runtime rather than pinned small. */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        """transform(
+             sequence(0, cast(floor((size(split(text, ' ')) - 1) / 8) as int)),
+             i -> md5(cast(array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')
+                           as binary)))""")).as("dg"))
+    val bp = wins.groupBy(col("dg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("dg"), lit(1L).as("is_bp"))
+    wins.join(bp, Seq("dg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_bp"), lit(0L))).as("n_dropped"))
+      .select(col("doc_id"), col("n_windows"), col("n_dropped"),
+        ((col("n_windows") - col("n_dropped")).cast(DoubleType) /
+          col("n_windows").cast(DoubleType)).as("kept_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateStripSql: String =
+    """WITH bs_toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bs_win AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(
+      |      list_slice(t, CAST(i * 8 + 1 AS BIGINT), CAST(i * 8 + 8 AS BIGINT)),
+      |      ' ')) AS dg
+      |  FROM bs_toks,
+      |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)),
+      |bs_bp AS (
+      |  SELECT dg FROM bs_win GROUP BY dg
+      |  HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT w.doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN b.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(COUNT(*) - SUM(CASE WHEN b.dg IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+      |FROM bs_win w LEFT JOIN bs_bp b ON w.dg = b.dg
+      |GROUP BY w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1345,7 +1403,8 @@ object TextAnalysis {
     "txt22_entropy" -> (tokenEntropy _),
     "txt23_source_mix" -> (sourceMix _),
     "txt24_split_leakage" -> (splitLeakage _),
-    "txt25_unigram_nll" -> (unigramNll _))
+    "txt25_unigram_nll" -> (unigramNll _),
+    "txt26_boilerplate_strip" -> (boilerplateStrip _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1372,5 +1431,6 @@ object TextAnalysis {
     "txt22_entropy" -> tokenEntropySql,
     "txt23_source_mix" -> sourceMixSql,
     "txt24_split_leakage" -> splitLeakageSql,
-    "txt25_unigram_nll" -> unigramNllSql)
+    "txt25_unigram_nll" -> unigramNllSql,
+    "txt26_boilerplate_strip" -> boilerplateStripSql)
 }
