@@ -31,7 +31,8 @@ object SparkEntry {
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
       operators.Salting.queries ++
-      operators.Pruning.queries: _*)
+      operators.Pruning.queries ++
+      operators.RuntimeFilter.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
       operators.Salting.oracles ++
-      operators.Pruning.oracles: _*)
+      operators.Pruning.oracles ++
+      operators.RuntimeFilter.oracles: _*)
 }

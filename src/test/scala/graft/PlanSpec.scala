@@ -427,6 +427,19 @@ class PlanSpec extends AnyFunSuite {
       s"q54 out-degree attach is not broadcast:\n$p")
   }
 
+  test("op04: the optimizer injects a bloom runtime filter — the probe " +
+    "scan is pruned by might_contain BEFORE the join shuffle") {
+    val p = plan("op04_runtime_filter")
+    assert(p.contains("might_contain"),
+      s"op04 lost its injected bloom probe:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"op04 lost its bloom creation subquery:\n$p")
+    // the frozen plan must be the non-broadcastable regime the filter
+    // exists for (AQE may still upgrade at runtime from actual stats)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"op04 planned a broadcast join — the demo regime is gone:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
