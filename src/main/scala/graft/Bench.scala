@@ -21,7 +21,13 @@ object Bench {
     // (Verify) leaves the conf unset → the 256-row default. Result
     // sets are width-invariant (BucketWidthSpec), so this is purely a
     // physical knob, like spark.sql.shuffle.partitions.
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val nEvents =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] events sizing probe failed " +
+          s"(default bucket width stands): ${e.getMessage}")
+        0L
+      }
     val perTicker = math.max(1L, nEvents / graft.orderbook.Derive.TickerFanout)
     val targetRows = math.min(8192L,
       math.max(256L, 8L * math.round(math.sqrt(perTicker.toDouble))))
@@ -40,8 +46,13 @@ object Bench {
     require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
       "bench short names collide; fix the registry prefixes")
     // Warm the JVM/codegen/IO paths once so query #1 doesn't absorb all
-    // the session startup cost.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // the session startup cost. A broken warmup must not zero the whole
+    // bench (round-6/7 lesson: two consecutive rc=1 crash records came
+    // from an unguarded warmup) — log and keep going.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARMUP failed (continuing): ${e.getMessage}")
+    }
     // CONTENTION SENTINEL: this machine is co-tenanted, and a noisy
     // window can inflate a handful of adjacent queries 20-60× (round 5's
     // committed artifact recorded exactly that). A fixed cheap probe
@@ -54,10 +65,16 @@ object Bench {
     val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runProbe(): Unit = {
       val t0 = System.nanoTime()
-      probeFn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      probeTimes += sec
-      System.err.println(f"[bench] probe q14 $sec%8.2f s")
+      try {
+        probeFn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        probeTimes += sec
+        System.err.println(f"[bench] probe q14 $sec%8.2f s")
+      } catch { case e: Throwable =>
+        // a dead probe disables the contention sentinel but must not
+        // abort the bench — the per-query timings are still the record
+        System.err.println(s"[bench] probe FAILED (continuing): ${e.getMessage}")
+      }
     }
     // Per-query cache reset (one shared definition — GraftSession):
     // each measurement is COLD; within-query reuse still counts,
@@ -118,7 +135,11 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total = sum over SUCCESSFUL queries only (a -1 failure sentinel
+    // must not subtract from the headline number); failures are counted
+    // separately so a partial record is visibly partial.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
     // Contention verdict: the probe's first run can carry residual JIT
     // warmup, so only post-warmup observations count. The statistic is
@@ -140,7 +161,7 @@ object Bench {
         " — per-query times on this record are machine noise, re-run")
     val probeJson = steady.map(num).mkString("[", ",", "]")
     val loadJson = loadAvgs.map(num).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":${num(probeRatio)},"load_avg":$loadJson,"contended":$contended,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":${num(probeRatio)},"load_avg":$loadJson,"contended":$contended,"sf":"$sfName"}""")
     spark.stop()
   }
 }

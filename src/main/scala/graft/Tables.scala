@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -26,18 +26,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** Raw events table: `ts` arrives as INT64 nanos (the parquet is
-    * TIMESTAMP(NANOS), read via spark.sql.legacy.parquet.nanosAsLong). */
+  /** Raw events table. The driver has shipped `ts` as either INT64 nanos
+    * (TIMESTAMP(NANOS) parquet read via spark.sql.legacy.parquet.nanosAsLong)
+    * or a plain TIMESTAMP/TIMESTAMP_NTZ in micros — the loader must not
+    * assume one. */
   def eventsRaw(s: SparkSession, d: String): DataFrame  = load(s, d, "events")
 
   /** Events with `ts` normalized to a millisecond TIMESTAMP and `ts_ms`
-    * epoch millis (matches DuckDB's epoch_ms(ts) exactly — `div` keeps the
-    * ns→ms truncation in integer space; a double roundtrip would lose
-    * precision above 2^53). */
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    * epoch millis (matches DuckDB's epoch_ms(ts) exactly). Branches on the
+    * LOADED dtype: INT64 nanos uses integer `div` (a double roundtrip would
+    * lose precision above 2^53); timestamp types use unix_millis under the
+    * pinned UTC session, where the NTZ→LTZ cast is wall-clock-identical to
+    * DuckDB's naive-timestamp epoch_ms. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    val tsMs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _: TimestampType | _: TimestampNTZType => epochMs(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — update Tables.events")
+    }
+    raw
+      .withColumn("ts_ms", tsMs)
       .withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
 
   /** Epoch millis from a (possibly NTZ) timestamp column. Session timezone
     * is pinned to UTC so the NTZ→LTZ cast is wall-clock-identical to

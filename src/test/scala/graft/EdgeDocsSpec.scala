@@ -59,6 +59,20 @@ class EdgeDocsSpec extends AnyFunSuite {
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$p/orders.parquet")
+    // degenerate lineitem for the runtime-filter join (op04): a key that
+    // matches the urgent order, one that matches nothing (bloom-pruned),
+    // and zero quantity
+    Seq(
+      (0L, 0L, 0L, 1, 0.0, 0.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1995-01-03 00:00:00")),
+      (0L, 1L, 1L, 2, 7.0, 1.0, 0.1, 0.0, "R", "F",
+        java.sql.Timestamp.valueOf("1995-01-04 00:00:00")),
+      (99L, 2L, 2L, 1, 3.0, 2.0, 0.0, 0.0, "A", "F",
+        java.sql.Timestamp.valueOf("1995-01-05 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$p/lineitem.parquet")
     p.toString
   }
 
