@@ -2,28 +2,27 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg (local iteration only — the driver passes 2):
-    // comma-separated name prefixes to restrict the dump to
-    val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSeq) else None
-    val spark = GraftSession.local()
+
+  /** Dump each query's result to `outDir/<name>` parquet. A crashing
+    * query must be a RED row in the artifact, not a missing one
+    * (round-7 lesson: catch-and-skip let 41 analysis-time crashes read
+    * as "102/102 green"): on failure the query's output dir is still
+    * created with an `_ERROR` file carrying the exception, so any
+    * downstream reader that expects parquet there fails loudly on that
+    * key instead of silently not iterating it. Returns the failed
+    * names. Factored out of `main` so VerifySpec can pin the red-row
+    * behavior without stopping the shared test session. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Iterable[(String, (SparkSession, String) => DataFrame)])
+      : Seq[String] = {
     new java.io.File(outDir).mkdirs()
-    // A crashing query must be a RED row in the artifact, not a missing
-    // one (round-7 lesson: catch-and-skip let 41 analysis-time crashes
-    // read as "102/102 green"). On failure we still create the query's
-    // output dir and drop an _ERROR file with the message, so any
-    // downstream reader that expects parquet there fails loudly on that
-    // key instead of silently not iterating it.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -37,18 +36,32 @@ object Verify {
       // same per-query cache hygiene as Bench (shared definition)
       GraftSession.resetCaches(spark)
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    failed.toSeq
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg (local iteration only — the driver passes 2):
+    // comma-separated name prefixes to restrict the dump to
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    val spark = GraftSession.local()
+    val failed = dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) })
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -17,6 +17,44 @@ class SqlInterfaceSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
   }
 
+  /** Spark 4.1's HybridAnalyzer can route SQL text through the new
+    * single-pass resolver (tentatively enabled by default, with a
+    * legacy fallback). The five SQL-text registry queries must analyze
+    * under both REALISTIC resolver modes — legacy-only and
+    * hybrid-with-fallback — since a cluster can pin either. (Strict
+    * `singlePassResolver.enabled=true` is deliberately NOT exercised:
+    * Spark itself throws UNSUPPORTED_SINGLE_PASS_ANALYZER_FEATURE for
+    * plan shapes the new resolver doesn't cover yet; the hybrid mode's
+    * fallback exists precisely for those.) */
+  test("SQL-text registry queries analyze under both resolver modes") {
+    val key = "spark.sql.analyzer.singlePassResolver.enabled"
+    val tentative = "spark.sql.analyzer.singlePassResolver.enabledTentatively"
+    val sqlRouted = Seq("q27_min_cost_supplier", "q34_grouping_sets",
+      "q40_hierarchy_walk", "q51_notin_null", "q52_lateral")
+      .filter(SparkEntry.queries.contains)
+    assert(sqlRouted.size == 5, s"SQL-routed set drifted: $sqlRouted")
+    val saved = Seq(key, tentative).map(k => k -> spark.conf.getOption(k))
+    try {
+      for ((mode, t) <- Seq("legacy" -> "false", "hybrid" -> "true")) {
+        spark.conf.set(key, "false")
+        spark.conf.set(tentative, t)
+        sqlRouted.foreach { n =>
+          try {
+            // analysis is the seam under test; one row bounds the cost
+            val df = SparkEntry.queries(n)(spark, sf)
+            df.queryExecution.analyzed // force analysis
+            df.limit(1).collect()
+          } catch { case e: Throwable =>
+            fail(s"$n failed under $mode resolver mode: ${e.getMessage}", e)
+          }
+        }
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SQL joins across views agree with the DataFrame spelling") {
     import org.apache.spark.sql.functions._
     val viaSql = SqlInterface.sql(spark, sf,
