@@ -856,7 +856,12 @@ object Analytics {
     * scan TWICE (price → move, move → previous move) — both lags are
     * per-bucket local windows plus a per-bucket carry summary, so no
     * whole-ticker sort exists anywhere (ob18's shape, composed). */
-  def returnAutocorr(s: SparkSession, d: String): DataFrame = {
+  /** (ticker, day, event_id, mv, prev_mv) consecutive-move pairs —
+    * the shared core of ob22's autocorrelation and ob25's Roll
+    * estimator: both lag levels (price → move, move → previous move)
+    * run as per-bucket local windows plus a per-bucket carry summary,
+    * never a whole-ticker sort. */
+  private def movePairs(s: SparkSession, d: String): DataFrame = {
     val rows = Derive.deltas(s, d)
       .select(col("ticker"), dayCol.as("day"), col("event_id"), col("price"))
       .withColumn("bucket", expr(s"event_id div ${eventScanWidth(s)}"))
@@ -882,13 +887,16 @@ object Analytics {
       .agg(expr("max_by(mv, event_id)").as("blm"))
       .withColumn("carry_mv", last(col("blm")).over(wPrefix))
       .select(col("ticker"), col("day"), col("bucket"), col("carry_mv"))
-    val pairs = moves
+    moves
       .withColumn("prev_in_bucket", lag(col("mv"), 1).over(wLocal))
       .join(carryMv, Seq("ticker", "day", "bucket"))
       .withColumn("prev_mv",
         coalesce(col("prev_in_bucket"), col("carry_mv")))
       .where(col("prev_mv").isNotNull)
-    pairs.groupBy(col("ticker"), col("day"))
+  }
+
+  def returnAutocorr(s: SparkSession, d: String): DataFrame = {
+    movePairs(s, d).groupBy(col("ticker"), col("day"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("prev_mv")).as("sx"), sum(col("mv")).as("sy"),
         sum(col("prev_mv") * col("mv")).as("sxy"),
@@ -905,7 +913,10 @@ object Analytics {
       .orderBy(col("ticker"), col("day"))
   }
 
-  val returnAutocorrSql: String = Derive.cte + s""",
+  /** Oracle mirror of [[movePairs]] + the five BIGINT moments (`mo`) —
+    * shared by ob22 and ob25, so the two estimators can never disagree
+    * on what a "consecutive move pair" is. */
+  private val moveMomentsSqlCte: String = Derive.cte + s""",
       |ac_base AS (
       |  SELECT ticker, $daySqlD AS day, event_id, price FROM ob_deltas),
       |ac_mv AS (
@@ -925,7 +936,10 @@ object Analytics {
       |    SUM(prev_mv * prev_mv) AS sxx, SUM(mv * mv) AS syy
       |  FROM ac_pairs WHERE prev_mv IS NOT NULL
       |  GROUP BY 1, 2)
-      |SELECT ticker, day, n_pairs,
+      |""".stripMargin
+
+  val returnAutocorrSql: String = moveMomentsSqlCte +
+    """SELECT ticker, day, n_pairs,
       |  CASE WHEN n_pairs * sxx - sx * sx > 0
       |        AND n_pairs * syy - sy * sy > 0 THEN
       |    CAST(n_pairs * sxy - sx * sy AS DOUBLE)
@@ -989,6 +1003,95 @@ object Analytics {
       |  CAST(SUM(ratio) AS DOUBLE) / COUNT(*) AS amihud_illiq
       |FROM am_r GROUP BY 1, 2 ORDER BY ticker, day""".stripMargin
 
+  // ----------------------------------------------------------------- B14
+  /** ob25 — ROLL IMPLIED SPREAD per (ticker, day): Roll's (1984)
+    * estimator s = 2·√(−cov(Δp_t, Δp_{t−1})) — the effective bid-ask
+    * spread inferred from trade prices ALONE (bid-ask bounce makes
+    * consecutive moves negatively autocovariant; the magnitude encodes
+    * the spread). The estimator is defined only when the
+    * autocovariance is negative — a positive-cov (trending) day
+    * surfaces NULL, which is the standard treatment.
+    *
+    * Shares [[movePairs]] (and the oracle's `mo` CTE) with ob22, so
+    * both microstructure estimators agree on the pair universe.
+    * Determinism: population covariance numerator n·Σxy − Σx·Σy stays
+    * BIGINT; the only floating point is ONE fixed-shape expression
+    * 2·√(−num)/n (÷n² inside the root becomes ÷n outside — done
+    * identically in both engines, so even the last ulp agrees). */
+  def rollSpread(s: SparkSession, d: String): DataFrame =
+    movePairs(s, d).groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("prev_mv")).as("sx"), sum(col("mv")).as("sy"),
+        sum(col("prev_mv") * col("mv")).as("sxy"))
+      .withColumn("cov_num",
+        col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("roll_spread",
+        when(col("cov_num") < 0L,
+          lit(2.0) * sqrt((-col("cov_num")).cast(DoubleType))
+            / col("n_pairs").cast(DoubleType)))
+      .select(col("ticker"), col("day"), col("n_pairs"), col("roll_spread"))
+      .orderBy(col("ticker"), col("day"))
+
+  val rollSpreadSql: String = moveMomentsSqlCte +
+    """SELECT ticker, day, n_pairs,
+      |  CASE WHEN n_pairs * sxy - sx * sy < 0 THEN
+      |    2.0 * sqrt(CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE))
+      |      / CAST(n_pairs AS DOUBLE)
+      |  END AS roll_spread
+      |FROM mo ORDER BY ticker, day""".stripMargin
+
+  // ----------------------------------------------------------------- B15
+  /** ob26 — CANDLE RESAMPLE: 5-minute OHLCV built FROM 1-minute
+    * candles, not from raw events — the hierarchical re-aggregation
+    * every candle store runs (1m → 5m → 1h → 1d) so coarser grains
+    * never rescan the event log. The merge is pure aggregation
+    * algebra: each 1-minute partial carries its boundary event-ids
+    * (first_id = min event_id, last_id = max), and the coarser candle
+    * takes open = open of the minute with the smallest first_id
+    * (min_by), close = close of the largest last_id (max_by),
+    * high/low/volume by max/min/sum — EXACTLY the direct-from-raw
+    * answer regardless of event-id/timestamp alignment, which is what
+    * the oracle computes.
+    *
+    * Scale: the first aggregate is the only event-sized stage; the
+    * second consumes |minutes| rows (3-4 orders smaller). At 100 TB
+    * the 1m layer would persist and every coarser grain derives from
+    * it incrementally — this operator IS that derivation, oracle-gated
+    * against the raw recompute. */
+  def candleResample(s: SparkSession, d: String): DataFrame = {
+    val m1 = Derive.deltas(s, d)
+      .groupBy(col("ticker"), expr("ts_ms div 60000").as("minute"))
+      .agg(
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        expr("min_by(price, event_id)").as("o"),
+        max(col("price")).as("h"),
+        min(col("price")).as("l"),
+        expr("max_by(price, event_id)").as("c"),
+        count(lit(1)).as("n"))
+    m1.groupBy(col("ticker"), expr("minute div 5").as("m5"))
+      .agg(
+        expr("min_by(o, first_id)").as("open"),
+        max(col("h")).as("high"),
+        min(col("l")).as("low"),
+        expr("max_by(c, last_id)").as("close"),
+        sum(col("n")).as("n_msgs"))
+      .select(col("ticker"), (col("m5") * 300000L).as("m5_start_ms"),
+        col("open"), col("high"), col("low"), col("close"), col("n_msgs"))
+      .orderBy(col("ticker"), col("m5_start_ms"))
+  }
+
+  val candleResampleSql: String = Derive.cte +
+    """SELECT ticker, (ts_ms // 300000) * 300000 AS m5_start_ms,
+      |  CAST(arg_min(price, event_id) AS INTEGER) AS open,
+      |  MAX(price) AS high,
+      |  MIN(price) AS low,
+      |  CAST(arg_max(price, event_id) AS INTEGER) AS close,
+      |  COUNT(*) AS n_msgs
+      |FROM ob_deltas
+      |GROUP BY 1, 2
+      |ORDER BY ticker, m5_start_ms""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -1013,7 +1116,9 @@ object Analytics {
     "ob21_price_impact" -> (priceImpact _),
     "ob22_return_autocorr" -> (returnAutocorr _),
     "ob23_eff_spread" -> (effectiveSpread _),
-    "ob24_amihud" -> (amihud _))
+    "ob24_amihud" -> (amihud _),
+    "ob25_roll_spread" -> (rollSpread _),
+    "ob26_candle_resample" -> (candleResample _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1039,5 +1144,7 @@ object Analytics {
     "ob21_price_impact" -> priceImpactSql,
     "ob22_return_autocorr" -> returnAutocorrSql,
     "ob23_eff_spread" -> effectiveSpreadSql,
-    "ob24_amihud" -> amihudSql)
+    "ob24_amihud" -> amihudSql,
+    "ob25_roll_spread" -> rollSpreadSql,
+    "ob26_candle_resample" -> candleResampleSql)
 }

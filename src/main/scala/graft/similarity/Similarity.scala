@@ -1062,6 +1062,44 @@ object Similarity {
       |  ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn
       |ORDER BY t.query_id""".stripMargin
 
+  // --------------------------------------------------------------- sim16
+  /** sim16 — RANGE (radius) SEARCH: every corpus vector within cosine
+    * ≥ τ of each probe — the retrieval primitive top-k cannot express
+    * (k must be guessed; radius answers "all sufficiently similar",
+    * the shape dedup thresholds and contrastive-pair mining actually
+    * need). τ = 0.25 against this corpus' near-orthogonal synthetic
+    * embeddings (max off-diagonal cosine ≈ 0.4).
+    *
+    * Scale: probes broadcast (the tiny side by construction); the
+    * threshold is a MAP-SIDE filter fused into the scoring projection
+    * — no ranking aggregate, no window, no shuffle of the scored set;
+    * the only exchange is the output sort of the (bounded) match set.
+    * For corpus×corpus radius search at scale, sim09's IVF-cell
+    * blocking is the route; probe-set radius search needs none. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+      col("nrm").as("nrm_c"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+      .where(col("cosine") >= 0.25)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val rangeSearchSql: String = normedCte +
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+      |FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 5
+      |  AND list_dot_product(q.e, c.e) / (q.nrm * c.nrm) >= 0.25
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1077,7 +1115,8 @@ object Similarity {
     "sim12_filtered_ann" -> (filteredAnn _),
     "sim13_knn_vote" -> (knnVote _),
     "sim14_ann_recall" -> (annRecall _),
-    "sim15_rank_metrics" -> (rankMetrics _))
+    "sim15_rank_metrics" -> (rankMetrics _),
+    "sim16_range_search" -> (rangeSearch _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1094,5 +1133,6 @@ object Similarity {
     "sim12_filtered_ann" -> filteredAnnSql,
     "sim13_knn_vote" -> knnVoteSql,
     "sim14_ann_recall" -> annRecallSql,
-    "sim15_rank_metrics" -> rankMetricsSql)
+    "sim15_rank_metrics" -> rankMetricsSql,
+    "sim16_range_search" -> rangeSearchSql)
 }

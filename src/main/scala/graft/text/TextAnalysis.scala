@@ -1377,6 +1377,47 @@ object TextAnalysis {
       |GROUP BY w.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+  /** txt27 — TOKENIZER FERTILITY audit per language: subword units per
+    * whitespace word, the number every token-budget plan needs before
+    * committing a corpus mix (a language at fertility 2.3 costs 2.3×
+    * its word count in context window). The "tokenizer" is the
+    * deterministic arithmetic stand-in ⌈len/4⌉ subwords per word —
+    * a real BPE's vocabulary isn't in this container, but the audit's
+    * plumbing (per-doc map-side counts → one language-keyed hash
+    * aggregate) is exactly what the real pass runs, and the integer
+    * spelling `(len+3) div 4` is bit-portable across engines.
+    *
+    * Scale: one codegen'd map stage (scan prunes to lang+text), one
+    * |languages|-cardinality hash aggregate with map-side partials;
+    * no explode — the per-doc fold happens inside a single projection. */
+  def tokenFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("w"),
+        expr("""aggregate(split(trim(text), '\\s+'), 0L,
+                 (a, tk) -> a + (length(tk) + 3) div 4)""").as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("sw")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .orderBy(col("lang"))
+
+  val tokenFertilitySql: String =
+    """WITH tf AS (
+      |  SELECT lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |      tk -> (length(tk) + 3) // 4)) AS BIGINT) AS sw
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS n_words,
+      |  CAST(SUM(sw) AS BIGINT) AS n_subwords,
+      |  CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+      |FROM tf GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1404,7 +1445,8 @@ object TextAnalysis {
     "txt23_source_mix" -> (sourceMix _),
     "txt24_split_leakage" -> (splitLeakage _),
     "txt25_unigram_nll" -> (unigramNll _),
-    "txt26_boilerplate_strip" -> (boilerplateStrip _))
+    "txt26_boilerplate_strip" -> (boilerplateStrip _),
+    "txt27_token_fertility" -> (tokenFertility _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1432,5 +1474,6 @@ object TextAnalysis {
     "txt23_source_mix" -> sourceMixSql,
     "txt24_split_leakage" -> splitLeakageSql,
     "txt25_unigram_nll" -> unigramNllSql,
-    "txt26_boilerplate_strip" -> boilerplateStripSql)
+    "txt26_boilerplate_strip" -> boilerplateStripSql,
+    "txt27_token_fertility" -> tokenFertilitySql)
 }
