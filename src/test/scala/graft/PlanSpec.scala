@@ -440,6 +440,40 @@ class PlanSpec extends AnyFunSuite {
       s"op04 planned a broadcast join — the demo regime is gone:\n$p")
   }
 
+  test("ob26: the 5-min candle merges 1-min partials — exactly two " +
+    "aggregate levels, ONE scan of the events parquet") {
+    val p = plan("ob26_candle_resample")
+    // one events scan: the rollup must derive from the 1m partials,
+    // never re-read raw for the coarser grain
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"ob26 expected 1 events scan, got $scans:\n$p")
+    assert(!p.contains("Window"), s"ob26 grew a window:\n$p")
+  }
+
+  test("sim16: probes broadcast, threshold fuses map-side — no window, " +
+    "no ranking aggregate, no cartesian fallback on the corpus side") {
+    val p = plan("sim16_range_search")
+    assert(!p.contains("CartesianProduct"),
+      s"sim16 fell back to a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sim16 probes should attach via broadcast (!= join ⇒ BNLJ):\n$p")
+    assert(!p.contains("Window") && !p.contains("graft_topk"),
+      s"sim16 must not rank — radius search is a filter:\n$p")
+    // the filter must sit under the output sort, not after a shuffle of
+    // the full scored set: only exchanges allowed are broadcast + the
+    // final rangepartitioning sort
+    assert(!p.contains("SortMergeJoin"), s"sim16 shuffled the corpus:\n$p")
+  }
+
+  test("txt27: the fertility fold is one map stage into one hash " +
+    "aggregate — no explode of the token arrays") {
+    val p = plan("txt27_token_fertility")
+    assert(!p.contains("Generate"),
+      s"txt27 exploded tokens instead of folding in-row:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs === 2, s"txt27 expected partial+final agg, got $aggs:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
