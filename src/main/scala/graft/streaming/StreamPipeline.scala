@@ -207,6 +207,44 @@ object StreamPipeline {
         unix_millis(col("window.start")).as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
 
+  /** ob26's streaming twin — CHAINED windowed aggregation: 5-minute
+    * candles derived from the 1-minute candle aggregate inside ONE
+    * streaming query (two stateful operators; Spark ≥3.5 chains
+    * event-time window aggs via `window(window_time(w), …)`). The
+    * coarser grain never sees raw ticks: the second aggregate consumes
+    * one row per (ticker, minute), so its state and input are 3-4
+    * orders smaller than the stream. The merge carries each minute's
+    * boundary seqs so open/close resolve by min_by/max_by exactly as
+    * the batch ob26 — emission is append-mode exactly-once when the
+    * watermark closes the 5-minute window. */
+  def candlesResampled(messages: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val m1 = messages
+      .where(col("type") === "orderbook_delta" && col("msg.ts").isNotNull)
+      .withColumn("event_ts", timestamp_millis(col("msg.ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("msg.market_ticker").as("ticker"),
+        window(col("event_ts"), "1 minute"))
+      .agg(min(col("seq")).as("first_seq"),
+        max(col("seq")).as("last_seq"),
+        expr("min_by(msg.price, seq)").as("o"),
+        max(col("msg.price")).as("h"),
+        min(col("msg.price")).as("l"),
+        expr("max_by(msg.price, seq)").as("c"),
+        count(lit(1)).as("n"))
+    m1.groupBy(col("ticker"),
+        window(window_time(col("window")), "5 minutes"))
+      .agg(expr("min_by(o, first_seq)").as("open"),
+        max(col("h")).as("high"),
+        min(col("l")).as("low"),
+        expr("max_by(c, last_seq)").as("close"),
+        sum(col("n")).as("n_ticks"))
+      .select(col("ticker"),
+        unix_millis(col("window.start")).as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"))
+  }
+
   /** A16: the reference's (dead-code) CSV debug sink — header-on-create
     * append (kalshi_ws_client.py:32-75). */
   def debugCsvSink(df: DataFrame, path: String): Unit =
