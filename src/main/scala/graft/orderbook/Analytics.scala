@@ -1092,6 +1092,102 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY ticker, m5_start_ms""".stripMargin
 
+  // ----------------------------------------------------------------- B16
+  /** ob27 — VARIANCE RATIO per (ticker, day): Lo–MacKinlay's random-walk
+    * diagnostic VR(q) = Var(r_q) / (q·Var(r_1)) with q = 5 over
+    * minute-close returns (non-overlapping aggregation periods). Under
+    * a random walk VR ≈ 1; VR < 1 ⇒ mean reversion (bid-ask bounce),
+    * VR > 1 ⇒ momentum/trending — the day-level companion to ob22's
+    * event-scale autocorrelation.
+    *
+    * Determinism: both variances are population moments over exact
+    * BIGINT minute-close diffs; the whole ratio reduces to ONE integer
+    * numerator (nq·Σy²−(Σy)²)·n1² and ONE integer denominator
+    * q·(n1·Σx²−(Σx)²)·nq², divided once in double — no intermediate
+    * float anywhere, so the engines agree to the last bit. NULL when
+    * the 1-minute variance is zero or either series has < 2 returns.
+    *
+    * Scale: minute closes are a hash aggregate; the return lags
+    * partition by (ticker, day) whose row count is bounded by 1440
+    * minutes — a dimension-bounded window like ob11, not an
+    * event-scale sort (the event-sized stage is only the first
+    * aggregate). */
+  def varianceRatio(s: SparkSession, d: String): DataFrame = {
+    val Q = 5
+    val mins = Derive.deltas(s, d)
+      .groupBy(col("ticker"), dayCol.as("day"),
+        expr("ts_ms div 60000").as("minute"))
+      .agg(expr("max_by(price, event_id)").as("close"))
+    val w1 = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("minute"))
+    val r1 = mins
+      .withColumn("x", (col("close") - lag(col("close"), 1).over(w1))
+        .cast(LongType))
+      .where(col("x").isNotNull)
+      .groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("n1"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+    val m5 = mins
+      .groupBy(col("ticker"), col("day"), expr(s"minute div $Q").as("m5"))
+      .agg(expr("max_by(close, minute)").as("close5"))
+    val w5 = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("m5"))
+    val rq = m5
+      .withColumn("y", (col("close5") - lag(col("close5"), 1).over(w5))
+        .cast(LongType))
+      .where(col("y").isNotNull)
+      .groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("nq"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+    r1.join(rq, Seq("ticker", "day"))
+      .withColumn("num",
+        (col("nq") * col("sy2") - col("sy") * col("sy"))
+          * col("n1") * col("n1"))
+      .withColumn("den",
+        lit(Q.toLong) * (col("n1") * col("sx2") - col("sx") * col("sx"))
+          * col("nq") * col("nq"))
+      .withColumn("vr",
+        when(col("den") > 0L && col("n1") >= 2L && col("nq") >= 2L,
+          col("num").cast(DoubleType) / col("den").cast(DoubleType)))
+      .select(col("ticker"), col("day"), col("n1").as("n_r1"),
+        col("nq").as("n_rq"), col("vr"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val varianceRatioSql: String = Derive.cte + s""",
+      |vr_min AS (
+      |  SELECT ticker, $daySqlD AS day, ts_ms // 60000 AS minute,
+      |    arg_max(price, event_id) AS close
+      |  FROM ob_deltas GROUP BY 1, 2, 3),
+      |vr_r1 AS (
+      |  SELECT ticker, day, COUNT(*) AS n1, SUM(x) AS sx,
+      |    SUM(x * x) AS sx2
+      |  FROM (SELECT ticker, day,
+      |          CAST(close - LAG(close) OVER
+      |            (PARTITION BY ticker, day ORDER BY minute) AS BIGINT) AS x
+      |        FROM vr_min) t
+      |  WHERE x IS NOT NULL GROUP BY 1, 2),
+      |vr_m5 AS (
+      |  SELECT ticker, day, minute // 5 AS m5,
+      |    arg_max(close, minute) AS close5
+      |  FROM vr_min GROUP BY 1, 2, 3),
+      |vr_rq AS (
+      |  SELECT ticker, day, COUNT(*) AS nq, SUM(y) AS sy,
+      |    SUM(y * y) AS sy2
+      |  FROM (SELECT ticker, day,
+      |          CAST(close5 - LAG(close5) OVER
+      |            (PARTITION BY ticker, day ORDER BY m5) AS BIGINT) AS y
+      |        FROM vr_m5) t
+      |  WHERE y IS NOT NULL GROUP BY 1, 2)
+      |SELECT a.ticker, a.day, a.n1 AS n_r1, b.nq AS n_rq,
+      |  CASE WHEN 5 * (a.n1 * a.sx2 - a.sx * a.sx) * b.nq * b.nq > 0
+      |        AND a.n1 >= 2 AND b.nq >= 2 THEN
+      |    CAST((b.nq * b.sy2 - b.sy * b.sy) * a.n1 * a.n1 AS DOUBLE)
+      |      / CAST(5 * (a.n1 * a.sx2 - a.sx * a.sx) * b.nq * b.nq AS DOUBLE)
+      |  END AS vr
+      |FROM vr_r1 a JOIN vr_rq b ON a.ticker = b.ticker AND a.day = b.day
+      |ORDER BY a.ticker, a.day""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -1118,7 +1214,8 @@ object Analytics {
     "ob23_eff_spread" -> (effectiveSpread _),
     "ob24_amihud" -> (amihud _),
     "ob25_roll_spread" -> (rollSpread _),
-    "ob26_candle_resample" -> (candleResample _))
+    "ob26_candle_resample" -> (candleResample _),
+    "ob27_variance_ratio" -> (varianceRatio _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1146,5 +1243,6 @@ object Analytics {
     "ob23_eff_spread" -> effectiveSpreadSql,
     "ob24_amihud" -> amihudSql,
     "ob25_roll_spread" -> rollSpreadSql,
-    "ob26_candle_resample" -> candleResampleSql)
+    "ob26_candle_resample" -> candleResampleSql,
+    "ob27_variance_ratio" -> varianceRatioSql)
 }
