@@ -440,6 +440,29 @@ class PlanSpec extends AnyFunSuite {
       s"op04 planned a broadcast join — the demo regime is gone:\n$p")
   }
 
+  test("ob25: the Roll estimator's lags stay bucketed — every window " +
+    "partitions by (ticker, day, bucket), never whole-ticker") {
+    val p = plan("ob25_roll_spread")
+    // every lag in the move-pair core must carry the bucket key; a
+    // windowspec on (ticker, day) alone (prefix carries excepted — those
+    // run over per-bucket SUMMARIES, not events) would be the
+    // event-scale whole-day sort the bucketing exists to avoid
+    assert("lag\\([^)]*\\) windowspecdefinition\\(ticker#\\d+, day#\\d+, bucket#".r
+      .findFirstIn(p).isDefined,
+      s"ob25 lost its bucketed lag:\n$p")
+  }
+
+  test("ob27: variance-ratio windows partition by (ticker, day) over " +
+    "MINUTE summaries — the event-sized stage is only the first agg") {
+    val p = plan("ob27_variance_ratio")
+    // lags run over minute/m5 rows (bounded 1440/day): ordered by the
+    // minute keys, never by event_id
+    assert(!p.toLowerCase.contains("event_id asc"),
+      s"ob27 sorts events instead of minute summaries:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"ob27 lost its minute/m5 aggregate levels:\n$p")
+  }
+
   test("ob26: the 5-min candle merges 1-min partials — exactly two " +
     "aggregate levels, ONE scan of the events parquet") {
     val p = plan("ob26_candle_resample")
