@@ -1043,6 +1043,45 @@ object Advanced {
       |LEFT JOIN outc o ON o.src = COALESCE(c.src, s.src)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** q55 — VARIANT shredding (Spark 4's open semi-structured type, the
+    * schema-LESS counterpart of q42's explicit-schema `from_json`):
+    * `parse_json` materializes the binary variant once per row,
+    * `variant_get` extracts a typed path from it — the
+    * schema-on-read route for payloads whose shape is NOT known at
+    * plan time (q42's contract is a fixed struct; a variant column
+    * tolerates heterogeneous rows and still extracts typed paths
+    * where they exist). Missing paths and type mismatches surface as
+    * NULL and fall out of the aggregates on both engines.
+    *
+    * Scale: parse + extract are one codegen'd projection; the
+    * aggregate shuffles |event_type| groups with map-side partials.
+    * At 100 TB the variant column would be stored shredded
+    * (Parquet variant shredding) and this exact query prunes to the
+    * shredded `$.k` subcolumn. */
+  def q55VariantShred(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q55Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(k) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1067,7 +1106,8 @@ object Advanced {
     "q51_notin_null" -> (q51NotInNull _),
     "q52_lateral" -> (q52Lateral _),
     "q53_array_hof" -> (q53ArrayHof _),
-    "q54_markov_chain" -> (q54MarkovChain _))
+    "q54_markov_chain" -> (q54MarkovChain _),
+    "q55_variant_shred" -> (q55VariantShred _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1092,5 +1132,6 @@ object Advanced {
     "q51_notin_null" -> q51Sql,
     "q52_lateral" -> q52Sql,
     "q53_array_hof" -> q53Sql,
-    "q54_markov_chain" -> q54Sql)
+    "q54_markov_chain" -> q54Sql,
+    "q55_variant_shred" -> q55Sql)
 }
