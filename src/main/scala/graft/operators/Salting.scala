@@ -92,11 +92,91 @@ object Salting {
       |GROUP BY d.lang
       |ORDER BY d.lang""".stripMargin
 
+  /** op05 — AQE's AUTOMATED skew split under the gate: the same hot
+    * `lang` key op01/op02 salt by hand, handled by the engine's own
+    * `OptimizeSkewedJoin` instead (the automated twin of the manual
+    * salting, exactly as op04's `InjectRuntimeFilter` is the automated
+    * twin of dd10's hand-built Bloom route). The workload is the
+    * per-language cross-source pair matrix (which corpus slices would
+    * meet in a within-language pairing job — the shape of contrastive
+    * pair mining and per-language mixing audits): a lang-keyed
+    * fact⋈fact join whose BOTH sides are raw scans — the structural
+    * requirement for the skew rule, which pattern-matches
+    * SMJ(Sort(shuffle), Sort(shuffle)) and cannot fire with an
+    * aggregate between shuffle and join. The text payload rides the
+    * pair side into a post-join SUM(length) so column pruning can't
+    * hollow out the hot partition, and the en partition (~41% of
+    * corpus bytes, quadratic in the pair count) is genuinely
+    * oversized; AQE splits it into advisory-sized reads at runtime
+    * and the result must be IDENTICAL to the plain join — the oracle
+    * IS the plain join.
+    *
+    * Scale-invariant trigger: threshold and advisory chunk derive from
+    * the measured corpus bytes (tot/64 — post-compression shuffle
+    * sizes, and this synthetic text compresses hard), so the hot
+    * partition is a healthy multiple of the advisory chunk at EVERY
+    * scale factor, not a fixture constant that stops firing at 10×
+    * the data.
+    *
+    * Conf isolation: runs on `newSession()` — same shared state, OWN
+    * conf — so the lowered thresholds govern THIS query's runtime
+    * stage re-optimization (AQE reads conf at execution, after a
+    * planning-window freeze would have ended) and never leak to the
+    * session's other queries. */
+  def aqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    val docs = Tables.documents(s2, d)
+    val totRows = docs.count()
+    // the shuffled payload is a 32-char md5 fingerprint: INCOMPRESSIBLE
+    // (synthetic text compresses ~10×, which silently un-skews a
+    // byte-threshold) and UNPRUNABLE-to-nothing (the projection
+    // pushdown computes it below the exchange, but 32 random-ish bytes
+    // per row still have to travel). ~40 B/row serialized → the hot
+    // partition is a predictable multiple of the advisory chunk at
+    // every SF.
+    val advisory = math.min(math.max(totRows * 40 / 16, 512L), 64L << 20)
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      advisory.toString)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisory.toString)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE splits a skewed REDUCE partition by regrouping its MAP
+    // outputs — a partition fed by a single map task is unsplittable.
+    // A 100 TB scan has thousands of map tasks; this fixture-sized
+    // single-file scan has ONE, so the round-robin repartition stands
+    // in for the multi-task map stage a real corpus scan is. (Found
+    // the hard way: every size threshold was met and the rule still
+    // couldn't fire.)
+    val a = docs.repartition(32)
+      .select(col("lang"), col("source").as("source_a"),
+        md5(col("text")).as("fp"))
+    val b = docs.select(col("lang"), col("source").as("source_b"))
+    a.join(b, Seq("lang"))
+      .groupBy(col("lang"), col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("fp")).as("fp_min"))
+      .orderBy(col("lang"), col("source_a"), col("source_b"))
+  }
+
+  val aqeSkewJoinSql: String =
+    """SELECT a.lang, a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_pairs,
+      |  MIN(md5(a.text)) AS fp_min
+      |FROM documents a JOIN documents b ON a.lang = b.lang
+      |GROUP BY a.lang, a.source, b.source
+      |ORDER BY a.lang, source_a, source_b""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "op01_salted_agg" -> (saltedLangStats _),
-    "op02_salted_join" -> (saltedDimJoin _))
+    "op02_salted_join" -> (saltedDimJoin _),
+    "op05_aqe_skew_join" -> (aqeSkewJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "op01_salted_agg" -> saltedLangStatsSql,
-    "op02_salted_join" -> saltedDimJoinSql)
+    "op02_salted_join" -> saltedDimJoinSql,
+    "op05_aqe_skew_join" -> aqeSkewJoinSql)
 }

@@ -497,6 +497,17 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs === 2, s"txt27 expected partial+final agg, got $aggs:\n$p")
   }
 
+  test("op05: AQE splits the hot lang partition at runtime — the final " +
+    "adaptive plan carries skew=true, and the join never broadcasts") {
+    val df = SparkEntry.queries("op05_aqe_skew_join")(spark, sf)
+    df.collect() // skew handling is a runtime stage re-optimization
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"op05's skewed partition was not split:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"op05 broadcast the dim — the skew regime is gone:\n$p")
+  }
+
   test("ingest normalize path is shuffle-free (narrow ops only)") {
     val parsed = orderbook.Normalize.parseSnapshotEntries(
       orderbook.Fixtures.snapshotEntries(spark))
