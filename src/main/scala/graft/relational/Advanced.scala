@@ -1082,6 +1082,40 @@ object Advanced {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** q56 — per-group top-k via a RANK window, kept deliberately in the
+    * window spelling (the registry's ranking workhorse is the
+    * graft_topk aggregate — sim01/sim08 — precisely because a naive
+    * window ranks everything): Spark ≥3.5 rescues this spelling with
+    * WINDOW GROUP LIMIT pushdown — a `rank() <= k` filter over a
+    * window becomes a WindowGroupLimitExec BELOW the shuffle that
+    * keeps only each partition's local top-k rows before the exchange
+    * and sort, so the full fact table is never exchanged for a top-3
+    * answer. PlanSpec pins the operator's presence in BOTH partial
+    * (map-side) and final positions. `rank` (not row_number) keeps
+    * ties meaningful; the unique (o_totalprice DESC, o_orderkey)
+    * ordering keeps both engines on identical rows anyway. */
+  def q56TopPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val q56Sql: String =
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey,
+      |  o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        RANK() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1107,7 +1141,8 @@ object Advanced {
     "q52_lateral" -> (q52Lateral _),
     "q53_array_hof" -> (q53ArrayHof _),
     "q54_markov_chain" -> (q54MarkovChain _),
-    "q55_variant_shred" -> (q55VariantShred _))
+    "q55_variant_shred" -> (q55VariantShred _),
+    "q56_top_per_group" -> (q56TopPerGroup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1133,5 +1168,6 @@ object Advanced {
     "q52_lateral" -> q52Sql,
     "q53_array_hof" -> q53Sql,
     "q54_markov_chain" -> q54Sql,
-    "q55_variant_shred" -> q55Sql)
+    "q55_variant_shred" -> q55Sql,
+    "q56_top_per_group" -> q56Sql)
 }

@@ -497,6 +497,16 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs === 2, s"txt27 expected partial+final agg, got $aggs:\n$p")
   }
 
+  test("q56: the rank<=k filter pushes a WindowGroupLimit below the " +
+    "shuffle — each map partition keeps only its local top-k") {
+    val p = plan("q56_top_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"q56 lost the window-group-limit pushdown:\n$p")
+    // partial (pre-shuffle) + final: two occurrences
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"q56 group limit is not applied map-side:\n$p")
+  }
+
   test("op05: AQE splits the hot lang partition at runtime — the final " +
     "adaptive plan carries skew=true, and the join never broadcasts") {
     val df = SparkEntry.queries("op05_aqe_skew_join")(spark, sf)
