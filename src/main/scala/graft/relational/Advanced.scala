@@ -458,7 +458,7 @@ object Advanced {
   val q42Sql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  COUNT(TRY_CAST(props ->> '$.k' AS BIGINT)) AS n_k,
-      |  SUM(TRY_CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(TRY_CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(TRY_CAST(props ->> '$.k' AS BIGINT)) AS min_k,
       |  MAX(TRY_CAST(props ->> '$.k' AS BIGINT)) AS max_k
       |FROM events
@@ -1062,7 +1062,7 @@ object Advanced {
   def q55VariantShred(s: SparkSession, d: String): DataFrame =
     graft.Tables.events(s, d)
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count(col("k")).as("n_k"),
@@ -1077,7 +1077,7 @@ object Advanced {
       |  CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |        TRY_CAST(json_extract(props, '$.k') AS INTEGER) AS k
       |      FROM events) t
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -211,7 +211,8 @@ object TextAnalysis {
       |     + (CAST(j.hash_row AS BIGINT) * 12345 + 678)) % 1000000007 % 64 AS bucket
       |  FROM toks, (SELECT unnest(range(0, 4)) AS hash_row) j
       |  WHERE tok <> '')
-      |SELECT hash_row, bucket, COUNT(*) AS cell_count
+      |SELECT CAST(hash_row AS INTEGER) AS hash_row, bucket,
+      |  COUNT(*) AS cell_count
       |FROM cells
       |GROUP BY hash_row, bucket
       |ORDER BY hash_row, bucket""".stripMargin

@@ -5,16 +5,59 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 
 Reads each <outDir>/<name> parquet written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the parquet
-tables in <sfDir>, and compares: column names (sorted), row count, and
-values (rows sorted by all columns). Exit 0 iff everything matches.
+tables in <sfDir>, and compares: column names (sorted), row count,
+RESULT TYPES (Spark parquet schema vs DuckDB Arrow schema — the driver's
+hash is type-sensitive, so a DuckDB HUGEINT sum vs a Spark BIGINT is a
+red row even when every value matches), and values (rows sorted by all
+columns). Exit 0 iff everything matches.
+
+`--selftest` builds an un-cast-SUM fixture (DuckDB SUM(BIGINT) →
+HUGEINT vs a Spark-style int64 parquet) and asserts the gate goes red.
 """
 import json
 import math
 import sys
+import tempfile
 from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type label: collapses representation-only differences
+    (string vs large_string, timestamp tz/unit, dictionary encoding)
+    but keeps the distinctions the driver's hash sees (int width,
+    int vs decimal — DuckDB HUGEINT exports as decimal128(38,0))."""
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def schema_map(schema: pa.Schema) -> dict:
+    return {f.name: canon_type(f.type) for f in schema}
+
+
+def spark_parquet_schema(pdir: Path) -> pa.Schema:
+    files = sorted(pdir.glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {pdir}")
+    return pq.read_schema(files[0])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,7 +84,40 @@ def cmp_cell(a, b) -> bool:
     return str(a) == str(b)
 
 
+def selftest() -> None:
+    """Red-test the type gate: a Spark-style int64 result vs a bare
+    DuckDB SUM(BIGINT) (→ HUGEINT → decimal128(38,0)) must FAIL, and
+    the CAST'd variant must PASS — the exact q42 bug class."""
+    with tempfile.TemporaryDirectory() as tmp:
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 10),"
+                    " (1, 20), (2, 5)) v(g, x)")
+        spark_like = pa.table({"g": pa.array([1, 2], pa.int32()),
+                               "sum_x": pa.array([30, 5], pa.int64())})
+        pdir = Path(tmp) / "q"
+        pdir.mkdir()
+        pq.write_table(spark_like, pdir / "part-0.parquet")
+        got_schema = schema_map(spark_parquet_schema(pdir))
+        bare = con.execute(
+            "SELECT g, SUM(CAST(x AS BIGINT)) AS sum_x FROM t GROUP BY g"
+        ).arrow()
+        cast = con.execute(
+            "SELECT g, CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS sum_x"
+            " FROM t GROUP BY g").arrow()
+        drift_bare = {c for c in got_schema
+                      if got_schema[c] != schema_map(bare.schema).get(c)}
+        drift_cast = {c for c in got_schema
+                      if got_schema[c] != schema_map(cast.schema).get(c)}
+        assert "sum_x" in drift_bare, \
+            f"gate MISSED un-cast SUM drift: {schema_map(bare.schema)}"
+        assert not drift_cast, f"gate false-positive on CAST'd SUM: {drift_cast}"
+    print("SELFTEST PASS: un-cast SUM goes red, CAST'd SUM stays green")
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -57,14 +133,24 @@ def main():
             n_fail += 1
             continue
         try:
+            got_schema = schema_map(spark_parquet_schema(pdir))
+            want_tbl = con.execute(sql).arrow()
+            want_schema = schema_map(want_tbl.schema)
             got = norm(pd.read_parquet(pdir))
-            want = norm(con.execute(sql).df())
+            want = norm(want_tbl.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        type_drift = {c: (got_schema.get(c), want_schema.get(c))
+                      for c in got.columns
+                      if got_schema.get(c) != want_schema.get(c)}
+        if type_drift:
+            print(f"FAIL {name}: type drift (spark vs duckdb): {type_drift}")
             n_fail += 1
             continue
         if len(got) != len(want):
