@@ -28,6 +28,18 @@ object GraftSession {
     s
   }
 
+  /** Turn on durable seam artifacts (Seams + the minhash sig seam) for
+    * the harness mains. NOT set for unit tests (they pin the
+    * localCheckpoint fallback and their own sigCacheDir temp dirs).
+    * Artifacts are content-fingerprint-keyed, so a driver-side testdata
+    * regeneration invalidates them automatically. */
+  def enableDurableSeams(s: SparkSession): String = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SEAM_DIR", "/tmp/graft-seam-cache")
+    s.conf.set(Seams.CacheDirKey, dir)
+    s.conf.set(graft.dedup.Dedup.SigCacheDirKey, dir)
+    dir
+  }
+
   /** Drop ALL session-pinned caches — the dedup signature seam, cached
     * tables, and leftover persisted/localCheckpoint'ed RDDs. The
     * harness mains (Bench, Verify) call this after EVERY query:

@@ -59,6 +59,8 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val spark = GraftSession.local()
+    System.err.println(
+      s"[verify] durable seam cache: ${GraftSession.enableDurableSeams(spark)}")
     val failed = dump(spark, sfDir, outDir,
       SparkEntry.queries.filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) })
