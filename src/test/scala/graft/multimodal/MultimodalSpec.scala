@@ -58,4 +58,41 @@ class MultimodalSpec extends AnyFunSuite {
         "oracle parity no longer holds — rework the oracles before " +
         "trusting their hashes")
   }
+
+  /** The defining CDC property mm07 exists for: boundaries depend only
+    * on local content, so a one-byte PREFIX insertion (the worst case
+    * for a fixed grid, which re-digests every downstream chunk) leaves
+    * most chunk digests intact. Runs [[Multimodal.chunkDedup]]'s exact
+    * cutter expression over a two-row corpus: a payload and its
+    * prefix-shifted twin. */
+  test("mm07 chunking is content-defined: prefix insert keeps most chunks") {
+    import spark.implicits._
+    // LCG content, not periodic: a short-period payload can alias the
+    // 8-byte window into zero (or degenerate) boundary phases
+    val base = Iterator.iterate(42L)(x => (x * 6364136223846793005L + 1442695040888963407L))
+      .drop(1).take(600).map(x => ('a' + math.floorMod(x >>> 33, 26)).toChar).mkString
+    val rows = Seq((1L, base), (2L, "X" + base)).toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast(BinaryType).as("payload"))
+    val dg = Multimodal.cdcChunkDigests(rows)
+    val a = dg.where(col("media_id") === 1).select("dg").as[String].collect().toSet
+    val b = dg.where(col("media_id") === 2).select("dg").as[String].collect().toSet
+    assert(a.size > 5, s"degenerate chunking: only ${a.size} chunks")
+    val survived = (a intersect b).size.toDouble / a.size
+    assert(survived >= 0.5,
+      f"only ${survived * 100}%.0f%% of chunk digests survived a 1-byte " +
+        "prefix insert — the cutter is not content-defined")
+    // and the fixed-grid counterexample: aligned 64-byte chunks share
+    // (almost) nothing after the same shift, proving the property is
+    // the cutter's, not the data's
+    val fixed = rows.select(col("media_id"), explode(expr(
+      """transform(
+           sequence(0, cast(greatest(ceil(length(hex(payload)) / 128.0) - 1, 0) as int)),
+           i -> md5(substring(hex(payload), i * 128 + 1, 128)))"""))
+      .as("dg"))
+    val fa = fixed.where(col("media_id") === 1).select("dg").as[String].collect().toSet
+    val fb = fixed.where(col("media_id") === 2).select("dg").as[String].collect().toSet
+    assert((fa intersect fb).size <= 1,
+      "fixed-grid chunks unexpectedly survived the shift — probe data " +
+        "is degenerate, pick a different payload")
+  }
 }
