@@ -112,11 +112,16 @@ object Salting {
     * IS the plain join.
     *
     * Scale-invariant trigger: threshold and advisory chunk derive from
-    * the measured corpus bytes (tot/64 — post-compression shuffle
-    * sizes, and this synthetic text compresses hard), so the hot
-    * partition is a healthy multiple of the advisory chunk at EVERY
-    * scale factor, not a fixture constant that stops firing at 10×
-    * the data.
+    * the measured corpus ROW COUNT — rows × ~40 serialized bytes per
+    * shuffled (lang, source, fp) row ÷ 16 target splits of the hot
+    * partition — so the hot partition is a healthy multiple of the
+    * advisory chunk at EVERY scale factor, not a fixture constant that
+    * stops firing at 10× the data. (Row count, not file bytes: the fp
+    * payload is computed below the exchange, so the shuffled width is
+    * a known constant while on-disk text bytes compress ~10× and vary
+    * with corpus mix.) Note for bench readers: the sizing `count()` is
+    * an eager extra scan inside query construction, so op05's recorded
+    * time includes it.
     *
     * Conf isolation: runs on `newSession()` — same shared state, OWN
     * conf — so the lowered thresholds govern THIS query's runtime

@@ -75,6 +75,35 @@ class EntrySpec extends AnyFunSuite {
       s"registered but absent from SURVEY.md §2: $undocumented")
   }
 
+  /** The round-8 advice's registry-coverage dashboard: the driver's
+    * latest CORRECTNESS artifact and the live registry must agree —
+    * every key the driver graded must still be registered (a key
+    * vanishing from the registry silently drops its verification), and
+    * every key registered SINCE that artifact must carry an oracle so
+    * the NEXT artifact gates it. Together with the SURVEY↔registry test
+    * above this closes implemented-but-unverified in both directions. */
+  test("latest CORRECTNESS artifact ⊆ registry; new keys are oracle-gated") {
+    val dir = java.nio.file.Paths.get(".")
+    val artifacts = java.nio.file.Files.list(dir).iterator()
+    val latest = scala.jdk.CollectionConverters.IteratorHasAsScala(artifacts)
+      .asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("CORRECTNESS_r") && n.endsWith(".json"))
+      .toSeq.sorted.lastOption
+    assert(latest.nonEmpty, "no CORRECTNESS_r*.json artifact in repo root")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(latest.get)), "UTF-8")
+    val graded = raw""""([a-z0-9_]+)"\s*:\s*\{""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val vanished = graded -- registered
+    assert(vanished.isEmpty,
+      s"${latest.get} graded keys no longer registered: $vanished")
+    val newKeys = registered -- graded
+    val newUngated = newKeys -- SparkEntry.oracleSql.keySet
+    assert(newUngated.isEmpty,
+      s"keys added since ${latest.get} without an oracle: $newUngated")
+  }
+
   test("all queries run and return rows at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -69,6 +69,50 @@ class SchemaCanarySpec extends AnyFunSuite {
     assert(dtype("part", "p_partkey") == LongType)
   }
 
+  // ---- content contracts (round-8 advice item 6) -------------------
+  // Dtype canaries catch TYPE drift; the oracles also assume CONTENT
+  // shapes the driver's generator could change silently. Each test
+  // names the queries that break on drift. These run on the LIVE
+  // parquet, so a regenerated testdata set re-adjudicates them.
+
+  test("props.k is an unquoted integer or absent (q42/q55 contract)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "events")
+    // a QUOTED number ({"k":"5"}) diverges the engines: Spark's typed
+    // from_json nulls the record, DuckDB's text extract still casts
+    assert(e.where(col("props").rlike("\"k\"\\s*:\\s*\"")).limit(1)
+      .count() == 0L,
+      "events.props now quotes k — q42/q55 Spark-vs-DuckDB semantics diverge")
+    // and the key must actually occur, or both queries silently test
+    // nothing but COUNT(*)
+    assert(e.where(col("props").rlike("\"k\"\\s*:")).limit(1).count() == 1L,
+      "events.props no longer carries k — q42/q55 aggregates are vacuous")
+  }
+
+  test("documents.text is single-space tokenized (txt* split contract)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, dir, "documents")
+    // every txt query splits on ' ' in Spark and string_split(text,' ')
+    // in DuckDB; tabs, newlines, doubled/leading/trailing spaces or
+    // empty docs would make the two tokenizations diverge
+    val bad = d.where(
+      col("text").contains("\t") || col("text").contains("\n") ||
+        col("text").contains("  ") || col("text").startsWith(" ") ||
+        col("text").endsWith(" ") || col("text") === "")
+    assert(bad.limit(1).count() == 0L,
+      "documents.text whitespace drifted — txt token counts will diverge " +
+        "between split(text,' ') and DuckDB string_split")
+  }
+
+  test("embeddings are fixed-dimension (sim* dot-product contract)") {
+    import org.apache.spark.sql.functions._
+    val dims = Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"embedding dims drifted to ${dims.mkString(",")} — sim* zip_with " +
+        "dot products assume uniform 64-dim vectors")
+  }
+
   test("all ten tables are present and non-empty at sf0.001") {
     Tables.names.foreach { t =>
       assert(Tables.load(spark, dir, t).limit(1).count() == 1L,
