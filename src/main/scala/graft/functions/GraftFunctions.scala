@@ -383,6 +383,51 @@ case class IntVecL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "graft_int_l2sq"
 }
 
+object CdcCuts {
+  /** Window/divisor of mm07's content-defined chunker; the DuckDB
+    * oracle mirrors these literally (multimodal/Multimodal.scala). */
+  val Window = 8
+  val Divisor = 32
+  val Mod = 1000000007L
+
+  /** Content-defined cut positions over a byte payload: a cut after
+    * byte i (1-based, i ∈ [Window, n-1]) wherever the polynomial hash
+    * of the trailing Window bytes ≡ 0 (mod Divisor); the returned list
+    * is bracketed by 0 and n so consecutive pairs are chunk bounds.
+    * Semantically identical to the declarative HOF spelling (the
+    * windowed hash recomputed per position) — this native twin exists
+    * because Catalyst evaluates lambda HOFs interpreted, per element:
+    * O(n·W) tight-loop work here is milliseconds, but ~40M interpreted
+    * Expression evals at sf0.1 cost ~18 s/query. */
+  def cuts(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / Divisor + 2)
+    out += 0
+    var i = Window
+    while (i <= n - 1) {
+      var h = 0L
+      var j = i - Window
+      while (j < i) { h = (h * 31 + (bytes(j) & 0xff)) % Mod; j += 1 }
+      if (h % Divisor == 0) out += i
+      i += 1
+    }
+    out += n
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** cdc_cuts(binary) → array<int> chunk cut positions (see [[CdcCuts]]). */
+case class CdcCutsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcCuts.cuts(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcCuts.cuts($c)")
+  override protected def withNewChildInternal(newChild: Expression): CdcCutsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_cuts"
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; queries call this so the
     * expressions are usable from SQL text and lambda bodies alike. */
@@ -411,6 +456,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => IntVecDot(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_int_l2sq",
       (e: Seq[Expression]) => IntVecL2Sq(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_cuts",
+      (e: Seq[Expression]) => CdcCutsExpr(e.head), "built-in")
     // Spark's own runtime-filter sketch pair (registered internally as
     // bloom_filter_agg / might_contain, reachable only by the optimizer)
     // surfaced under graft names so queries can call them directly:

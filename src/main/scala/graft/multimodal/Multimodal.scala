@@ -375,23 +375,14 @@ object Multimodal {
     * and MultimodalSpec's shift-resistance probe so the property test
     * exercises the registered query's exact expression. */
   def cdcChunkDigests(blobs: DataFrame): DataFrame = {
-    val (w, dv) = (ChunkWindow, ChunkDivisor)
+    // cut positions via the native codegen'd expression — the
+    // declarative HOF spelling of the same windowed hash is the oracle
+    // and costs ~18 s/query at sf0.1 because Catalyst runs lambda HOFs
+    // interpreted per element (functions/GraftFunctions.scala CdcCuts)
+    graft.functions.GraftFunctions.register(blobs.sparkSession)
     blobs
-      .select(col("media_id"), hex(col("payload")).as("hx"))
-      // byte values once per payload; window hashes slice this array
-      .withColumn("bs", expr(
-        """transform(sequence(1, length(hx) DIV 2),
-             j -> (instr('0123456789ABCDEF', substring(hx, 2*j-1, 1)) - 1) * 16
-                + instr('0123456789ABCDEF', substring(hx, 2*j, 1)) - 1)"""))
-      .withColumn("cuts", expr(
-        s"""concat(array(0),
-              if(size(bs) > $w,
-                filter(sequence($w, size(bs) - 1),
-                  i -> aggregate(slice(bs, i - ${w - 1}, $w),
-                         cast(0 as bigint),
-                         (a, b) -> (a * 31 + b) % 1000000007) % $dv = 0),
-                array()),
-              array(size(bs)))"""))
+      .select(col("media_id"), hex(col("payload")).as("hx"),
+        call_function("graft_cdc_cuts", col("payload")).as("cuts"))
       .select(col("media_id"),
         explode(expr(
           """transform(sequence(0, size(cuts) - 2),
