@@ -75,6 +75,53 @@ object RedisQueue {
     try c.xadd(key, fields) finally c.close()
   }
 
+  /** The A7 stream-append sink at the wire level
+    * (redis_client.py:18-53 save_orderbook_*): XADD every row of `df`,
+    * executor-side — each partition drives its own RESP connection, so
+    * write bandwidth scales with the cluster like the read path.
+    *
+    * Delivery semantics are the caller's choice, matching the two
+    * shapes the repo ships for JDBC:
+    *  - `idCol = None` (the reference's shape): server-assigned ids,
+    *    AT-LEAST-ONCE — a retried task re-appends its rows under fresh
+    *    ids, exactly like the reference's fire-and-forget producer
+    *    (producer.py's crash window), and the downstream replay-dedup
+    *    operators (A15) exist precisely to absorb it.
+    *  - `idCol = Some(c)`: rows carry their own monotone `ms-seq` ids
+    *    and replay becomes IDEMPOTENT — Redis rejects an XADD at or
+    *    below the stream head ("equal or smaller"), which the sink
+    *    treats as already-delivered and skips. With ids derived from a
+    *    deterministic row key, a retried partition is a no-op — the
+    *    stream-side analogue of [[JdbcSink.appendExactlyOnce]]'s
+    *    commit-log skip. Rows must arrive id-ascending per partition
+    *    and partitions must not interleave ranges (one producer per
+    *    stream owns id allocation, the [[QueueLog.append]] contract).
+    */
+  def appendBatch(df: org.apache.spark.sql.DataFrame, host: String,
+      port: Int, key: String, fields: Seq[String],
+      idCol: Option[String] = None): Unit = {
+    val cols = (idCol.toSeq ++ fields).map(org.apache.spark.sql.functions.col)
+    df.select(cols: _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val c = new RespClient(host, port)
+          try rows.foreach { r =>
+            val off = idCol.size
+            val fvs = fields.zipWithIndex.collect {
+              case (f, i) if !r.isNullAt(off + i) => f -> r.get(off + i).toString
+            }
+            val id = idCol.map(_ => r.get(0).toString).getOrElse("*")
+            try c.xadd(key, fvs, id)
+            catch {
+              case e: java.io.IOException
+                  if idCol.isDefined &&
+                    e.getMessage.contains("equal or smaller") => () // replayed
+            }
+          } finally c.close()
+        }
+    }
+  }
+
   /** Retention, not correctness: XDEL every id ≤ `upTo` (the
     * reference's delete_messages, redis_client.py:180-193). Call it
     * only with a COMMITTED offset — the source fail-stops on a resume
