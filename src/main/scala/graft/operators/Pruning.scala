@@ -48,9 +48,99 @@ object Pruning {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- op06
+  /** DYNAMIC partition pruning (op06): op03's filter is a literal the
+    * planner resolves against directory names; here the set of live
+    * partitions is only known at RUNTIME — it comes out of a dim-side
+    * aggregate (event types whose mean value beats the corpus mean).
+    * Spark broadcasts the dim result and injects a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters
+    * (pinned in PlanSpec), so the 100 TB fact table reads ONLY the
+    * qualifying types' directories — the mechanism that makes
+    * star-schema fact⋈dim joins partition-cheap without hand-written
+    * literals. Oracle recomputes from the base table.
+    *
+    * Threshold comparison is cross-multiplied exact decimals
+    * (SUM_type · N_total > SUM_total · n_type), never a float AVG — a
+    * borderline type must land identically in both engines. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    // content-fingerprint keys (not a path digest): the fixture copies
+    // are written once per corpus but must invalidate on in-place
+    // testdata regeneration, same contract as the Seams artifacts
+    val fp = graft.Seams.corpusFingerprint(d)
+    val factDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-dpp-fact-$fp")
+    val dimDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-dpp-dim-$fp")
+    val base = Tables.events(s, d)
+    if (!java.nio.file.Files.exists(factDir.resolve("_SUCCESS")))
+      base.write.mode("overwrite").partitionBy("event_type")
+        .parquet(factDir.toString)
+    // the dim FIXTURE: per-type stats with an above-corpus-mean flag,
+    // decided by cross-multiplied exact decimals (never a float AVG —
+    // a borderline type must land identically in both engines); the
+    // oracle CTE recomputes it from the base table
+    if (!java.nio.file.Files.exists(dimDir.resolve("_SUCCESS"))) {
+      val vdec = col("value").cast(DecimalType(18, 6))
+      val tot = base.agg(
+        sum(vdec).as("sum_all"), count(lit(1)).as("n_all"))
+      base.groupBy(col("event_type"))
+        .agg(sum(vdec).as("sum_t"), count(lit(1)).as("n_t"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          // INT flag, filtered with an = comparison: a bare boolean
+          // filter simplifies to a naked attribute, which Spark's
+          // isLikelySelective() does not treat as a pruning filter and
+          // the DPP rule silently declines
+          when(col("sum_t") * col("n_all") >
+            col("sum_all") * col("n_t"), 1).otherwise(0)
+            .cast(org.apache.spark.sql.types.IntegerType).as("above_mean"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dimDir.toString)
+    }
+    // conf isolation (op05's pattern): DPP's cost model compares the
+    // estimated pruned bytes against the dim subtree's cost — correct
+    // at 100 TB where a partition is GBs, but a KB-scale fixture scan
+    // always loses the comparison and the rule silently declines. The
+    // fixture pins the MECHANISM (the runtime pruning subquery in
+    // PartitionFilters, asserted in PlanSpec), so stats-based
+    // second-guessing is disabled on this query's OWN session and the
+    // fallback ratio mirrors the multi-GB regime.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s2.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "5.0")
+    val fact = s2.read.parquet(factDir.toString)
+    val dim = s2.read.parquet(dimDir.toString)
+      .where(col("above_mean") === 1).select(col("event_type"))
+    fact.join(broadcast(dim), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val dppJoinSql: String =
+    """WITH tot AS (
+      |  SELECT SUM(CAST(value AS DECIMAL(18,6))) AS sum_all,
+      |    COUNT(*) AS n_all FROM events),
+      |dim AS (
+      |  SELECT event_type
+      |  FROM events, tot
+      |  GROUP BY event_type, tot.sum_all, tot.n_all
+      |  HAVING SUM(CAST(value AS DECIMAL(18,6))) * tot.n_all
+      |       > tot.sum_all * COUNT(*))
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "op03_partition_pruned" -> (partitionPruned _))
+    "op03_partition_pruned" -> (partitionPruned _),
+    "op06_dpp_join" -> (dppJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
-    "op03_partition_pruned" -> partitionPrunedSql)
+    "op03_partition_pruned" -> partitionPrunedSql,
+    "op06_dpp_join" -> dppJoinSql)
 }

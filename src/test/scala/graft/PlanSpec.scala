@@ -407,6 +407,14 @@ class PlanSpec extends AnyFunSuite {
       s"op03 status filter did not reach PartitionFilters:\n$p")
   }
 
+  test("op06: the fact scan carries a RUNTIME pruning subquery — " +
+    "dynamicpruningexpression in PartitionFilters, not a literal") {
+    val p = plan("op06_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"op06's dim filter did not become a dynamic partition pruning " +
+        s"subquery on the fact scan:\n$p")
+  }
+
   test("q53: the array-HOF profile is map-only — no explode, no join, " +
     "no shuffle before the output sort") {
     val p = plan("q53_array_hof")
