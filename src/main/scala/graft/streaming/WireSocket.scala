@@ -77,6 +77,17 @@ object WireSocket {
     * (kalshi_ws_client.py:110: the client signs GET + the WS path). */
   val AuthPath = "/trade-api/ws/v2"
 
+  /** Minimal JSON string literal (for synthetic envelopes). */
+  private[streaming] def jsonString(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private val SeqField = """"seq"\s*:\s*(\d+)""".r.unanchored
   private val BookType = """"type"\s*:\s*"orderbook_(snapshot|delta)"""".r.unanchored
 
@@ -100,10 +111,14 @@ object WireSocket {
 /** `format("graft-socket")` provider (registered via
   * META-INF/services DataSourceRegister). Options: `host`, `port`,
   * `tickers` (comma-separated), `channels` (comma-separated, default
-  * orderbook_delta), `failOnGap` (default true), and for authenticated
-  * feeds `accessKey` + `privateKeyFile` (PKCS#8 PEM; sends a signed
-  * auth line before subscribe — see [[WireSocket.authCommand]]) with
-  * optional `authPath` (default [[WireSocket.AuthPath]]). */
+  * orderbook_delta), `failOnGap` (default true), `maxReconnects`
+  * (default 0 = fail-stop parity with the reference; > 0 folds the
+  * restart into the stream: re-connect + re-auth + re-subscribe with a
+  * synthetic `graft_resubscribed` envelope per recovery, backoff
+  * `reconnectBackoffMs`), and for authenticated feeds `accessKey` +
+  * `privateKeyFile` (PKCS#8 PEM; sends a signed auth line before
+  * subscribe — see [[WireSocket.authCommand]]) with optional
+  * `authPath` (default [[WireSocket.AuthPath]]). */
 class WireSocketProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-socket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -149,7 +164,9 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
             Option(options.get("channels")).map(_.split(",").toSeq)
               .getOrElse(Seq("orderbook_delta")),
             options.getBoolean("failOnGap", true),
-            authLine)
+            authLine,
+            options.getInt("maxReconnects", 0),
+            options.getLong("reconnectBackoffMs", 200L))
         }
       }
     }
@@ -164,7 +181,8 @@ private[streaming] case class WireOffset(n: Long) extends Offset {
   * and the reference's fail-stop seq validation. */
 private[streaming] class WireSocketStream(host: String, port: Int,
     tickers: Seq[String], channels: Seq[String], failOnGap: Boolean,
-    authLine: Option[() => String] = None)
+    authLine: Option[() => String] = None,
+    maxReconnects: Int = 0, reconnectBackoffMs: Long = 200L)
     extends MicroBatchStream {
 
   private val lock = new Object
@@ -173,30 +191,70 @@ private[streaming] class WireSocketStream(host: String, port: Int,
   private var committed = 0L
   @volatile private var readerError: Throwable = _
   @volatile private var socket: Socket = _
+  @volatile private var stopped = false
 
+  /** One connection epoch: auth + subscribe, then read lines until the
+    * server closes or a seq gap fail-stops it. Per-connection state
+    * (the monotone `seq`) resets with the connection, exactly like the
+    * reference client's restart. */
+  private def runEpoch(): Unit = {
+    socket = new Socket(host, port)
+    val out = new OutputStreamWriter(socket.getOutputStream,
+      StandardCharsets.UTF_8)
+    authLine.foreach(a => out.write(a() + "\n")) // signed at connect
+    out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
+    out.flush()
+    val in = new BufferedReader(new InputStreamReader(
+      socket.getInputStream, StandardCharsets.UTF_8))
+    var expected = 1L
+    var line = in.readLine()
+    while (line != null) {
+      if (failOnGap) expected = WireSocket.validateSeq(line, expected)
+      lock.synchronized { buf += line }
+      line = in.readLine()
+    } // null = server closed: end of this connection epoch
+  }
+
+  /** RECOVERY = re-subscribe + re-snapshot (the reference fail-stops
+    * and restarts the process, kalshi_ws_client.py:141-146; with
+    * `maxReconnects > 0` this source folds that restart INTO the
+    * stream). Each recovered epoch emits a synthetic
+    * `graft_resubscribed` envelope first, so the drop is auditable
+    * downstream (the router's dead-letter lane keeps it queryable) and
+    * book consumers know a fresh snapshot supersedes pre-gap deltas —
+    * which the subscribe handshake delivers anyway, making the book
+    * state self-healing. Offsets stay line counts over the CONCATENATED
+    * epochs: already-buffered lines are never renumbered, so committed
+    * batches are unaffected by later reconnects. */
   private val reader = new Thread(s"graft-socket-$host:$port") {
-    override def run(): Unit =
-      try {
-        socket = new Socket(host, port)
-        val out = new OutputStreamWriter(socket.getOutputStream,
-          StandardCharsets.UTF_8)
-        authLine.foreach(a => out.write(a() + "\n")) // signed at connect
-        out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
-        out.flush()
-        val in = new BufferedReader(new InputStreamReader(
-          socket.getInputStream, StandardCharsets.UTF_8))
-        var expected = 1L
-        var line = in.readLine()
-        while (line != null) {
-          if (failOnGap) expected = WireSocket.validateSeq(line, expected)
-          lock.synchronized { buf += line }
-          line = in.readLine()
-        } // null = server closed: graceful end of feed, not an error
-      } catch {
-        case e: Throwable if socket == null || !socket.isClosed =>
-          readerError = e
-        case _: Throwable => () // closed by stop(): expected
+    override def run(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done && !stopped) {
+        // a clean server close is "end of feed" for replay fixtures
+        // (maxReconnects = 0, the default) but a DISCONNECTION for a
+        // live feed — with reconnection enabled it re-subscribes too
+        val cause: Option[Throwable] =
+          try { runEpoch(); None }
+          catch { case e: Throwable => Some(e) }
+        if (stopped || (cause.isEmpty && maxReconnects == 0)) done = true
+        else {
+          attempts += 1
+          if (attempts > maxReconnects) {
+            cause.foreach(readerError = _)
+            done = true
+          } else {
+            val why = cause.map(_.getMessage).getOrElse("server closed")
+            lock.synchronized {
+              buf += s"""{"type":"graft_resubscribed","attempt":$attempts,""" +
+                s""""cause":${WireSocket.jsonString(why)}}"""
+            }
+            try { if (socket != null) socket.close() } catch { case _: Throwable => () }
+            Thread.sleep(reconnectBackoffMs)
+          }
+        }
       }
+    }
   }
   reader.setDaemon(true)
   reader.start()
@@ -250,6 +308,7 @@ private[streaming] class WireSocketStream(host: String, port: Int,
   }
 
   override def stop(): Unit = {
+    stopped = true
     val s = socket
     if (s != null && !s.isClosed) s.close()
   }

@@ -121,6 +121,78 @@ class SocketSourceSpec extends AnyFunSuite {
     } finally { server.close(); ckpt.toFile.delete() }
   }
 
+  /** Serves one scripted line-list per accepted connection, in order —
+    * the far end of the reconnect path. */
+  private final class EpochServer(epochs: Seq[Seq[String]]) {
+    private val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    @volatile var connections = 0
+    private val t = new Thread(() => {
+      epochs.foreach { lines =>
+        val sock = server.accept()
+        connections += 1
+        val in = new BufferedReader(new InputStreamReader(
+          sock.getInputStream, StandardCharsets.UTF_8))
+        in.readLine() // subscribe
+        val out = new OutputStreamWriter(sock.getOutputStream,
+          StandardCharsets.UTF_8)
+        lines.foreach(l => out.write(l + "\n"))
+        out.flush()
+        sock.shutdownOutput()
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    def close(): Unit = server.close()
+  }
+
+  test("maxReconnects folds the reference's restart into the stream: " +
+    "gap -> resubscribe marker -> fresh snapshot epoch") {
+    // epoch 1 fail-stops at seq 5 (gap); epoch 2 is the re-subscribe
+    // answer: a fresh snapshot-led feed with per-connection seq from 1
+    val gappy = Fixtures.genMessages(Seq("KXTEST-A"), 8)
+      .filterNot {
+        case Left(s) => s.seq == 5L
+        case Right(d) => d.seq == 5L
+      }.map(Fixtures.envelopeJson)
+    val fresh = Fixtures.genMessages(Seq("KXTEST-A"), 6)
+      .map(Fixtures.envelopeJson)
+    val server = new EpochServer(Seq(gappy, fresh))
+    val ckpt = Files.createTempDirectory("ws-reconnect-ckpt")
+    try {
+      val q = spark.readStream.format("graft-socket")
+        .option("host", "localhost").option("port", server.port)
+        .option("tickers", "KXTEST-A")
+        .option("channels", "orderbook_snapshot,orderbook_delta")
+        // 1, not 2: the budget covers the gap recovery, and epoch 2's
+        // clean close then ENDS the feed (attempts exhausted, no error)
+        // instead of retrying against a server with no script left
+        .option("maxReconnects", 1)
+        .load()
+        .writeStream.format("memory").queryName("ws_reconnect")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      // 4 pre-gap lines survive from epoch 1, then the marker, then
+      // all 6 of epoch 2 — the gap itself is dropped, not served
+      awaitRows("ws_reconnect", 4 + 1 + 6, q)
+      val lines = spark.table("ws_reconnect")
+        .select("value").collect().map(_.getString(0)).toSeq
+      assert(server.connections === 2, "no second subscribe happened")
+      val marker = lines.filter(_.contains("graft_resubscribed"))
+      assert(marker.size === 1 && marker.head.contains("Missed message!"),
+        s"missing/wrong resubscribe marker: $marker")
+      // the recovered epoch leads with its own snapshot (seq 1)
+      val afterMarker = lines.drop(lines.indexWhere(
+        _.contains("graft_resubscribed")) + 1)
+      assert(afterMarker.size === 6)
+      assert(afterMarker.head.contains(""""seq":1"""),
+        s"recovered epoch did not lead with a fresh snapshot: " +
+          s"${afterMarker.head}")
+      q.stop()
+    } finally { server.close(); ckpt.toFile.delete() }
+  }
+
   test("validateSeq mirrors the reference loop exactly") {
     val snap = """{"type":"orderbook_snapshot","seq":1,"msg":{}}"""
     val delta = """{"type":"orderbook_delta","seq":2,"msg":{}}"""
