@@ -1116,6 +1116,42 @@ object Advanced {
       |WHERE rnk <= 3
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** q57 — PIVOT: rows → columns over an EXPLICIT value list
+    * (`RelationalGroupedDataset.pivot(col, values)`), the inverse of
+    * q44's unpivot. The explicit list matters at scale: values omitted
+    * → Spark runs a distinct-collect JOB at PLAN time to discover the
+    * columns (a driver-side action hidden inside query construction);
+    * pinned here in the values-known spelling a production report
+    * uses, which plans as one ordinary pivot aggregate — no discovery
+    * scan, map-side partials, |groups| × |values| output cells.
+    * NULL cells (no rows for the pair) stay NULL, matching the
+    * oracle's SUM(CASE…) — pivot IS conditional aggregation. */
+  def q57Pivot(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DoubleType))
+      .select(col("o_orderpriority"), col("F").as("total_f"),
+        col("O").as("total_o"), col("P").as("total_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val q57Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS total_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1142,7 +1178,8 @@ object Advanced {
     "q53_array_hof" -> (q53ArrayHof _),
     "q54_markov_chain" -> (q54MarkovChain _),
     "q55_variant_shred" -> (q55VariantShred _),
-    "q56_top_per_group" -> (q56TopPerGroup _))
+    "q56_top_per_group" -> (q56TopPerGroup _),
+    "q57_pivot" -> (q57Pivot _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1169,5 +1206,6 @@ object Advanced {
     "q53_array_hof" -> q53Sql,
     "q54_markov_chain" -> q54Sql,
     "q55_variant_shred" -> q55Sql,
-    "q56_top_per_group" -> q56Sql)
+    "q56_top_per_group" -> q56Sql,
+    "q57_pivot" -> q57Sql)
 }
