@@ -1188,6 +1188,70 @@ object Analytics {
       |FROM vr_r1 a JOIN vr_rq b ON a.ticker = b.ticker AND a.day = b.day
       |ORDER BY a.ticker, a.day""".stripMargin
 
+  // ---------------------------------------------------------------- ob28
+  /** ob28 — VPIN (volume-synchronized probability of informed trading,
+    * Easley/López de Prado/O'Hara) per (ticker, day): order flow is cut
+    * into VOLUME buckets of [[VpinBucket]] contracts (volume clock, not
+    * wall clock — the construction's whole point), each bucket scores
+    * its absolute buy/sell imbalance (signed delta = direction, the
+    * tick-rule stand-in this feed makes exact), and VPIN is
+    * Σ|buy−sell| / Σvolume over the day's buckets — the toxicity
+    * number a market maker watches next to ob16's flow imbalance.
+    *
+    * Determinism: bucket ids come from an integer running volume
+    * ((cum−1) div V, zero-volume rows ride in their current bucket),
+    * imbalances and volumes stay BIGINT to the end, one double
+    * division at the surface — engines agree to the last bit.
+    *
+    * Scale: the running-volume window is per (ticker, day) ordered by
+    * the wire's own event_id — ob04's cumulative-replay regime, an
+    * event-scale sort bounded per partition, followed by two hash
+    * aggregates of |buckets| ≪ |events| rows. */
+  val VpinBucket = 200L
+
+  def vpin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker"), col("day"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = Derive.deltas(s, d)
+      .select(col("ticker"), dayCol.as("day"), col("event_id"),
+        col("delta").cast(LongType).as("dl"))
+      .withColumn("cum", sum(abs(col("dl"))).over(w))
+      .withColumn("bucket",
+        expr(s"greatest(cum - 1, 0) div $VpinBucket"))
+      .groupBy(col("ticker"), col("day"), col("bucket"))
+      .agg(sum(when(col("dl") > 0, col("dl")).otherwise(0L)).as("buy"),
+        sum(when(col("dl") < 0, -col("dl")).otherwise(0L)).as("sell"))
+    buckets.groupBy(col("ticker"), col("day"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("buy") - col("sell"))).as("imb"),
+        sum(col("buy") + col("sell")).as("vol"))
+      .withColumn("vpin", when(col("vol") > 0L,
+        col("imb").cast(DoubleType) / col("vol").cast(DoubleType)))
+      .select(col("ticker"), col("day"), col("n_buckets"), col("vpin"))
+      .orderBy(col("ticker"), col("day"))
+  }
+
+  val vpinSql: String = Derive.cte + s""",
+      |vp_c AS (
+      |  SELECT ticker, $daySqlD AS day, event_id,
+      |    CAST(delta AS BIGINT) AS dl,
+      |    SUM(ABS(CAST(delta AS BIGINT))) OVER
+      |      (PARTITION BY ticker, $daySqlD ORDER BY event_id
+      |       ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM ob_deltas),
+      |vp_b AS (
+      |  SELECT ticker, day, GREATEST(cum - 1, 0) // $VpinBucket AS bucket,
+      |    SUM(CASE WHEN dl > 0 THEN dl ELSE 0 END) AS buy,
+      |    SUM(CASE WHEN dl < 0 THEN -dl ELSE 0 END) AS sell
+      |  FROM vp_c GROUP BY 1, 2, 3)
+      |SELECT ticker, day, COUNT(*) AS n_buckets,
+      |  CASE WHEN SUM(buy + sell) > 0 THEN
+      |    CAST(SUM(ABS(buy - sell)) AS DOUBLE)
+      |      / CAST(SUM(buy + sell) AS DOUBLE) END AS vpin
+      |FROM vp_b GROUP BY 1, 2
+      |ORDER BY ticker, day""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ob01_snapshot_explode" -> (snapshotExplode _),
     "ob02_delta_flatten" -> (deltaFlatten _),
@@ -1215,7 +1279,8 @@ object Analytics {
     "ob24_amihud" -> (amihud _),
     "ob25_roll_spread" -> (rollSpread _),
     "ob26_candle_resample" -> (candleResample _),
-    "ob27_variance_ratio" -> (varianceRatio _))
+    "ob27_variance_ratio" -> (varianceRatio _),
+    "ob28_vpin" -> (vpin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1244,5 +1309,6 @@ object Analytics {
     "ob24_amihud" -> amihudSql,
     "ob25_roll_spread" -> rollSpreadSql,
     "ob26_candle_resample" -> candleResampleSql,
-    "ob27_variance_ratio" -> varianceRatioSql)
+    "ob27_variance_ratio" -> varianceRatioSql,
+    "ob28_vpin" -> vpinSql)
 }
