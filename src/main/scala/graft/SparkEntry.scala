@@ -32,6 +32,7 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       operators.Salting.queries ++
       operators.Pruning.queries ++
+      operators.Bucketed.queries ++
       operators.RuntimeFilter.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       multimodal.Multimodal.oracles ++
       operators.Salting.oracles ++
       operators.Pruning.oracles ++
+      operators.Bucketed.oracles ++
       operators.RuntimeFilter.oracles: _*)
 }

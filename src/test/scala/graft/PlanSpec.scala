@@ -415,6 +415,18 @@ class PlanSpec extends AnyFunSuite {
         s"subquery on the fact scan:\n$p")
   }
 
+  test("op07: the bucketed fact-fact join exchanges NOTHING — the " +
+    "write-time shuffle is the only shuffle") {
+    val df = SparkEntry.queries("op07_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the aggregate may exchange on its own key; the JOIN must not
+    val joinSection = p.split("SortMergeJoin|ShuffledHashJoin").last
+    assert(p.contains("Join"), s"op07 lost its join:\n$p")
+    assert(!joinSection.contains("Exchange"),
+      s"op07's bucketed join still shuffles:\n$p")
+  }
+
   test("q53: the array-HOF profile is map-only — no explode, no join, " +
     "no shuffle before the output sort") {
     val p = plan("q53_array_hof")
