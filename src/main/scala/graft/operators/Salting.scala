@@ -175,13 +175,47 @@ object Salting {
       |GROUP BY a.lang, a.source, b.source
       |ORDER BY a.lang, source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- op08
+  /** AQE partition COALESCING (op08) — the inverse failure mode of
+    * op05's skew split: a shuffle planned with far too many partitions
+    * (here 512, the "tuned for the big table, reused for the small
+    * one" misconfiguration every shared-conf pipeline ships) would run
+    * hundreds of near-empty reduce tasks; AQE merges adjacent shuffle
+    * blocks up to the advisory size at RUNTIME, so task count follows
+    * the DATA, not the conf. Plan-pinned: the final agg's
+    * AQEShuffleRead reads `coalesced` partitions, strictly fewer than
+    * planned. Conf-isolated session (op05's pattern); the oracle is
+    * the plain aggregate — coalescing must be invisible in the result. */
+  def aqeCoalesce(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "512")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    Tables.documents(s2, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast(
+          org.apache.spark.sql.types.LongType)).as("chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val aqeCoalesceSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "op01_salted_agg" -> (saltedLangStats _),
     "op02_salted_join" -> (saltedDimJoin _),
-    "op05_aqe_skew_join" -> (aqeSkewJoin _))
+    "op05_aqe_skew_join" -> (aqeSkewJoin _),
+    "op08_aqe_coalesce" -> (aqeCoalesce _))
 
   val oracles: Seq[(String, String)] = Seq(
     "op01_salted_agg" -> saltedLangStatsSql,
     "op02_salted_join" -> saltedDimJoinSql,
-    "op05_aqe_skew_join" -> aqeSkewJoinSql)
+    "op05_aqe_skew_join" -> aqeSkewJoinSql,
+    "op08_aqe_coalesce" -> aqeCoalesceSql)
 }

@@ -427,6 +427,15 @@ class PlanSpec extends AnyFunSuite {
       s"op07's bucketed join still shuffles:\n$p")
   }
 
+  test("op08: AQE coalesces the misconfigured 512-partition shuffle " +
+    "down to data-sized reads at runtime") {
+    val df = SparkEntry.queries("op08_aqe_coalesce")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"op08's oversized shuffle was not runtime-coalesced:\n$p")
+  }
+
   test("q53: the array-HOF profile is map-only — no explode, no join, " +
     "no shuffle before the output sort") {
     val p = plan("q53_array_hof")
