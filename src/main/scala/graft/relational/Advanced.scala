@@ -1152,6 +1152,62 @@ object Advanced {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** q58 — DATE-SPINE DENSIFICATION: the time-series gap-fill every
+    * reporting/feature pipeline needs — a (hour × event_type) grid
+    * generated from the data's own bounds, LEFT-joined to the hourly
+    * aggregate, absent cells zero-filled (q41/q47 impute VALUES inside
+    * an existing row set; this materializes the MISSING rows — at
+    * sf0.01 the events table fills ~10k of the 3.6k grid cells, so
+    * real zeros survive to the output).
+    *
+    * Spark-first shape: the spine is `explode(sequence(min, max,
+    * interval 1 hour))` over a 1-row scalar-aggregate frame — fully
+    * declarative, no driver-side collect of the bounds — and the grid
+    * is spine × broadcast(distinct types): dimension-sized on both
+    * sides (|hours| × |types|), never data-sized. The hourly
+    * aggregate is the only fact-scale stage (one hash agg with
+    * map-side partials); the grid LEFT-joins it on (hour, type) and
+    * AQE broadcasts the grid side. Hours ship as epoch-ms BIGINT
+    * (q15's parity convention), sums as decimal-cast doubles. */
+  def q58DateSpine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("value"))
+    val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = bounds.select(explode(
+      sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val types = e.select(col("event_type")).distinct()
+    val grid = spine.crossJoin(broadcast(types))
+    val hourly = e.groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    grid.join(hourly, Seq("hour", "event_type"), "left")
+      .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+
+  val q58Sql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+      |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT epoch_ms(s.hour) AS hour_ms, t.event_type,
+      |  COALESCE(h.n_events, 0) AS n_events,
+      |  COALESCE(h.sum_value, 0.0) AS sum_value
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+      |ORDER BY hour_ms, t.event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1179,7 +1235,8 @@ object Advanced {
     "q54_markov_chain" -> (q54MarkovChain _),
     "q55_variant_shred" -> (q55VariantShred _),
     "q56_top_per_group" -> (q56TopPerGroup _),
-    "q57_pivot" -> (q57Pivot _))
+    "q57_pivot" -> (q57Pivot _),
+    "q58_date_spine" -> (q58DateSpine _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1207,5 +1264,6 @@ object Advanced {
     "q54_markov_chain" -> q54Sql,
     "q55_variant_shred" -> q55Sql,
     "q56_top_per_group" -> q56Sql,
-    "q57_pivot" -> q57Sql)
+    "q57_pivot" -> q57Sql,
+    "q58_date_spine" -> q58Sql)
 }

@@ -1100,6 +1100,92 @@ object Similarity {
       |  AND list_dot_product(q.e, c.e) / (q.nrm * c.nrm) >= 0.25
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // --------------------------------------------------------------- sim17
+  /** HARD-NEGATIVE / TRIPLET MINING — the contrastive-training data
+    * op an embedding-model pipeline runs over its own corpus: for each
+    * anchor vector, the hardest in-cell POSITIVE (most-distant
+    * same-label neighbor — the pair the model must pull together) and
+    * the hardest in-cell NEGATIVE (most-similar different-label
+    * neighbor — the pair it must push apart), plus the margin
+    * cos_neg − cos_pos (positive margin ⇒ the triplet violates the
+    * ranking and actually trains).
+    *
+    * Shape: ONE cell-blocked scored frame (sim08's O(n^1.5) regime —
+    * the anchor side is the whole corpus, nothing broadcastable)
+    * feeds TWO bounded-heap graft_topk aggregates — top-1 ascending
+    * cosine over same-label candidates (score = −cosine) and top-1
+    * descending over different-label candidates — so per partition at
+    * most one candidate row per anchor survives each side BEFORE the
+    * shuffle; the two 1-row-per-anchor sides meet in an anchor-keyed
+    * join. Anchors lacking either side in their cell drop (inner
+    * join), mirrored by the oracle. Doubles: cosine is the shared
+    * graft_vec_dot expression, margin one IEEE subtraction — engine
+    * identical. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val assigned = assignCells(n, centroids(s, n))
+    val lbl = n.select(col("vec_id"), col("label"))
+    val a = assigned.join(lbl, "vec_id")
+    val cand = a.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"),
+      col("label").as("n_label"))
+    val scored = a.select(col("vec_id").as("query_id"),
+        col("e").as("eq"), col("nrm").as("nrm_q"), col("cell"),
+        col("label").as("q_label"))
+      .join(cand, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val pos = topKPerQuery(
+        scored.where(col("n_label") === col("q_label")),
+        1, -col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("cosine").as("cos_pos"))
+    val neg = topKPerQuery(
+        scored.where(col("n_label") =!= col("q_label")),
+        1, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("cosine").as("cos_neg"))
+    pos.join(neg, "query_id")
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("anchor_label")), "query_id")
+      .select(col("query_id"), col("anchor_label"), col("pos_id"),
+        col("cos_pos"), col("neg_id"), col("cos_neg"),
+        (col("cos_neg") - col("cos_pos")).as("margin"))
+      .orderBy(col("query_id"))
+  }
+
+  val hardNegativesSql: String = normedCte + "," + centCte + "," +
+    assignedCte + "," +
+    """
+      |al AS (
+      |  SELECT a.vec_id, a.e, a.nrm, a.cell, nn.label
+      |  FROM assigned a JOIN n nn ON nn.vec_id = a.vec_id),
+      |sc AS (
+      |  SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    c.vec_id AS neighbor_id, c.label AS n_label,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+      |  FROM al q JOIN al c ON q.cell = c.cell
+      |    AND c.vec_id <> q.vec_id),
+      |pos AS (
+      |  SELECT query_id, neighbor_id AS pos_id, cosine AS cos_pos FROM (
+      |    SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine ASC, neighbor_id) AS r
+      |    FROM sc WHERE n_label = q_label) t WHERE r = 1),
+      |neg AS (
+      |  SELECT query_id, neighbor_id AS neg_id, cosine AS cos_neg FROM (
+      |    SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+      |    FROM sc WHERE n_label <> q_label) t WHERE r = 1)
+      |SELECT p.query_id, nn.label AS anchor_label, p.pos_id, p.cos_pos,
+      |  g.neg_id, g.cos_neg, g.cos_neg - p.cos_pos AS margin
+      |FROM pos p JOIN neg g USING (query_id)
+      |JOIN n nn ON nn.vec_id = p.query_id
+      |ORDER BY p.query_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1116,7 +1202,8 @@ object Similarity {
     "sim13_knn_vote" -> (knnVote _),
     "sim14_ann_recall" -> (annRecall _),
     "sim15_rank_metrics" -> (rankMetrics _),
-    "sim16_range_search" -> (rangeSearch _))
+    "sim16_range_search" -> (rangeSearch _),
+    "sim17_hard_negatives" -> (hardNegatives _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1134,5 +1221,6 @@ object Similarity {
     "sim13_knn_vote" -> knnVoteSql,
     "sim14_ann_recall" -> annRecallSql,
     "sim15_rank_metrics" -> rankMetricsSql,
-    "sim16_range_search" -> rangeSearchSql)
+    "sim16_range_search" -> rangeSearchSql,
+    "sim17_hard_negatives" -> hardNegativesSql)
 }

@@ -1419,6 +1419,74 @@ object TextAnalysis {
       |  CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
       |FROM tf GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- txt28
+  /** txt28 — BIGRAM conditional NLL ("LM-lite", order-aware): txt25
+    * scores each doc against the corpus UNIGRAM distribution, which is
+    * blind to word order — shuffled gibberish scores identically to
+    * prose. This upgrades the model one Markov order: per doc, the
+    * mean −ln P(w_i | w_{i−1}) under the corpus bigram model
+    * (P(b|a) = c(a,b) / Σ_x c(a,x)), the cheapest signal that actually
+    * penalizes scrambled or template-stitched text. No smoothing
+    * needed: the corpus scores itself, so every doc bigram has
+    * positive count by construction.
+    *
+    * Shape: bigram extraction is ONE codegen'd projection —
+    * `transform(sequence(…), i -> struct(t[i-1], t[i]))` + explode —
+    * no positional self-join, no per-doc window sort; then a
+    * bigram-keyed count shuffle (vocabulary², grows with the corpus),
+    * a context-keyed (w1) partial re-aggregate for the denominators,
+    * one bigram-keyed join back, one doc-keyed aggregate. Parity: ln
+    * through the DECIMAL(28,10) quantization, per-doc sums IN DECIMAL
+    * (order-independent ⇒ map-side partials safe and engine-identical),
+    * final division the only double op — the txt25 recipe one order
+    * up. Single-token docs have no bigram and drop (inner join),
+    * mirrored by the oracle. */
+  def bigramNll(s: SparkSession, d: String): DataFrame = {
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val bigrams = Tables.documents(s, d)
+      // single-token doc guard: Spark's sequence(1, 0) would DESCEND
+      // (default step -1) instead of returning empty like DuckDB's
+      // generate_series — docs without a bigram must not reach it
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> struct(split(text, ' ')[i - 1] AS w1,
+                         split(text, ' ')[i] AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lnp = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType))
+          .cast(dec28).as("lnp"))
+    bigrams.join(lnp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("sum_lnp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("sum_lnp").cast(DoubleType) / col("n_bigrams")).as("bigram_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramNllSql: String =
+    s"""WITH bt AS (
+      |  SELECT doc_id, $tokensSqlD AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM bt, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+      |lnp AS (
+      |  SELECT c2.w1, c2.w2,
+      |    CAST(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+      |      AS DECIMAL(28,10)) AS lnp
+      |  FROM c2 JOIN c1 USING (w1))
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |  -CAST(SUM(l.lnp) AS DOUBLE) / COUNT(*) AS bigram_nll
+      |FROM bg JOIN lnp l ON l.w1 = bg.w1 AND l.w2 = bg.w2
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1447,7 +1515,8 @@ object TextAnalysis {
     "txt24_split_leakage" -> (splitLeakage _),
     "txt25_unigram_nll" -> (unigramNll _),
     "txt26_boilerplate_strip" -> (boilerplateStrip _),
-    "txt27_token_fertility" -> (tokenFertility _))
+    "txt27_token_fertility" -> (tokenFertility _),
+    "txt28_bigram_nll" -> (bigramNll _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1476,5 +1545,6 @@ object TextAnalysis {
     "txt24_split_leakage" -> splitLeakageSql,
     "txt25_unigram_nll" -> unigramNllSql,
     "txt26_boilerplate_strip" -> boilerplateStripSql,
-    "txt27_token_fertility" -> tokenFertilitySql)
+    "txt27_token_fertility" -> tokenFertilitySql,
+    "txt28_bigram_nll" -> bigramNllSql)
 }

@@ -14,10 +14,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class EdgeDocsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.init()
 
+  /** Tiny pathological stream shared by both fixture dirs: lone events,
+    * identical timestamps, a single user, snapshot anchors (id%10==0)
+    * present and absent; ts is INT64 nanos exactly like the driver's
+    * parquet. (The docs dir needs it too: op06 prunes an events-backed
+    * star schema, and `op*` is in the docs test's prefix set.) */
+  private def writeDegenerateEvents(p: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    Seq(
+      (0L, 1704067200000000000L, 3L, "view", 1.0, "{}"),
+      (1L, 1704067200000000000L, 3L, "click", 0.0, "{}"),  // same ns ts
+      (2L, 1704067201000000000L, 3L, "purchase", 2.5, "{}"),
+      (10L, 1704067202000000000L, 3L, "view", 0.0, "{}"),
+      (11L, 1704153700000000000L, 3L, "error", -1.0, "{}") // next day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$p/events.parquet")
+  }
+
   private lazy val dir: String = {
     val p = Files.createTempDirectory("graft-edge")
     p.toFile.deleteOnExit()
     import spark.implicits._
+    writeDegenerateEvents(p)
     Seq(
       (0L, "", "en", "s0", 0L),                     // empty
       (1L, " ", "de", "s1", 1L),                    // whitespace only
@@ -79,18 +97,7 @@ class EdgeDocsSpec extends AnyFunSuite {
   private lazy val eventsDir: String = {
     val p = Files.createTempDirectory("graft-edge-ev")
     p.toFile.deleteOnExit()
-    import spark.implicits._
-    // tiny pathological stream: lone events, identical timestamps, a
-    // single user, snapshot anchors (id%10==0) present and absent;
-    // ts is INT64 nanos exactly like the driver's parquet
-    Seq(
-      (0L, 1704067200000000000L, 3L, "view", 1.0, "{}"),
-      (1L, 1704067200000000000L, 3L, "click", 0.0, "{}"),  // same ns ts
-      (2L, 1704067201000000000L, 3L, "purchase", 2.5, "{}"),
-      (10L, 1704067202000000000L, 3L, "view", 0.0, "{}"),
-      (11L, 1704153700000000000L, 3L, "error", -1.0, "{}") // next day
-    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$p/events.parquet")
+    writeDegenerateEvents(p)
     p.toString
   }
 
