@@ -1208,6 +1208,105 @@ object Advanced {
       |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
       |ORDER BY hour_ms, t.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** q59 — STRING/REGEX scalar surface (the codegen'd text-wrangling
+    * functions q13/q14's date-and-arithmetic family doesn't touch):
+    * regexp_extract, global regexp_replace, instr/strpos, levenshtein,
+    * substring, reverse — folded per language into one hash aggregate.
+    * Every function is evaluated map-side inside whole-stage codegen;
+    * the only exchange is the |lang|-cardinality final aggregate.
+    *
+    * Parity notes baked into the oracle: DuckDB `regexp_replace`
+    * replaces the FIRST match unless the 'g' flag is passed (Spark
+    * always replaces all); `strpos` ≡ Spark `instr` (1-based, 0 when
+    * absent); patterns stay in the character-class subset where Java
+    * and RE2 regex semantics agree. */
+  def q59StringFuncs(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("lang"), col("text"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"),
+        instr(col("text"), "data").as("data_pos"),
+        levenshtein(substring(col("text"), 1, 8), lit("the quick"))
+          .as("lev8"))
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_vowels").cast(LongType)).as("n_vowels"),
+        countDistinct(col("first_word")).as("n_first_words"),
+        sum(when(col("data_pos") > 0, 1L).otherwise(0L))
+          .as("n_contains_data"),
+        sum(col("lev8").cast(LongType)).as("sum_lev"),
+        min(reverse(col("first_word"))).as("min_rev_first"))
+      .orderBy(col("lang"))
+  }
+
+  val q59Sql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+      |    LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+      |    strpos(text, 'data') AS data_pos,
+      |    levenshtein(substr(text, 1, 8), 'the quick') AS lev8
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_vowels) AS BIGINT) AS n_vowels,
+      |  CAST(COUNT(DISTINCT first_word) AS BIGINT) AS n_first_words,
+      |  CAST(SUM(CASE WHEN data_pos > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contains_data,
+      |  CAST(SUM(lev8) AS BIGINT) AS sum_lev,
+      |  MIN(reverse(first_word)) AS min_rev_first
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** q60 — MAP higher-order functions (the MapType twin of q53's array
+    * HOFs): each document's token-frequency profile built as a REAL
+    * `map<string,bigint>` column (map_from_entries over the per-doc
+    * grouped counts), filtered with `map_filter` (tokens repeated ≥ 2),
+    * re-scored with `transform_values` (excess occurrences v−1), and
+    * exploded back to rows for the per-doc audit — repeated-token
+    * count, total repeats, total excess. The map column and all three
+    * lambdas evaluate inside codegen; collect_list's nondeterministic
+    * entry order is irrelevant because every consumer re-aggregates.
+    *
+    * The oracle never builds a map — it states the same result
+    * relationally (GROUP BY + HAVING), which is exactly the point: the
+    * map pipeline must be a lossless re-expression, not new semantics.
+    * Docs with no repeated token drop on both sides. */
+  def q60MapHof(s: SparkSession, d: String): DataFrame = {
+    val tcnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = tcnt.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+        .as("freq"))
+      .select(col("doc_id"),
+        map_filter(col("freq"), (_, v) => v >= 2).as("rep"))
+    m.select(col("doc_id"),
+        explode(transform_values(col("rep"), (_, v) => struct(
+          v.as("occ"), (v - 1).as("excess")))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_repeated_tokens"),
+        sum(col("value.occ")).as("n_repeat_occurrences"),
+        sum(col("value.excess")).as("n_excess"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, t.token, COUNT(*) AS cnt
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |  WHERE LENGTH(t.token) > 0
+      |  GROUP BY doc_id, t.token)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_repeated_tokens,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_repeat_occurrences,
+      |  CAST(SUM(cnt - 1) AS BIGINT) AS n_excess
+      |FROM tc WHERE cnt >= 2
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1236,7 +1335,9 @@ object Advanced {
     "q55_variant_shred" -> (q55VariantShred _),
     "q56_top_per_group" -> (q56TopPerGroup _),
     "q57_pivot" -> (q57Pivot _),
-    "q58_date_spine" -> (q58DateSpine _))
+    "q58_date_spine" -> (q58DateSpine _),
+    "q59_string_funcs" -> (q59StringFuncs _),
+    "q60_map_hof" -> (q60MapHof _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1265,5 +1366,7 @@ object Advanced {
     "q55_variant_shred" -> q55Sql,
     "q56_top_per_group" -> q56Sql,
     "q57_pivot" -> q57Sql,
-    "q58_date_spine" -> q58Sql)
+    "q58_date_spine" -> q58Sql,
+    "q59_string_funcs" -> q59Sql,
+    "q60_map_hof" -> q60Sql)
 }

@@ -1444,14 +1444,17 @@ object TextAnalysis {
   def bigramNll(s: SparkSession, d: String): DataFrame = {
     val dec28 = org.apache.spark.sql.types.DecimalType(28, 10)
     val bigrams = Tables.documents(s, d)
+      // materialize the token array ONCE before the lambda: a
+      // `split(text)[i]` inside the transform re-splits the whole text
+      // per element — O(len²) per doc, measured 6× the whole query
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       // single-token doc guard: Spark's sequence(1, 0) would DESCEND
       // (default step -1) instead of returning empty like DuckDB's
       // generate_series — docs without a bigram must not reach it
-      .where(size(split(col("text"), " ")) >= 2)
+      .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-             i -> struct(split(text, ' ')[i - 1] AS w1,
-                         split(text, ' ')[i] AS w2))""")).as("bg"))
+        """transform(sequence(1, size(t) - 1),
+             i -> struct(t[i - 1] AS w1, t[i] AS w2))""")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))

@@ -565,4 +565,47 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("*(1)"), s"$q not codegen'd:\n$p")
     }
   }
+
+  test("q58: the spine grid joins the hourly aggregate by broadcast — " +
+    "the only fact-scale stage is the hash aggregate") {
+    val p = plan("q58_date_spine")
+    assert(!p.contains("SortMergeJoin"),
+      s"q58 grid join shuffled instead of broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q58 has a real cartesian (the spine x types cross must be " +
+        s"broadcast-nested-loop over dimension-sized sides):\n$p")
+  }
+
+  test("q59: the string/regex profile is map-only into one hash " +
+    "aggregate — no join, no generate") {
+    val p = plan("q59_string_funcs")
+    assert(!p.contains("Join"), s"q59 joined:\n$p")
+    assert(!p.contains("Generate"), s"q59 exploded:\n$p")
+  }
+
+  test("q60: the map-HOF pipeline never joins — maps build, filter, " +
+    "and explode back inside the doc-keyed aggregates") {
+    val p = plan("q60_map_hof")
+    assert(!p.contains("Join"), s"q60 joined:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q60 lost the collect_list map build:\n$p")
+  }
+
+  test("txt28: bigram extraction is a codegen'd projection — no " +
+    "positional self-join, no per-doc window sort") {
+    val p = plan("txt28_bigram_nll")
+    assert(!p.contains("Window"), s"txt28 used a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"txt28 cartesian:\n$p")
+  }
+
+  test("sim17: both triplet sides rank through the bounded-heap " +
+    "aggregate — no per-anchor ranking window") {
+    val p = plan("sim17_hard_negatives")
+    assert(!"windowspecdefinition\\(query_id#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"sim17 ranks through a per-anchor window:\n$p")
+    assert("ObjectHashAggregate.*partial_graft_topk".r
+      .findFirstIn(p).isDefined,
+      s"sim17 lost the map-side partial top-k:\n$p")
+  }
 }
