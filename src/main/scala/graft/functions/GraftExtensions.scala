@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       info("graft_vec_dot"), (e: Seq[Expression]) => VecDot(e(0), e(1))))
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    // whole-operator surface: the native as-of join's planner strategy
+    // (logical AsOfJoinNode -> physical AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -420,6 +420,27 @@ object Analytics {
         col("last_seq"))
       .orderBy(col("ticker"), col("event_id"))
 
+  /** ob29 — ob14's as-of enrichment through the NATIVE operator
+    * ([[graft.plans.AsOfJoinExec]]: custom LogicalPlan + SparkStrategy
+    * + partitioned merge SparkPlan, injected via SparkSessionExtensions)
+    * instead of the composed bucket/window route. Same anchors, same
+    * quotes, same output columns, SAME ORACLE as ob14 — two
+    * implementations, one DuckDB ASOF truth; the oracle gate proves the
+    * custom exec's semantics, the bench compares the two routes' cost. */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val anchors = Derive.snapshots(s, d)
+      .select(col("ticker"), col("event_id")).distinct()
+    val quotes = Derive.deltas(s, d)
+      .select(col("ticker").as("q_ticker"),
+        col("event_id").as("q_event_id"),
+        col("price").as("last_price"), col("seq").as("last_seq"))
+    graft.plans.AsOf.join(anchors, quotes,
+        "ticker", "q_ticker", "event_id", "q_event_id")
+      .select(col("ticker"), col("event_id"), col("last_price"),
+        col("last_seq"))
+      .orderBy(col("ticker"), col("event_id"))
+  }
+
   /** Shared two-level as-of machinery for ob14/ob19. `strict = false`
     * matches the quote AT or before the anchor (a same-event quote
     * counts — ob14's ASOF `<=` semantics); `strict = true` matches the
@@ -1280,7 +1301,8 @@ object Analytics {
     "ob25_roll_spread" -> (rollSpread _),
     "ob26_candle_resample" -> (candleResample _),
     "ob27_variance_ratio" -> (varianceRatio _),
-    "ob28_vpin" -> (vpin _))
+    "ob28_vpin" -> (vpin _),
+    "ob29_asof_native" -> (asofNative _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1310,5 +1332,6 @@ object Analytics {
     "ob25_roll_spread" -> rollSpreadSql,
     "ob26_candle_resample" -> candleResampleSql,
     "ob27_variance_ratio" -> varianceRatioSql,
-    "ob28_vpin" -> vpinSql)
+    "ob28_vpin" -> vpinSql,
+    "ob29_asof_native" -> asofPriceSql)
 }

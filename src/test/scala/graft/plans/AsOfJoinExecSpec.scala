@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Contract tests for the native as-of operator (logical node +
+  * strategy + partitioned merge exec). The oracle gate already pins
+  * ob29 == DuckDB ASOF on the real corpus; these pin the operator's
+  * physical shape and the edge semantics a healthy corpus never
+  * exercises. */
+class AsOfJoinExecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("A", 10L, 1), ("A", 20L, 2), ("A", 30L, 3),
+    ("B", 15L, 4), ("C", 5L, 5)
+  ).toDF("k", "ts", "trade_id")
+
+  private def quotes = Seq(
+    ("A", 5L, 100), ("A", 20L, 200), ("A", 25L, 250),
+    ("B", 99L, 900), ("D", 1L, 111)
+  ).toDF("qk", "qts", "px")
+
+  test("hand-computed as-of: latest at-or-before per key, left rows " +
+    "without a match survive with nulls") {
+    val out = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      .select($"k", $"ts", $"trade_id", $"px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(out === Set(
+      ("A", 10L, 100),   // quote@5 prevails
+      ("A", 20L, 200),   // ties at-or-before: quote@20 counts
+      ("A", 30L, 250),   // latest of 5/20/25
+      ("B", 15L, -1),    // only future quote@99 -> null
+      ("C", 5L, -1)))    // no quotes for C at all
+  }
+
+  test("physical plan: AsOfJoinExec with key exchanges and (key, ts) " +
+    "sorts inserted by EnsureRequirements") {
+    val p = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("AsOfJoin"), s"native exec not planned:\n$p")
+    assert(p.contains("Sort"), s"no (key, ts) sort inserted:\n$p")
+    assert(p.contains("hashpartitioning(k#"), s"left not key-clustered:\n$p")
+    assert(p.contains("hashpartitioning(qk#"), s"right not key-clustered:\n$p")
+  }
+
+  test("null keys and null timestamps never match, on either side") {
+    val l = Seq((Some("A"), Some(10L), 1), (None, Some(10L), 2),
+      (Some("A"), None, 3)).toDF("k", "ts", "id")
+    val r = Seq((Some("A"), Some(5L), 100), (None, Some(1L), 200),
+      (Some("A"), None, 300)).toDF("qk", "qts", "px")
+    val out = AsOf.join(l, r, "k", "qk", "ts", "qts")
+      .select($"id", $"px").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+      .toSet
+    // only the fully-keyed left row matches the fully-keyed quote
+    assert(out === Set((1, 100), (2, -1), (3, -1)))
+  }
+
+  test("self-as-of over one shared scan: re-aliased right side keeps " +
+    "attribute ids distinct") {
+    val e = trades
+    val out = AsOf.join(
+        e, e.select($"k".as("qk"), $"ts".as("qts"), $"trade_id".as("pid")),
+        "k", "qk", "ts", "qts")
+      .select($"k", $"ts", $"pid").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // each row's latest at-or-before is itself
+    assert(out === Set(("A", 10L, 1), ("A", 20L, 2), ("A", 30L, 3),
+      ("B", 15L, 4), ("C", 5L, 5)))
+  }
+
+  test("randomized parity with the window-composed reference") {
+    val rnd = new scala.util.Random(42)
+    val keys = Array("k1", "k2", "k3", "k4")
+    val ldata = (1 to 400).map(i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(1000).toLong, i))
+    val rdata = (1 to 400).map(i =>
+      (keys(rnd.nextInt(keys.length + 1) % keys.length),
+        rnd.nextInt(1000).toLong, i * 10))
+    val l = ldata.toDF("k", "ts", "id")
+    val r = rdata.toDF("qk", "qts", "px")
+    val native = AsOf.join(l, r, "k", "qk", "ts", "qts")
+      .select($"id", $"px").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) Int.MinValue else x.getInt(1)))
+      .toSet
+    // reference: max-ts quote at-or-before, ties on qts broken by the
+    // larger px (unique per row) to make the expectation deterministic;
+    // the native side holds the LAST in (key, ts, arrival) order — so
+    // restrict the generator: make (qk, qts) unique
+    val dedup = rdata.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val rD = dedup.toDF("qk", "qts", "px")
+    val nativeD = AsOf.join(l, rD, "k", "qk", "ts", "qts")
+      .select($"id", $"px").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) Int.MinValue else x.getInt(1)))
+      .toSet
+    val expected = ldata.map { case (k, ts, id) =>
+      val cands = dedup.filter(q => q._1 == k && q._2 <= ts)
+      val best = if (cands.isEmpty) Int.MinValue
+        else cands.maxBy(_._2)._3
+      (id, best)
+    }.toSet
+    assert(nativeD === expected)
+    assert(native.map(_._1) === ldata.map(_._3).toSet) // left preserved
+  }
+}
