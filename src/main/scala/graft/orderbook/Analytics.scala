@@ -524,6 +524,29 @@ object Analytics {
         col("staleness"))
       .orderBy(col("ticker"), col("event_id"))
 
+  /** ob30 — ob19's tolerance-bounded as-of through the NATIVE operator
+    * in STRICT mode (`rightTs < leftTs` — a same-event quote must not
+    * count as prevailing), tolerance and staleness as a projection on
+    * the operator output exactly as ob19 layers them on the composed
+    * core. SAME oracle as ob19 — the custom exec's second semantics
+    * mode under the gate. */
+  def asofNativeStrict(s: SparkSession, d: String): DataFrame = {
+    val anchors = Derive.snapshots(s, d)
+      .select(col("ticker"), col("event_id")).distinct()
+    val quotes = Derive.deltas(s, d)
+      .select(col("ticker").as("q_ticker"),
+        col("event_id").as("q_event_id"), col("price").as("q_price"))
+    graft.plans.AsOf.join(anchors, quotes,
+        "ticker", "q_ticker", "event_id", "q_event_id", strict = true)
+      .select(col("ticker"), col("event_id"),
+        when(col("q_event_id").isNotNull &&
+          col("event_id") - col("q_event_id") <= AsofToleranceEvents,
+          col("q_price")).otherwise(lit(-1)).as("fresh_price"),
+        coalesce(col("event_id") - col("q_event_id"), lit(-1L))
+          .as("staleness"))
+      .orderBy(col("ticker"), col("event_id"))
+  }
+
   /** ob23 — EFFECTIVE SPREAD against the prevailing quote: for every
     * snapshot anchor, 2·|top-of-book − the STRICTLY-previous quote's
     * price| (the execution-quality metric a venue reports — how far
@@ -1302,7 +1325,8 @@ object Analytics {
     "ob26_candle_resample" -> (candleResample _),
     "ob27_variance_ratio" -> (varianceRatio _),
     "ob28_vpin" -> (vpin _),
-    "ob29_asof_native" -> (asofNative _))
+    "ob29_asof_native" -> (asofNative _),
+    "ob30_asof_native_strict" -> (asofNativeStrict _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1333,5 +1357,6 @@ object Analytics {
     "ob26_candle_resample" -> candleResampleSql,
     "ob27_variance_ratio" -> varianceRatioSql,
     "ob28_vpin" -> vpinSql,
-    "ob29_asof_native" -> asofPriceSql)
+    "ob29_asof_native" -> asofPriceSql,
+    "ob30_asof_native_strict" -> asofToleranceSql)
 }

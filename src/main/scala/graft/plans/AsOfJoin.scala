@@ -48,7 +48,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -63,8 +64,9 @@ case class AsOfJoinNode(
   * only the as-of merge itself is custom). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+        strict) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +87,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -136,7 +139,8 @@ case class AsOfJoinExec(
             if (rk == null || rt == null) { rbuf.next() } // unmatchable
             else {
               val kc = keyOrd.compare(rk, k)
-              if (kc < 0 || (kc == 0 && tsOrd.compare(rt, t) <= 0)) {
+              val tc = tsOrd.compare(rt, t)
+              if (kc < 0 || (kc == 0 && (if (strict) tc < 0 else tc <= 0))) {
                 if (kc == 0) {
                   held = rrow.copy()
                   heldKey = rkB.eval(held)
@@ -160,12 +164,16 @@ case class AsOfJoinExec(
   * because constructing a DataFrame from a raw LogicalPlan is a
   * package-private Spark door. */
 object AsOf {
+  /** `strict = true` matches STRICTLY-before right rows (`rightTs <
+    * leftTs`) — the "prevailing quote must predate the anchor" mode
+    * (ob19/ob23's semantics); default is at-or-before (`<=`). */
   def join(left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): org.apache.spark.sql.DataFrame =
+      leftTs: String, rightTs: String,
+      strict: Boolean = false): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.GraftPlanBridge.asofJoin(
-      left, right, leftKey, rightKey, leftTs, rightTs)
+      left, right, leftKey, rightKey, leftTs, rightTs, strict)
 
   /** True when `spark` was built with the graft extensions (the
     * strategy is injected); callers outside GraftSession would

@@ -1307,6 +1307,41 @@ object Advanced {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** q61 — CALENDAR-INTERVAL window frames: `RANGE BETWEEN INTERVAL 10
+    * MINUTES PRECEDING AND CURRENT ROW` ordering by the TIMESTAMP
+    * itself — the time-typed frame surface next to q37's numeric
+    * epoch-ms ranges (same engine mechanics, different frontend type
+    * system: the frame bound is a CalendarInterval the analyzer must
+    * resolve against a timestamp order key, a path q37 never touches).
+    * Run as SQL text through the SqlInterface so the WINDOW-clause
+    * spelling is exercised too. Equal-ts peers all enter the frame
+    * (RANGE semantics), so ties cost nothing in determinism; sums
+    * stay decimal-cast. UTC session keeps interval arithmetic
+    * wall-clock-identical to DuckDB's naive timestamps. */
+  def q61IntervalFrames(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """SELECT user_id, event_id, ts_ms,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING
+        |                       AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
+
+  val q61Sql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+      |                       AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1337,7 +1372,8 @@ object Advanced {
     "q57_pivot" -> (q57Pivot _),
     "q58_date_spine" -> (q58DateSpine _),
     "q59_string_funcs" -> (q59StringFuncs _),
-    "q60_map_hof" -> (q60MapHof _))
+    "q60_map_hof" -> (q60MapHof _),
+    "q61_interval_frames" -> (q61IntervalFrames _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1368,5 +1404,6 @@ object Advanced {
     "q57_pivot" -> q57Sql,
     "q58_date_spine" -> q58Sql,
     "q59_string_funcs" -> q59Sql,
-    "q60_map_hof" -> q60Sql)
+    "q60_map_hof" -> q60Sql,
+    "q61_interval_frames" -> q61Sql)
 }

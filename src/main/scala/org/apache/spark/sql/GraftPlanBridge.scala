@@ -23,7 +23,8 @@ object GraftPlanBridge {
     * sides may share a scan (self-as-of) without conflicting ids. */
   def asofJoin(left: Dataset[Row], right: Dataset[Row],
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      strict: Boolean = false): DataFrame = {
     val l = left.asInstanceOf[CDataset[Row]]
     val r = right.asInstanceOf[CDataset[Row]]
     val lp = l.queryExecution.analyzed
@@ -31,7 +32,7 @@ object GraftPlanBridge {
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
     val node = AsOfJoinNode(lp, rp,
       attrOf(lp, leftKey), attrOf(rp, rightKey),
-      attrOf(lp, leftTs), attrOf(rp, rightTs))
+      attrOf(lp, leftTs), attrOf(rp, rightTs), strict)
     CDataset.ofRows(l.sparkSession.asInstanceOf[CSparkSession], node)
   }
 }

@@ -75,6 +75,17 @@ class AsOfJoinExecSpec extends AnyFunSuite {
       ("B", 15L, 4), ("C", 5L, 5)))
   }
 
+  test("strict mode: an equal-ts right row is excluded; default mode " +
+    "includes it") {
+    val l = Seq(("A", 20L, 1)).toDF("k", "ts", "id")
+    val r = Seq(("A", 10L, 100), ("A", 20L, 200)).toDF("qk", "qts", "px")
+    def run(strict: Boolean) =
+      AsOf.join(l, r, "k", "qk", "ts", "qts", strict = strict)
+        .select($"px").collect().head.getInt(0)
+    assert(run(strict = false) === 200) // at-or-before: the tie counts
+    assert(run(strict = true) === 100)  // strictly-before only
+  }
+
   test("randomized parity with the window-composed reference") {
     val rnd = new scala.util.Random(42)
     val keys = Array("k1", "k2", "k3", "k4")
