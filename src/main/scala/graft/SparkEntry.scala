@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Salting.queries ++
       operators.Pruning.queries ++
       operators.Bucketed.queries ++
+      operators.Reuse.queries ++
       operators.RuntimeFilter.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.Salting.oracles ++
       operators.Pruning.oracles ++
       operators.Bucketed.oracles ++
+      operators.Reuse.oracles ++
       operators.RuntimeFilter.oracles: _*)
 }

@@ -1490,6 +1490,54 @@ object TextAnalysis {
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- txt29
+  /** txt29 — BPE-style PRE-TOKENIZATION audit: the GPT-2 lineage of
+    * tokenizers first splits text with a regex (letter runs / digit
+    * runs / punctuation runs) and only then byte-pair-merges inside
+    * each piece — so the regex piece count, not the whitespace word
+    * count, is the unit a token-budget plan should price (txt27's
+    * fertility measures subwords per word; this measures the split
+    * BEFORE subwording). Per language: docs, whitespace words, regex
+    * pieces, and pieces-per-word — all from one `regexp_extract_all`
+    * evaluated map-side in codegen into a |lang|-cardinality hash
+    * aggregate. The pattern stays in the char-class + alternation
+    * subset where Java and RE2 regex agree, same contract as q59. */
+  def bpePretokens(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("lang"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+          .as("n_pieces"),
+        size(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("n_words"))
+    t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast(LongType)).as("n_words"),
+        sum(col("n_pieces").cast(LongType)).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        // a language slice of empty/whitespace-only docs has zero
+        // words — NULL, not an ANSI divide-by-zero abort
+        when(col("n_words") > 0,
+          col("n_pieces").cast(DoubleType) / col("n_words").cast(DoubleType)))
+      .orderBy(col("lang"))
+  }
+
+  val bpePretokensSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+      |      AS n_pieces,
+      |    len(list_filter(string_split(text, ' '), x -> LENGTH(x) > 0))
+      |      AS n_words
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+      |  CASE WHEN SUM(n_words) > 0
+      |       THEN CAST(SUM(n_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+      |       END AS pieces_per_word
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1519,7 +1567,8 @@ object TextAnalysis {
     "txt25_unigram_nll" -> (unigramNll _),
     "txt26_boilerplate_strip" -> (boilerplateStrip _),
     "txt27_token_fertility" -> (tokenFertility _),
-    "txt28_bigram_nll" -> (bigramNll _))
+    "txt28_bigram_nll" -> (bigramNll _),
+    "txt29_bpe_pretokens" -> (bpePretokens _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1549,5 +1598,6 @@ object TextAnalysis {
     "txt25_unigram_nll" -> unigramNllSql,
     "txt26_boilerplate_strip" -> boilerplateStripSql,
     "txt27_token_fertility" -> tokenFertilitySql,
-    "txt28_bigram_nll" -> bigramNllSql)
+    "txt28_bigram_nll" -> bigramNllSql,
+    "txt29_bpe_pretokens" -> bpePretokensSql)
 }

@@ -608,4 +608,13 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined,
       s"sim17 lost the map-side partial top-k:\n$p")
   }
+
+  test("op09: the shared daily aggregate shuffles ONCE — the self-join's " +
+    "second consumer reads a reused exchange/stage") {
+    val df = SparkEntry.queries("op09_exchange_reuse")(spark, sf)
+    df.collect() // materialize so AQE finalizes stage reuse
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"op09 shuffled the daily aggregate twice:\n$p")
+  }
 }
