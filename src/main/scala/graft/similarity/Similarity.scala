@@ -1186,6 +1186,78 @@ object Similarity {
       |JOIN n nn ON nn.vec_id = p.query_id
       |ORDER BY p.query_id""".stripMargin
 
+  // --------------------------------------------------------------- sim18
+  /** sim18 — PQ RECONSTRUCTION-ERROR audit: per subspace, the exact
+    * int-L2² distance between every vector's subvector and its
+    * assigned codeword (count / sum / max / mean) — the
+    * codebook-quality gate run BEFORE trusting sim07's ADC scores on a
+    * new corpus (a subspace whose mean error dwarfs the others is
+    * under-coded and silently dominates ADC ranking noise; the fix —
+    * more codewords or a rotation — starts from this table).
+    *
+    * Shape: sim07's quantize + codebook + nearest-codeword encode,
+    * except the encoder's lexicographic `min(struct(dist, k))` now
+    * ships its OWN distance out as the error (the audit costs nothing
+    * beyond the encode); |subspaces| output rows from one hash
+    * aggregate. All-integer until the one mean division. */
+  def pqError(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d).select(col("vec_id"), col("e"))
+    val mx = n.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = n.join(broadcast(mx))
+      .select(col("vec_id"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    val cb = q.where(col("vec_id") < 8)
+      .crossJoin(broadcast(subspaces(s)))
+      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
+        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    val enc = q.crossJoin(broadcast(cb))
+      .withColumn("dist", call_function("graft_int_l2sq",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).getField("dist").as("err"))
+    enc.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err")).as("sum_err"),
+        max(col("err")).as("max_err"))
+      .select(col("m"), col("n_vecs"),
+        col("sum_err").cast("long").as("sum_err"), col("max_err"),
+        (col("sum_err").cast("double") / col("n_vecs")).as("mean_err"))
+      .orderBy(col("m"))
+  }
+
+  val pqErrorSql: String = normedCte + "," +
+    """mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx),
+      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |cb AS (
+      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
+      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
+      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
+      |enc AS (
+      |  SELECT vec_id, m, d AS err FROM (
+      |    SELECT q.vec_id, cb.m, cb.k,
+      |      list_sum(list_transform(range(1, 17),
+      |        i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |             * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))) AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
+      |        cb.k) AS rn
+      |    FROM q CROSS JOIN cb) t
+      |  WHERE rn = 1)
+      |SELECT m, COUNT(*) AS n_vecs,
+      |  CAST(SUM(err) AS BIGINT) AS sum_err,
+      |  CAST(MAX(err) AS BIGINT) AS max_err,
+      |  CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err
+      |FROM enc GROUP BY m ORDER BY m""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1203,7 +1275,8 @@ object Similarity {
     "sim14_ann_recall" -> (annRecall _),
     "sim15_rank_metrics" -> (rankMetrics _),
     "sim16_range_search" -> (rangeSearch _),
-    "sim17_hard_negatives" -> (hardNegatives _))
+    "sim17_hard_negatives" -> (hardNegatives _),
+    "sim18_pq_error" -> (pqError _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1222,5 +1295,6 @@ object Similarity {
     "sim14_ann_recall" -> annRecallSql,
     "sim15_rank_metrics" -> rankMetricsSql,
     "sim16_range_search" -> rangeSearchSql,
-    "sim17_hard_negatives" -> hardNegativesSql)
+    "sim17_hard_negatives" -> hardNegativesSql,
+    "sim18_pq_error" -> pqErrorSql)
 }
