@@ -1342,6 +1342,48 @@ object Advanced {
       |                       AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** q62 — OUTER generate (`posexplode_outer`): exploding a
+    * possibly-EMPTY per-row array while keeping the parent row — the
+    * LEFT JOIN LATERAL UNNEST shape every flattening pipeline needs
+    * (plain explode silently DROPS parents with no elements, which
+    * turns "docs with zero long tokens" into missing rows instead of
+    * zero rows; q44's unpivot and q53's HOFs never hit this because
+    * their arrays are never empty). Per doc: long-token (> 8 chars)
+    * count with zeros retained, and the position of the first one
+    * (−1 when none) — position comes from the generator, so the
+    * oracle's list_position mirrors it.
+    *
+    * Plan: one Generate (outer) + one doc-keyed hash aggregate; the
+    * array is built and exploded map-side. */
+  def q62GenerateOuter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        """filter(transform(split(text, ' '), (x, i) -> struct(x AS t, i AS i)),
+             p -> length(p.t) > 8)""").as("longs"))
+      .select(col("doc_id"), posexplode_outer(col("longs")))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("col").isNotNull, 1L).otherwise(0L))
+          .as("n_long_tokens"),
+        coalesce(min(col("col.i")), lit(-1))
+          .cast(LongType).as("first_long_pos"))
+      .orderBy(col("doc_id"))
+
+  val q62Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(t) + 1),
+      |      i -> LENGTH(t[CAST(i AS INT)]) > 8) AS idxs
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(len(idxs) AS BIGINT) AS n_long_tokens,
+      |  CAST(CASE WHEN len(idxs) = 0 THEN -1 ELSE idxs[1] - 1 END
+      |    AS BIGINT) AS first_long_pos
+      |FROM ix
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1373,7 +1415,8 @@ object Advanced {
     "q58_date_spine" -> (q58DateSpine _),
     "q59_string_funcs" -> (q59StringFuncs _),
     "q60_map_hof" -> (q60MapHof _),
-    "q61_interval_frames" -> (q61IntervalFrames _))
+    "q61_interval_frames" -> (q61IntervalFrames _),
+    "q62_generate_outer" -> (q62GenerateOuter _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1405,5 +1448,6 @@ object Advanced {
     "q58_date_spine" -> q58Sql,
     "q59_string_funcs" -> q59Sql,
     "q60_map_hof" -> q60Sql,
-    "q61_interval_frames" -> q61Sql)
+    "q61_interval_frames" -> q61Sql,
+    "q62_generate_outer" -> q62Sql)
 }
