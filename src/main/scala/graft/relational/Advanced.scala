@@ -1384,6 +1384,68 @@ object Advanced {
       |FROM ix
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** q63 — BITMAP distinct counting: COUNT(DISTINCT user) per event
+    * type through Spark's bitmap aggregate family
+    * (`bitmap_bit_position` / `bitmap_construct_agg` / `bitmap_count`)
+    * — the warehouse-scale route for exact distinct counts. The id
+    * space shards into 32k-bit buckets (`bitmap_bucket_number`), each
+    * (type, bucket) group reduces to ONE bitmap with map-side partial
+    * merge (bitwise OR — tiny, fixed-size state per group), and the
+    * outer aggregate sums per-bucket cardinalities. Versus the naive
+    * `COUNT(DISTINCT)`, the shuffle carries |groups|·|buckets| 4 KB
+    * bitmaps instead of every distinct (group, user) pair — the same
+    * result, hash-exact, with bounded per-group state at any
+    * cardinality. Oracle = the naive spelling: the bitmap route must
+    * be a lossless re-expression. */
+  def q63BitmapDistinct(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """SELECT event_type,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT event_type, bitmap_bucket_number(user_id) AS b,
+        |    COUNT(*) AS n,
+        |    bitmap_count(bitmap_construct_agg(
+        |      bitmap_bit_position(user_id))) AS cnt
+        |  FROM events GROUP BY 1, 2) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+
+  val q63Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** q64 — ordered string aggregation (`LISTAGG … WITHIN GROUP`, new
+    * in Spark 4): the report-formatting aggregate that needs a
+    * DETERMINISTIC element order — the WITHIN GROUP sort happens
+    * inside the aggregate, so the result is stable under any
+    * partitioning (an unordered collect_list + array_join would
+    * shuffle-order-flip between runs). Names are unique per group ⇒
+    * total order ⇒ both engines emit the identical string. */
+  def q64Listagg(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """SELECT r.r_name,
+        |  COUNT(*) AS n_nations,
+        |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+        |    AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin)
+
+  val q64Sql: String =
+    """SELECT r.r_name,
+      |  COUNT(*) AS n_nations,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY r.r_name""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1416,7 +1478,9 @@ object Advanced {
     "q59_string_funcs" -> (q59StringFuncs _),
     "q60_map_hof" -> (q60MapHof _),
     "q61_interval_frames" -> (q61IntervalFrames _),
-    "q62_generate_outer" -> (q62GenerateOuter _))
+    "q62_generate_outer" -> (q62GenerateOuter _),
+    "q63_bitmap_distinct" -> (q63BitmapDistinct _),
+    "q64_listagg" -> (q64Listagg _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1449,5 +1513,7 @@ object Advanced {
     "q59_string_funcs" -> q59Sql,
     "q60_map_hof" -> q60Sql,
     "q61_interval_frames" -> q61Sql,
-    "q62_generate_outer" -> q62Sql)
+    "q62_generate_outer" -> q62Sql,
+    "q63_bitmap_distinct" -> q63Sql,
+    "q64_listagg" -> q64Sql)
 }
