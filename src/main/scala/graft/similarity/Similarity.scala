@@ -1258,6 +1258,98 @@ object Similarity {
       |  CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err
       |FROM enc GROUP BY m ORDER BY m""".stripMargin
 
+  // --------------------------------------------------------------- sim19
+  /** sim19 — EMBEDDING-space decontamination: flag TRAIN vectors whose
+    * cosine to ANY eval item reaches 0.95 — the semantic twin of
+    * dd16's fuzzy text decontamination (a paraphrased eval item shares
+    * no 5-gram but sits next to its source in embedding space; this is
+    * the leak the text routes structurally miss). Split is
+    * deterministic (vec_id % 10 = 0 ⇒ eval), and — like dd06/sim09 —
+    * the fixture PLANTS real contamination: eval-side scaled copies
+    * (×1.05, cosine exactly 1.0) of every train vector with
+    * vec_id % 7 = 1, so the gate checks actual recall, not an empty
+    * intersection.
+    *
+    * Shape: CROSS-SIDE ONLY, like dd16 — both sides take cells from
+    * the SAME shared centroid prefix (a scaled copy lands in its
+    * source's cell: cosine assignment is scale-invariant), the
+    * candidate join is cell-keyed train×eval, and the train side never
+    * self-joins; candidate cost is per-cell train·eval, never
+    * |train|·|eval|. Threshold fuses map-side into the scored
+    * projection (sim16's regime); verdict per flagged train vector =
+    * match count + best eval match by lexicographic max. */
+  def embedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val planted = v
+      .where(col("vec_id") % 10 =!= 0 && col("vec_id") % 7 === 1)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(e, x -> x * 1.05d)").as("e"))
+    val n = v.unionByName(planted)
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+      .where(col("nrm") > 0)
+    val assigned = assignCells(n, centroids(s, n))
+    val ev = assigned
+      .where(col("vec_id") % 10 === 0 || col("vec_id") >= 100000)
+      .select(col("vec_id").as("eval_id"), col("e").as("ee"),
+        col("nrm").as("nrm_e"), col("cell"))
+    val tr = assigned
+      .where(col("vec_id") % 10 =!= 0 && col("vec_id") < 100000)
+      .select(col("vec_id"), col("e").as("et"),
+        col("nrm").as("nrm_t"), col("cell"))
+    tr.join(ev, Seq("cell"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("et"), col("ee"))
+          / (col("nrm_t") * col("nrm_e")))
+      .where(col("cosine") >= 0.95)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((-col("cosine")).as("nc"), col("eval_id").as("eid")))
+          .as("w"))
+      .select(col("vec_id"), col("n_matches"),
+        col("w").getField("eid").as("eval_id"),
+        (-col("w").getField("nc")).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedDecontaminateSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |aug AS (
+      |  SELECT * FROM v
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(e, x -> x * 1.05) FROM v
+      |  WHERE vec_id % 10 <> 0 AND vec_id % 7 = 1),
+      |n AS (
+      |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM aug
+      |  WHERE sqrt(list_dot_product(e, e)) > 0),
+      |cells AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
+      |cent AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
+      |  WHERE vec_id < cells.c),
+      |""".stripMargin + assignedCte + "," + """
+      |ev AS (
+      |  SELECT vec_id AS eval_id, e AS ee, nrm AS nrm_e, cell
+      |  FROM assigned WHERE vec_id % 10 = 0 OR vec_id >= 100000),
+      |tr AS (
+      |  SELECT vec_id, e AS et, nrm AS nrm_t, cell
+      |  FROM assigned WHERE vec_id % 10 <> 0 AND vec_id < 100000),
+      |hits AS (
+      |  SELECT t.vec_id, ev.eval_id,
+      |    list_dot_product(t.et, ev.ee) / (t.nrm_t * ev.nrm_e) AS cosine
+      |  FROM tr t JOIN ev ON t.cell = ev.cell
+      |  WHERE list_dot_product(t.et, ev.ee) / (t.nrm_t * ev.nrm_e) >= 0.95)
+      |SELECT vec_id, cnt AS n_matches, eval_id, cosine FROM (
+      |  SELECT vec_id, eval_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cosine DESC, eval_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY vec_id) AS cnt
+      |  FROM hits) t
+      |WHERE r = 1
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1276,7 +1368,8 @@ object Similarity {
     "sim15_rank_metrics" -> (rankMetrics _),
     "sim16_range_search" -> (rangeSearch _),
     "sim17_hard_negatives" -> (hardNegatives _),
-    "sim18_pq_error" -> (pqError _))
+    "sim18_pq_error" -> (pqError _),
+    "sim19_embed_decontaminate" -> (embedDecontaminate _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1296,5 +1389,6 @@ object Similarity {
     "sim15_rank_metrics" -> rankMetricsSql,
     "sim16_range_search" -> rangeSearchSql,
     "sim17_hard_negatives" -> hardNegativesSql,
-    "sim18_pq_error" -> pqErrorSql)
+    "sim18_pq_error" -> pqErrorSql,
+    "sim19_embed_decontaminate" -> embedDecontaminateSql)
 }
