@@ -1538,6 +1538,76 @@ object TextAnalysis {
       |       END AS pieces_per_word
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- txt30
+  /** txt30 — SOURCE-DRIFT audit: KL divergence of each provenance
+    * slice's token distribution from the corpus distribution —
+    * KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * distribution-shift number a curation pipeline tracks per source
+    * and per crawl snapshot (a source whose KL jumps changed its
+    * content mix; txt23 counts WHAT languages a source has, this
+    * measures HOW FAR its usage drifts). p_c > 0 wherever p_s > 0 by
+    * construction (the corpus contains the source), so no smoothing.
+    *
+    * Shape: one (source, token) count shuffle; corpus counts
+    * RE-AGGREGATE from it (op09's reuse shape — the vocabulary never
+    * shuffles twice); totals broadcast; one token-keyed join back; one
+    * per-source decimal sum. Parity: both lns through DECIMAL(18,10)
+    * quantization, the summed term is the EXACT decimal product
+    * c_st · (lnq_s − lnq_c) — DECIMAL(18,10)×DECIMAL(19,0) =
+    * DECIMAL(38,10), exact and order-independent in both engines —
+    * and the only double ops are the two ln inputs and the final
+    * normalization by the source's token count. */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nc = ct.agg(sum(col("c_ct")).as("n_c"))
+    st.join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("n_s"),
+        // ONE quantization of the ln DIFFERENCE at 1e-6: a 1-ulp libm
+        // disagreement flips a 1e-10 grid cell with probability ~2e-6
+        // per term — near-certain somewhere in a vocabulary-sized sum
+        // (measured: 3e-13 relative drift at sf0.01) — while the 1e-6
+        // grid makes a flip ~1e-10 per term and costs the audit nothing
+        (col("c_st").cast(dec19) *
+          (log(col("c_st").cast(DoubleType) / col("n_s").cast(DoubleType)) -
+           log(col("c_ct").cast(DoubleType) / col("n_c").cast(DoubleType)))
+            .cast(dec18)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("t_sum"))
+      .select(col("source"), col("n_tokens"),
+        (col("t_sum").cast(DoubleType) / col("n_tokens")).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH tok AS (
+      |  SELECT source, t.token FROM documents,
+      |    unnest($tokensSqlD) AS t(token)
+      |  WHERE LENGTH(t.token) > 0),
+      |st AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT token, SUM(c_st) AS c_ct FROM st GROUP BY token),
+      |ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+      |nc AS (SELECT SUM(c_ct) AS n_c FROM ct),
+      |terms AS (
+      |  SELECT st.source, ns.n_s,
+      |    CAST(st.c_st AS DECIMAL(19,0)) *
+      |      CAST(ln(CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) -
+      |           ln(CAST(ct.c_ct AS DOUBLE) / CAST(nc.n_c AS DOUBLE))
+      |        AS DECIMAL(18,6)) AS term
+      |  FROM st JOIN ct USING (token) JOIN ns USING (source), nc)
+      |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(term) AS DOUBLE) / CAST(MAX(n_s) AS BIGINT) AS kl
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1568,7 +1638,8 @@ object TextAnalysis {
     "txt26_boilerplate_strip" -> (boilerplateStrip _),
     "txt27_token_fertility" -> (tokenFertility _),
     "txt28_bigram_nll" -> (bigramNll _),
-    "txt29_bpe_pretokens" -> (bpePretokens _))
+    "txt29_bpe_pretokens" -> (bpePretokens _),
+    "txt30_source_drift" -> (sourceDrift _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1599,5 +1670,6 @@ object TextAnalysis {
     "txt26_boilerplate_strip" -> boilerplateStripSql,
     "txt27_token_fertility" -> tokenFertilitySql,
     "txt28_bigram_nll" -> bigramNllSql,
-    "txt29_bpe_pretokens" -> bpePretokensSql)
+    "txt29_bpe_pretokens" -> bpePretokensSql,
+    "txt30_source_drift" -> sourceDriftSql)
 }
