@@ -1001,7 +1001,7 @@ object TextAnalysis {
     * regression is NOT regr_slope: streaming-covariance aggregates are
     * merge-order-dependent in the last double bits, so equal answers
     * across engines (and across Spark runs) aren't guaranteed. Instead
-    * the per-row points round to DECIMAL(28,10) (deterministic given
+    * the per-row points round to DECIMAL(28,6) (deterministic given
     * the same libm doubles), the moment sums Σx Σy Σxy Σx² Σy² run in
     * EXACT decimal arithmetic (order-independent — also what makes the
     * map-side partials safe), and the closed-form slope/intercept/R²
@@ -1009,7 +1009,7 @@ object TextAnalysis {
     * — bit-identical on any engine that agrees on ln of the same 100
     * integers. */
   def zipfSlope(s: SparkSession, d: String): DataFrame = {
-    val d10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val d10 = org.apache.spark.sql.types.DecimalType(28, 6)  // 1e-6 ln grid (txt30 lesson)
     val d12 = org.apache.spark.sql.types.DecimalType(28, 12)
     val freq = Tables.documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -1057,8 +1057,8 @@ object TextAnalysis {
       |        ORDER BY cnt DESC, token LIMIT 100),
       |ranked AS (SELECT cnt,
       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r FROM top),
-      |pts AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,10)) AS x,
-      |               CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,10)) AS y
+      |pts AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,6)) AS x,
+      |               CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,6)) AS y
       |        FROM ranked),
       |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
@@ -1087,8 +1087,8 @@ object TextAnalysis {
     * Map-only: one codegen'd column expression per row, no shuffle at
     * any corpus size. Engine parity: the histogram folds over the
     * SORTED distinct token list (fixed fold order ⇒ deterministic
-    * double sums), and every ln() passes through a DECIMAL(28,10)
-    * quantization — the txt21 lesson, relearned: JVM Math.log and
+    * double sums), and every ln() passes through a DECIMAL(28,6)
+    * quantization — the txt21 lesson, relearned — and the GRID is 1e-6, not 1e-10, per the txt30 lesson (a finer grid lets 1-ulp libm flips through at vocabulary scale): JVM Math.log and
     * libm CAN disagree by 1 ulp, and a raw ln in the term flunked the
     * exact-equality gate exactly once in 500 docs. Counts and sizes
     * are exact ints; each term is the same expression shape on both
@@ -1105,13 +1105,13 @@ object TextAnalysis {
           |  0D, (acc, c) ->
           |    acc - (cast(c as double) / size(tk))
           |        * cast(cast(ln(cast(c as double) / size(tk))
-          |               as decimal(28,10)) as double))""".stripMargin)
+          |               as decimal(28,6)) as double))""".stripMargin)
           .as("entropy"))
       .withColumn("efficiency",
         when(col("n_unique") > 1,
           col("entropy") /
             log(col("n_unique").cast(DoubleType))
-              .cast(org.apache.spark.sql.types.DecimalType(28, 10))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6))
               .cast(DoubleType))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
@@ -1126,7 +1126,7 @@ object TextAnalysis {
       |    (acc, c) ->
       |      acc - (CAST(c AS DOUBLE) / len($tokensSqlD))
       |          * CAST(CAST(ln(CAST(c AS DOUBLE) / len($tokensSqlD))
-      |                 AS DECIMAL(28,10)) AS DOUBLE)) AS entropy,
+      |                 AS DECIMAL(28,6)) AS DOUBLE)) AS entropy,
       |  CASE WHEN len(list_distinct($tokensSqlD)) > 1 THEN
       |    (list_reduce([CAST(0 AS DOUBLE)] ||
       |      list_transform(list_sort(list_distinct($tokensSqlD)),
@@ -1134,9 +1134,9 @@ object TextAnalysis {
       |      (acc, c) ->
       |        acc - (CAST(c AS DOUBLE) / len($tokensSqlD))
       |            * CAST(CAST(ln(CAST(c AS DOUBLE) / len($tokensSqlD))
-      |                   AS DECIMAL(28,10)) AS DOUBLE)))
+      |                   AS DECIMAL(28,6)) AS DOUBLE)))
       |    / CAST(CAST(ln(CAST(len(list_distinct($tokensSqlD)) AS DOUBLE))
-      |           AS DECIMAL(28,10)) AS DOUBLE)
+      |           AS DECIMAL(28,6)) AS DOUBLE)
       |  ELSE 0.0 END AS efficiency
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -1278,12 +1278,12 @@ object TextAnalysis {
     * cost). Shape: one token-keyed count shuffle (vocabulary-sized,
     * grows with the corpus), a scalar total broadcast, one token-keyed
     * join back, one doc-keyed aggregate. Parity: each ln passes
-    * through the DECIMAL(28,10) quantization (the txt21/txt22 1-ulp
+    * through the DECIMAL(28,6) quantization (the txt21/txt22 1-ulp
     * lesson) and the per-doc sum runs IN DECIMAL — exact and
     * order-independent, so map-side partials are safe AND
     * engine-identical; the only double op is the final division. */
   def unigramNll(s: SparkSession, d: String): DataFrame = {
-    val dec28 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)  // 1e-6 ln grid (txt30 lesson)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens).as("token"))
       .where(length(col("token")) > 0)
@@ -1312,7 +1312,7 @@ object TextAnalysis {
       |lnp AS (
       |  SELECT token,
       |    CAST(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
-      |      AS DECIMAL(28,10)) AS lnp
+      |      AS DECIMAL(28,6)) AS lnp
       |  FROM cnts, tot)
       |SELECT tok.doc_id, COUNT(*) AS n_tokens,
       |  -CAST(SUM(l.lnp) AS DOUBLE) / COUNT(*) AS nll
@@ -1436,13 +1436,13 @@ object TextAnalysis {
     * bigram-keyed count shuffle (vocabulary², grows with the corpus),
     * a context-keyed (w1) partial re-aggregate for the denominators,
     * one bigram-keyed join back, one doc-keyed aggregate. Parity: ln
-    * through the DECIMAL(28,10) quantization, per-doc sums IN DECIMAL
+    * through the DECIMAL(28,6) quantization, per-doc sums IN DECIMAL
     * (order-independent ⇒ map-side partials safe and engine-identical),
     * final division the only double op — the txt25 recipe one order
     * up. Single-token docs have no bigram and drop (inner join),
     * mirrored by the oracle. */
   def bigramNll(s: SparkSession, d: String): DataFrame = {
-    val dec28 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)  // 1e-6 ln grid (txt30 lesson)
     val bigrams = Tables.documents(s, d)
       // materialize the token array ONCE before the lambda: a
       // `split(text)[i]` inside the transform re-splits the whole text
@@ -1482,7 +1482,7 @@ object TextAnalysis {
       |lnp AS (
       |  SELECT c2.w1, c2.w2,
       |    CAST(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-      |      AS DECIMAL(28,10)) AS lnp
+      |      AS DECIMAL(28,6)) AS lnp
       |  FROM c2 JOIN c1 USING (w1))
       |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
       |  -CAST(SUM(l.lnp) AS DOUBLE) / COUNT(*) AS bigram_nll
