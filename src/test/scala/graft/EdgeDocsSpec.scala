@@ -104,7 +104,8 @@ class EdgeDocsSpec extends AnyFunSuite {
   test("every events-backed query survives a degenerate stream") {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("ob") || n.startsWith("q15") || n.startsWith("q16") ||
-        n.startsWith("q21") || n.startsWith("q26"))
+        n.startsWith("q21") || n.startsWith("q26") ||
+        n.startsWith("q58") || n.startsWith("q61") || n.startsWith("q63"))
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
@@ -120,7 +121,8 @@ class EdgeDocsSpec extends AnyFunSuite {
   test("every documents/embeddings-backed query survives degenerate docs") {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("txt") || n.startsWith("dd") || n.startsWith("mm") ||
-        n.startsWith("sim") || n.startsWith("op"))
+        n.startsWith("sim") || n.startsWith("op") ||
+        n.startsWith("q59") || n.startsWith("q60") || n.startsWith("q62"))
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
