@@ -30,9 +30,16 @@ object GraftPlanBridge {
     val lp = l.queryExecution.analyzed
     val rp0 = r.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
-    val node = AsOfJoinNode(lp, rp,
-      attrOf(lp, leftKey), attrOf(rp, rightKey),
-      attrOf(lp, leftTs), attrOf(rp, rightTs), strict)
+    val (lk, rk) = (attrOf(lp, leftKey), attrOf(rp, rightKey))
+    val (lt, rt) = (attrOf(lp, leftTs), attrOf(rp, rightTs))
+    // the merge compares with ONE interpreted ordering per role — a
+    // type mismatch must fail here, not as a ClassCastException inside
+    // a task
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: $leftKey ${lk.dataType} vs $rightKey ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types differ: $leftTs ${lt.dataType} vs $rightTs ${rt.dataType}")
+    val node = AsOfJoinNode(lp, rp, lk, rk, lt, rt, strict)
     CDataset.ofRows(l.sparkSession.asInstanceOf[CSparkSession], node)
   }
 }

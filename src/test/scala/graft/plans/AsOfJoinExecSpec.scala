@@ -86,6 +86,15 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(run(strict = true) === 100)  // strictly-before only
   }
 
+  test("mismatched key/ts types fail at construction, not in a task") {
+    val l = Seq(("A", 10L, 1)).toDF("k", "ts", "id")
+    val r = Seq(("A", 5, 100)).toDF("qk", "qts", "px") // qts is INT
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "qk", "ts", "qts")
+    }
+    assert(e.getMessage.contains("ts types differ"))
+  }
+
   test("randomized parity with the window-composed reference") {
     val rnd = new scala.util.Random(42)
     val keys = Array("k1", "k2", "k3", "k4")
