@@ -1446,6 +1446,40 @@ object Advanced {
       |GROUP BY r.r_name
       |ORDER BY r.r_name""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** q65 — DISCRETE percentiles (`PERCENTILE_DISC … WITHIN GROUP`):
+    * the inverse-distribution aggregate that returns an ACTUAL data
+    * value (smallest value whose cume_dist reaches p) instead of
+    * q36/ob11's interpolated midpoints — the variant a
+    * compliance/report surface wants ("a real observed latency", not
+    * a synthetic average of two), and hash-exact across engines
+    * because the result is copied, never computed. The oracle spells
+    * the DEFINITION (min value with cume_dist ≥ p) rather than
+    * DuckDB's quantile_disc, whose even-count index convention is not
+    * contractually the same. */
+  def q65PercentileDisc(s: SparkSession, d: String): DataFrame =
+    graft.SqlInterface.sql(s, d,
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+
+  val q65Sql: String =
+    """WITH cd AS (
+      |  SELECT event_type, value,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+      |      AS cd
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  MIN(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+      |  MIN(CASE WHEN cd >= 0.9 THEN value END) AS p90
+      |FROM cd
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1480,7 +1514,8 @@ object Advanced {
     "q61_interval_frames" -> (q61IntervalFrames _),
     "q62_generate_outer" -> (q62GenerateOuter _),
     "q63_bitmap_distinct" -> (q63BitmapDistinct _),
-    "q64_listagg" -> (q64Listagg _))
+    "q64_listagg" -> (q64Listagg _),
+    "q65_percentile_disc" -> (q65PercentileDisc _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1515,5 +1550,6 @@ object Advanced {
     "q61_interval_frames" -> q61Sql,
     "q62_generate_outer" -> q62Sql,
     "q63_bitmap_distinct" -> q63Sql,
-    "q64_listagg" -> q64Sql)
+    "q64_listagg" -> q64Sql,
+    "q65_percentile_disc" -> q65Sql)
 }
