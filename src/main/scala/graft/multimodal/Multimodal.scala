@@ -444,6 +444,105 @@ object Multimodal {
       |GROUP BY c.media_id
       |ORDER BY c.media_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm08
+  /** mm08 — chunk-store SAVINGS report per media kind: the number a
+    * content-addressed blob store actually bills by — total chunk
+    * instances/bytes per kind vs. what the store keeps after global
+    * dedup (each distinct chunk stored once, charged to its FIRST
+    * owner — min media_id; owner kind is a pure function of the id, so
+    * the attribution needs no join back to the media table). Composes
+    * mm07's content-defined chunker: same native `graft_cdc_cuts`
+    * boundaries, chunks now carrying their byte length; two hash
+    * aggregates (per-kind totals; per-digest owners → per-kind stored)
+    * and one 3-row join. Payload bytes still never shuffle — digests
+    * and lengths do. */
+  def chunkSavings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def kindOf(id: org.apache.spark.sql.Column) =
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (id % 3 + 1).cast(IntegerType))
+    val ch = media(s, d)
+      .select(col("media_id"), hex(col("payload")).as("hx"),
+        call_function("graft_cdc_cuts", col("payload")).as("cuts"))
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(0, size(cuts) - 2),
+             k -> struct(
+               md5(substring(hx, element_at(cuts, k + 1) * 2 + 1,
+                 (element_at(cuts, k + 2) - element_at(cuts, k + 1)) * 2))
+                 AS dg,
+               (element_at(cuts, k + 2) - element_at(cuts, k + 1))
+                 AS blen))""")).as("c"))
+      .select(col("media_id"), col("c.dg").as("dg"),
+        col("c.blen").cast("long").as("blen"))
+    val tot = ch.groupBy(kindOf(col("media_id")).as("kind"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("blen")).cast("long").as("n_bytes"))
+    val own = ch.groupBy(col("dg"))
+      .agg(min(col("media_id")).as("owner"), min(col("blen")).as("blen"))
+    val st = own.groupBy(kindOf(col("owner")).as("kind"))
+      .agg(count(lit(1)).as("n_stored_chunks"),
+        sum(col("blen")).cast("long").as("stored_bytes"))
+    tot.join(st, Seq("kind"), "left")
+      .select(col("kind"), col("n_chunks"), col("n_bytes"),
+        coalesce(col("n_stored_chunks"), lit(0L)).as("n_stored_chunks"),
+        coalesce(col("stored_bytes"), lit(0L)).as("stored_bytes"),
+        when(col("n_bytes") > 0,
+          lit(1.0d) - coalesce(col("stored_bytes"), lit(0L))
+            .cast(DoubleType) / col("n_bytes").cast(DoubleType))
+          .as("savings_frac"))
+      .orderBy(col("kind"))
+  }
+
+  val chunkSavingsSql: String = mediaCte + """,
+      |cd_hex AS (SELECT media_id, hex(payload) AS hx FROM media),
+      |cd_bs AS (SELECT media_id, hx,
+      |  list_transform(range(1, length(hx)//2 + 1),
+      |    j -> (strpos('0123456789ABCDEF',
+      |            substring(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+      |       + strpos('0123456789ABCDEF',
+      |            substring(hx, CAST(2*j AS INT), 1)) - 1) AS bs
+      |  FROM cd_hex),
+      |cd_cuts AS (SELECT media_id, hx,
+      |  list_concat(list_concat([CAST(0 AS BIGINT)],
+      |    CASE WHEN len(bs) > 8 THEN
+      |      list_filter(range(8, len(bs)),
+      |        i -> list_reduce(
+      |               list_prepend(CAST(0 AS BIGINT),
+      |                 bs[CAST(i-7 AS INT):CAST(i AS INT)]),
+      |               (a, b) -> (a * 31 + b) % 1000000007) % 32 = 0)
+      |    ELSE CAST([] AS BIGINT[]) END),
+      |    [CAST(len(bs) AS BIGINT)]) AS cuts
+      |  FROM cd_bs),
+      |cd_ch AS (SELECT media_id,
+      |  md5(substring(hx, CAST(cuts[CAST(k AS INT)]*2 + 1 AS BIGINT),
+      |    CAST((cuts[CAST(k+1 AS INT)] - cuts[CAST(k AS INT)])*2 AS BIGINT)))
+      |    AS dg,
+      |  cuts[CAST(k+1 AS INT)] - cuts[CAST(k AS INT)] AS blen
+      |  FROM cd_cuts, unnest(range(1, len(cuts))) AS u(k)),
+      |cs_tot AS (
+      |  SELECT ['image','audio','video'][CAST(media_id % 3 + 1 AS INT)]
+      |      AS kind,
+      |    COUNT(*) AS n_chunks, CAST(SUM(blen) AS BIGINT) AS n_bytes
+      |  FROM cd_ch GROUP BY 1),
+      |cs_own AS (
+      |  SELECT dg, MIN(media_id) AS owner, MIN(blen) AS blen
+      |  FROM cd_ch GROUP BY dg),
+      |cs_st AS (
+      |  SELECT ['image','audio','video'][CAST(owner % 3 + 1 AS INT)]
+      |      AS kind,
+      |    COUNT(*) AS n_stored_chunks,
+      |    CAST(SUM(blen) AS BIGINT) AS stored_bytes
+      |  FROM cs_own GROUP BY 1)
+      |SELECT t.kind, t.n_chunks, t.n_bytes,
+      |  COALESCE(s.n_stored_chunks, 0) AS n_stored_chunks,
+      |  COALESCE(s.stored_bytes, 0) AS stored_bytes,
+      |  CASE WHEN t.n_bytes > 0 THEN
+      |    1.0 - CAST(COALESCE(s.stored_bytes, 0) AS DOUBLE)
+      |        / CAST(t.n_bytes AS DOUBLE)
+      |  END AS savings_frac
+      |FROM cs_tot t LEFT JOIN cs_st s ON s.kind = t.kind
+      |ORDER BY t.kind""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm01_blob_stats" -> (blobStats _),
@@ -452,7 +551,8 @@ object Multimodal {
     "mm04_resize" -> (resizeMeta _),
     "mm05_phash_neardup" -> (phashNearDup _),
     "mm06_phash_clusters" -> (phashClusters _),
-    "mm07_chunk_dedup" -> (chunkDedup _))
+    "mm07_chunk_dedup" -> (chunkDedup _),
+    "mm08_chunk_savings" -> (chunkSavings _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
@@ -461,7 +561,8 @@ object Multimodal {
     "mm04_resize" -> resizeMetaSql,
     "mm05_phash_neardup" -> phashNearDupSql,
     "mm06_phash_clusters" -> phashClustersSql,
-    "mm07_chunk_dedup" -> chunkDedupSql)
+    "mm07_chunk_dedup" -> chunkDedupSql,
+    "mm08_chunk_savings" -> chunkSavingsSql)
 }
 
 /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
