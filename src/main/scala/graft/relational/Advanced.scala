@@ -1480,6 +1480,39 @@ object Advanced {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** q66 — JOIN-STRATEGY HINTS: `/*+ SHUFFLE_HASH(o) */` forces the
+    * orders side to build a shuffled hash table where the planner
+    * would otherwise pick sort-merge (or broadcast, disabled on this
+    * session copy) — the escape hatch for the cases the cost model
+    * gets wrong at 100 TB (a "small" build side the stats don't see,
+    * a sort the pipeline can't afford). Oracle is the UNHINTED join:
+    * a strategy hint must never change the rows. Plan-pinned
+    * ShuffledHashJoin in PlanSpec; conf isolation on a `newSession`
+    * so the broadcast-threshold override can't leak. */
+  def q66HintJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.SqlInterface.sql(s2, d,
+      """SELECT /*+ SHUFFLE_HASH(o) */
+        |  o.o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  val q66Sql: String =
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1515,7 +1548,8 @@ object Advanced {
     "q62_generate_outer" -> (q62GenerateOuter _),
     "q63_bitmap_distinct" -> (q63BitmapDistinct _),
     "q64_listagg" -> (q64Listagg _),
-    "q65_percentile_disc" -> (q65PercentileDisc _))
+    "q65_percentile_disc" -> (q65PercentileDisc _),
+    "q66_hint_join" -> (q66HintJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1551,5 +1585,6 @@ object Advanced {
     "q62_generate_outer" -> q62Sql,
     "q63_bitmap_distinct" -> q63Sql,
     "q64_listagg" -> q64Sql,
-    "q65_percentile_disc" -> q65Sql)
+    "q65_percentile_disc" -> q65Sql,
+    "q66_hint_join" -> q66Sql)
 }

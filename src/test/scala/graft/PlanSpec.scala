@@ -617,4 +617,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"op09 shuffled the daily aggregate twice:\n$p")
   }
+
+  test("q63: distinct counting goes through OR-merged bitmaps — no " +
+    "per-(group, user) distinct expansion") {
+    val p = plan("q63_bitmap_distinct")
+    assert(p.contains("bitmap_construct_agg"),
+      s"q63 lost the bitmap aggregate:\n$p")
+    assert(!p.toLowerCase.contains("expand"),
+      s"q63 fell back to a distinct Expand:\n$p")
+  }
+
+  test("q66: the SHUFFLE_HASH hint is honored — hash join, no sort, " +
+    "no broadcast") {
+    val p = plan("q66_hint_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q66 hint not honored:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q66 planned a different join strategy:\n$p")
+  }
 }
