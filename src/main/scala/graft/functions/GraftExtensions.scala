@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (e: Seq[Expression]) => PositionalEqCount(e(0), e(1))))
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       info("graft_vec_dot"), (e: Seq[Expression]) => VecDot(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks"), (e: Seq[Expression]) => CdcChunksGen(e.head)))
     ext.injectOptimizerRule(_ => VecDotRewrite)
     // whole-operator surface: the native as-of join's planner strategy
     // (logical AsOfJoinNode -> physical AsOfJoinExec)

@@ -428,6 +428,74 @@ case class CdcCutsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_cdc_cuts"
 }
 
+/** graft_cdc_chunks(binary) — the engine's UDTF surface: a custom
+  * Catalyst GENERATOR (table-valued function) emitting one row per
+  * content-defined chunk of a byte payload, (dg STRING, blen INT) —
+  * dg is md5 over the chunk's UPPERCASE-hex rendering, byte-for-byte
+  * what the declarative `md5(substring(hex(payload), …))` spelling in
+  * mm07/mm08's oracles produces, so swapping the generator in under an
+  * unchanged oracle proves equivalence. Completes the custom-function
+  * trio: scalar expressions (PolyHash…), aggregates (graft_topk), and
+  * now a generator; usable from SQL via LATERAL VIEW / SELECT like
+  * explode. Per-row work is the CdcCuts tight loop + one MD5 per
+  * chunk — no interpreted lambda HOFs. */
+case class CdcChunksGen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"graft_cdc_chunks needs BINARY, got ${child.dataType.sql}")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("dg", StringType, nullable = false),
+    StructField("blen", IntegerType, nullable = false)))
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      val cuts = CdcCuts.cuts(bytes)
+      val n = cuts.numElements()
+      (0 until n - 1).iterator.map { k =>
+        val a = cuts.getInt(k)
+        val b = cuts.getInt(k + 1)
+        val hexChars = new Array[Char]((b - a) * 2)
+        var i = a
+        while (i < b) {
+          val x = bytes(i) & 0xff
+          hexChars((i - a) * 2) = HexDigits(x >>> 4)
+          hexChars((i - a) * 2 + 1) = HexDigits(x & 0xf)
+          i += 1
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(new String(hexChars)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new java.lang.StringBuilder(32)
+        md.foreach { byte =>
+          out.append(Character.forDigit((byte >> 4) & 0xf, 16))
+          out.append(Character.forDigit(byte & 0xf, 16))
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(out.toString), b - a)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcChunksGen = copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration; queries call this so the
     * expressions are usable from SQL text and lambda bodies alike. */
@@ -456,6 +524,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => IntVecDot(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_int_l2sq",
       (e: Seq[Expression]) => IntVecL2Sq(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_chunks",
+      (e: Seq[Expression]) => CdcChunksGen(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cdc_cuts",
       (e: Seq[Expression]) => CdcCutsExpr(e.head), "built-in")
     // Spark's own runtime-filter sketch pair (registered internally as

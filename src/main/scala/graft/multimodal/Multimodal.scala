@@ -461,19 +461,15 @@ object Multimodal {
     def kindOf(id: org.apache.spark.sql.Column) =
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (id % 3 + 1).cast(IntegerType))
+    // chunk extraction through the engine's UDTF surface: the custom
+    // graft_cdc_chunks GENERATOR emits (dg, blen) rows directly —
+    // byte-identical digests to the declarative hex/substring/md5
+    // spelling the oracle keeps (CdcChunksGen scaladoc), one MD5 per
+    // chunk instead of an interpreted lambda pipeline
     val ch = media(s, d)
-      .select(col("media_id"), hex(col("payload")).as("hx"),
-        call_function("graft_cdc_cuts", col("payload")).as("cuts"))
-      .select(col("media_id"), explode(expr(
-        """transform(sequence(0, size(cuts) - 2),
-             k -> struct(
-               md5(substring(hx, element_at(cuts, k + 1) * 2 + 1,
-                 (element_at(cuts, k + 2) - element_at(cuts, k + 1)) * 2))
-                 AS dg,
-               (element_at(cuts, k + 2) - element_at(cuts, k + 1))
-                 AS blen))""")).as("c"))
-      .select(col("media_id"), col("c.dg").as("dg"),
-        col("c.blen").cast("long").as("blen"))
+      .select(col("media_id"),
+        expr("graft_cdc_chunks(payload)").as(Seq("dg", "blen")))
+      .select(col("media_id"), col("dg"), col("blen").cast("long"))
     val tot = ch.groupBy(kindOf(col("media_id")).as("kind"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("blen")).cast("long").as("n_bytes"))

@@ -635,4 +635,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"q66 planned a different join strategy:\n$p")
   }
+
+  test("mm08: chunk rows come from the custom graft_cdc_chunks " +
+    "generator — a Generate node, no interpreted lambda pipeline") {
+    val p = plan("mm08_chunk_savings")
+    assert(p.contains("Generate graft_cdc_chunks"),
+      s"mm08 lost the generator:\n$p")
+  }
 }
