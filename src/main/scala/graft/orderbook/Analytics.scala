@@ -547,6 +547,90 @@ object Analytics {
       .orderBy(col("ticker"), col("event_id"))
   }
 
+  /** ob31 — BOOK-CONSERVATION audit: content-level integrity on top of
+    * A3's sequence-level fail-stop — for each consecutive snapshot
+    * pair, does the sum of deltas in the interval (a, b] account for
+    * the change in total book contracts? A transport that drops or
+    * duplicates messages without breaking seq numbering shows up HERE
+    * (and on this synthetic corpus the two streams are independent, so
+    * the audit mostly reports discrepancies — the OUTPUT is the audit
+    * table, not an assertion). Per ticker: intervals, consistent
+    * intervals, total absolute gap, consistency fraction.
+    *
+    * Shape: snapshot totals are one hash agg; intervals come from a
+    * per-ticker lead window over snapshot-count rows (the ob03
+    * precedent); each delta finds its interval anchor through the
+    * NATIVE as-of operator in strict mode (latest snapshot STRICTLY
+    * before — so a delta landing on a snapshot event belongs to the
+    * interval that snapshot CLOSES, the (a, b] convention the oracle
+    * spells as an interval join); one (ticker, anchor) hash agg, one
+    * anchor-keyed join. All-BIGINT until the final fraction. */
+  def bookConservation(s: SparkSession, d: String): DataFrame = {
+    val tot = Derive.snapshots(s, d)
+      .groupBy(col("ticker"), col("event_id"))
+      .agg(sum(col("contracts")).cast(LongType).as("total"))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("event_id"))
+    val iv = tot.select(col("ticker"), col("event_id").as("a_eid"),
+        lead(col("event_id"), 1).over(w).as("b_eid"),
+        (lead(col("total"), 1).over(w) - col("total")).as("change"))
+      .where(col("b_eid").isNotNull)
+    val anchors = tot.select(col("ticker").as("s_ticker"),
+      col("event_id").as("s_eid"))
+    val dl = Derive.deltas(s, d)
+      .select(col("ticker").as("d_ticker"), col("event_id").as("d_eid"),
+        col("delta"))
+    val ds = graft.plans.AsOf.join(dl, anchors,
+        "d_ticker", "s_ticker", "d_eid", "s_eid", strict = true)
+      .where(col("s_eid").isNotNull)
+      .groupBy(col("d_ticker"), col("s_eid"))
+      .agg(sum(col("delta")).cast(LongType).as("dsum"))
+    iv.join(ds,
+        iv("ticker") === ds("d_ticker") && iv("a_eid") === ds("s_eid"),
+        "left")
+      .select(col("ticker"), col("change"),
+        coalesce(col("dsum"), lit(0L)).as("dsum"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("change") === col("dsum"), 1L).otherwise(0L))
+          .as("n_consistent"),
+        sum(abs(col("change") - col("dsum"))).cast(LongType)
+          .as("total_abs_gap"))
+      .withColumn("consistency_frac",
+        col("n_consistent").cast(DoubleType) /
+          col("n_intervals").cast(DoubleType))
+      .orderBy(col("ticker"))
+  }
+
+  val bookConservationSql: String = Derive.cte +
+    """, bc_tot AS (
+      |  SELECT ticker, event_id, CAST(SUM(contracts) AS BIGINT) AS total
+      |  FROM ob_snapshots GROUP BY 1, 2),
+      |bc_iv AS (
+      |  SELECT * FROM (
+      |    SELECT ticker, event_id AS a_eid,
+      |      LEAD(event_id) OVER w AS b_eid,
+      |      LEAD(total) OVER w - total AS change
+      |    FROM bc_tot
+      |    WINDOW w AS (PARTITION BY ticker ORDER BY event_id)) t
+      |  WHERE b_eid IS NOT NULL),
+      |bc_ds AS (
+      |  SELECT d.ticker, i.a_eid, CAST(SUM(d.delta) AS BIGINT) AS dsum
+      |  FROM ob_deltas d JOIN bc_iv i
+      |    ON d.ticker = i.ticker
+      |    AND d.event_id > i.a_eid AND d.event_id <= i.b_eid
+      |  GROUP BY 1, 2)
+      |SELECT i.ticker, COUNT(*) AS n_intervals,
+      |  CAST(SUM(CASE WHEN i.change = COALESCE(s.dsum, 0) THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_consistent,
+      |  CAST(SUM(ABS(i.change - COALESCE(s.dsum, 0))) AS BIGINT)
+      |    AS total_abs_gap,
+      |  CAST(SUM(CASE WHEN i.change = COALESCE(s.dsum, 0) THEN 1 ELSE 0
+      |    END) AS DOUBLE) / COUNT(*) AS consistency_frac
+      |FROM bc_iv i LEFT JOIN bc_ds s
+      |  ON s.ticker = i.ticker AND s.a_eid = i.a_eid
+      |GROUP BY i.ticker
+      |ORDER BY i.ticker""".stripMargin
+
   /** ob23 — EFFECTIVE SPREAD against the prevailing quote: for every
     * snapshot anchor, 2·|top-of-book − the STRICTLY-previous quote's
     * price| (the execution-quality metric a venue reports — how far
@@ -1326,7 +1410,8 @@ object Analytics {
     "ob27_variance_ratio" -> (varianceRatio _),
     "ob28_vpin" -> (vpin _),
     "ob29_asof_native" -> (asofNative _),
-    "ob30_asof_native_strict" -> (asofNativeStrict _))
+    "ob30_asof_native_strict" -> (asofNativeStrict _),
+    "ob31_book_conservation" -> (bookConservation _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1358,5 +1443,6 @@ object Analytics {
     "ob27_variance_ratio" -> varianceRatioSql,
     "ob28_vpin" -> vpinSql,
     "ob29_asof_native" -> asofPriceSql,
-    "ob30_asof_native_strict" -> asofToleranceSql)
+    "ob30_asof_native_strict" -> asofToleranceSql,
+    "ob31_book_conservation" -> bookConservationSql)
 }
