@@ -90,6 +90,15 @@ case class AsOfJoinExec(
     leftTs: Expression, rightTs: Expression,
     strict: Boolean = false) extends BinaryExecNode {
 
+  // production operators report themselves: row counts and the
+  // match rate (unmatched anchors are the "stale enrichment" signal
+  // an as-of pipeline monitors) surface in the Spark UI / listeners
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -117,10 +126,19 @@ case class AsOfJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val rightArity = right.output.size
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       val rbuf = rit.buffered
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
+      // SparkPlan's execute() contract expects UnsafeRow output (a
+      // collect directly over this node crashes on a raw JoinedRow);
+      // the result projection also frees downstream operators from
+      // JoinedRow's slower field access — same shape as SMJ's
+      // resultProj
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(output, output)
       // O(1) merge state: the latest at-or-before right row (a copy —
       // the child iterator reuses its UnsafeRow buffer) and its key,
       // re-evaluated from the copy so backing memory stays valid
@@ -129,8 +147,10 @@ case class AsOfJoinExec(
       lit.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltsB.eval(lrow)
-        if (k == null || t == null) joined(lrow, nullRight)
-        else {
+        if (k == null || t == null) {
+          outRows += 1
+          proj(joined(lrow, nullRight))
+        } else {
           var scanning = true
           while (scanning && rbuf.hasNext) {
             val rrow = rbuf.head
@@ -150,7 +170,9 @@ case class AsOfJoinExec(
             }
           }
           val matched = held != null && keyOrd.compare(heldKey, k) == 0
-          joined(lrow, if (matched) held else nullRight)
+          outRows += 1
+          if (matched) matchedRows += 1
+          proj(joined(lrow, if (matched) held else nullRight))
         }
       }
     }

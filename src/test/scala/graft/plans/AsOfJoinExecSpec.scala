@@ -86,6 +86,27 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(run(strict = true) === 100)  // strictly-before only
   }
 
+  test("SQL metrics: output and matched row counts surface on the exec") {
+    val df = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+    df.collect()
+    // AQE wraps finished subtrees in QueryStageExec LEAVES (Spark 4's
+    // ResultQueryStage included) — a plain collect stops at the stage
+    // boundary, so descend through them explicitly
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[AsOfJoinExec] = p match {
+      case e: AsOfJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findExec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findExec(q.plan)
+      case other => other.children.iterator.flatMap(findExec).nextOption()
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not in executed plan"))
+    assert(exec.metrics("numOutputRows").value === 5)
+    assert(exec.metrics("numMatchedRows").value === 3) // A×3 matched
+  }
+
   test("mismatched key/ts types fail at construction, not in a task") {
     val l = Seq(("A", 10L, 1)).toDF("k", "ts", "id")
     val r = Seq(("A", 5, 100)).toDF("qk", "qts", "px") // qts is INT
