@@ -951,6 +951,81 @@ object Analytics {
       .orderBy(col("ticker"))
   }
 
+  /** ob32 — FLOW-PREDICTABILITY contingency: does this minute's net
+    * signed flow predict the NEXT minute's price move? ob21 fits the
+    * contemporaneous impact (λ); trading on flow needs the LAGGED
+    * relation, and the first look at that is a 2×2 sign contingency —
+    * per ticker: minutes where (flow sign, next-move sign) agree vs
+    * disagree (zero-flow / zero-move minutes excluded from the table,
+    * counted separately) and the directional hit rate. Reuses ob21's
+    * exact flow and intra-minute move definitions; the one-minute lead
+    * partitions by ticker over minute-grain rows (ob27's bounded-
+    * partition regime); all-integer until the hit rate. */
+  def flowPredictability(s: SparkSession, d: String): DataFrame = {
+    val minutes = Derive.deltas(s, d)
+      .groupBy(col("ticker"), expr("ts_ms div 60000").as("minute"))
+      .agg(
+        sum(when(col("side") === "yes", col("delta"))
+          .otherwise(-col("delta"))).as("flow"),
+        (expr("max_by(price, event_id)") - expr("min_by(price, event_id)"))
+          .cast(LongType).as("dp"))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("minute"))
+    val paired = minutes
+      .withColumn("next_dp", lead(col("dp"), 1).over(w))
+      .where(col("next_dp").isNotNull)
+    paired.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("flow") > 0 && col("next_dp") > 0, 1L)
+          .otherwise(0L)).as("n_pp"),
+        sum(when(col("flow") > 0 && col("next_dp") < 0, 1L)
+          .otherwise(0L)).as("n_pn"),
+        sum(when(col("flow") < 0 && col("next_dp") > 0, 1L)
+          .otherwise(0L)).as("n_np"),
+        sum(when(col("flow") < 0 && col("next_dp") < 0, 1L)
+          .otherwise(0L)).as("n_nn"))
+      .withColumn("n_signed",
+        col("n_pp") + col("n_pn") + col("n_np") + col("n_nn"))
+      .withColumn("hit_rate",
+        when(col("n_signed") > 0,
+          (col("n_pp") + col("n_nn")).cast(DoubleType) /
+            col("n_signed").cast(DoubleType)))
+      .orderBy(col("ticker"))
+  }
+
+  val flowPredictabilitySql: String = Derive.cte +
+    """, fp_mn AS (
+      |  SELECT ticker, ts_ms // 60000 AS minute,
+      |    SUM(CASE WHEN side = 'yes' THEN delta ELSE -delta END) AS flow,
+      |    CAST(arg_max(price, event_id) - arg_min(price, event_id)
+      |      AS BIGINT) AS dp
+      |  FROM ob_deltas GROUP BY 1, 2),
+      |fp_pair AS (
+      |  SELECT * FROM (
+      |    SELECT ticker, flow,
+      |      LEAD(dp) OVER (PARTITION BY ticker ORDER BY minute)
+      |        AS next_dp
+      |    FROM fp_mn) t
+      |  WHERE next_dp IS NOT NULL),
+      |fp_ct AS (
+      |  SELECT ticker, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN flow > 0 AND next_dp > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pp,
+      |    CAST(SUM(CASE WHEN flow > 0 AND next_dp < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pn,
+      |    CAST(SUM(CASE WHEN flow < 0 AND next_dp > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_np,
+      |    CAST(SUM(CASE WHEN flow < 0 AND next_dp < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_nn
+      |  FROM fp_pair GROUP BY ticker)
+      |SELECT ticker, n_pairs, n_pp, n_pn, n_np, n_nn,
+      |  n_pp + n_pn + n_np + n_nn AS n_signed,
+      |  CASE WHEN n_pp + n_pn + n_np + n_nn > 0 THEN
+      |    CAST(n_pp + n_nn AS DOUBLE)
+      |      / CAST(n_pp + n_pn + n_np + n_nn AS DOUBLE)
+      |  END AS hit_rate
+      |FROM fp_ct
+      |ORDER BY ticker""".stripMargin
+
   val priceImpactSql: String = Derive.cte +
     """, mn AS (
       |  SELECT ticker, ts_ms // 60000 AS minute,
@@ -1411,7 +1486,8 @@ object Analytics {
     "ob28_vpin" -> (vpin _),
     "ob29_asof_native" -> (asofNative _),
     "ob30_asof_native_strict" -> (asofNativeStrict _),
-    "ob31_book_conservation" -> (bookConservation _))
+    "ob31_book_conservation" -> (bookConservation _),
+    "ob32_flow_predictability" -> (flowPredictability _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1444,5 +1520,6 @@ object Analytics {
     "ob28_vpin" -> vpinSql,
     "ob29_asof_native" -> asofPriceSql,
     "ob30_asof_native_strict" -> asofToleranceSql,
-    "ob31_book_conservation" -> bookConservationSql)
+    "ob31_book_conservation" -> bookConservationSql,
+    "ob32_flow_predictability" -> flowPredictabilitySql)
 }
