@@ -533,6 +533,76 @@ object Dedup {
         |FROM comp GROUP BY cluster_id
         |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd17
+  /** dd17 — CLUSTER-COHESION audit: per duplicate cluster, the verified
+    * edge count, min/mean pair Jaccard, and EDGE DENSITY
+    * 2E/(n·(n−1)) — the false-merge detector for transitive
+    * clustering: a true duplicate set is near-clique (density ≈ 1,
+    * min jaccard well above threshold), while a template CHAIN
+    * (page₁≈page₂≈…≈pageₙ with unrelated ends — exactly the graphs
+    * dd09's star contraction exists for) shows density ≈ 2/n and min
+    * jaccard hugging the 0.8 threshold: the signal that keep-one-per-
+    * cluster would delete non-duplicates. Rides the shared pair seam
+    * and the ONE CC engine; per-edge jaccards are exact small-int
+    * ratios, so the DECIMAL(18,9)-quantized sum is order-independent
+    * AND engine-identical (no libm anywhere), one double division per
+    * cluster at the end. */
+  def clusterCohesion(s: SparkSession, d: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val pairs = ngramPairs(s, d)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val labels = connectedComponentsStar(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val edges = pairs
+      .join(labels.select(col("id").as("id_a"),
+        col("label").as("cluster_id")), "id_a")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        sum(col("jaccard").cast(dec9)).as("jsum"))
+    sizes.join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("min_jaccard"),
+        (col("jsum").cast("double") / col("n_edges").cast("double"))
+          .as("mean_jaccard"),
+        ((col("n_edges") * 2L).cast("double") /
+          (col("n_docs") * (col("n_docs") - 1L)).cast("double"))
+          .as("density"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterCohesionSql: String =
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      verifiedPairsCtes + "," +
+      """cc_pairs AS (
+        |  SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cc_pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cc_pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+        |sz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM comp
+        |       GROUP BY cluster_id),
+        |es AS (
+        |  SELECT c.cluster_id, COUNT(*) AS n_edges,
+        |    MIN(p.jaccard) AS min_jaccard,
+        |    CAST(SUM(CAST(p.jaccard AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) AS mean_jaccard
+        |  FROM cc_pairs p JOIN comp c ON c.id = p.id_a
+        |  GROUP BY c.cluster_id)
+        |SELECT s.cluster_id, s.n_docs, e.n_edges, e.min_jaccard,
+        |  e.mean_jaccard,
+        |  CAST(e.n_edges * 2 AS DOUBLE)
+        |    / CAST(s.n_docs * (s.n_docs - 1) AS DOUBLE) AS density
+        |FROM sz s JOIN es e ON e.cluster_id = s.cluster_id
+        |ORDER BY s.cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- dd09
   /** dd07's cluster assembly by ALTERNATING STAR CONTRACTION (Kiveris
     * et al., "Connected Components in MapReduce and Beyond") — the
@@ -1177,7 +1247,8 @@ object Dedup {
     "dd13_containment" -> (containmentPairs _),
     "dd14_incremental" -> (incrementalDedup _),
     "dd15_sketch_calibration" -> (sketchCalibration _),
-    "dd16_fuzzy_decontaminate" -> (fuzzyDecontaminate _))
+    "dd16_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "dd17_cluster_cohesion" -> (clusterCohesion _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -1198,5 +1269,6 @@ object Dedup {
     "dd13_containment" -> containmentPairsSql,
     "dd14_incremental" -> incrementalDedupSql,
     "dd15_sketch_calibration" -> sketchCalibrationSql,
-    "dd16_fuzzy_decontaminate" -> fuzzyDecontaminateSql)
+    "dd16_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
+    "dd17_cluster_cohesion" -> clusterCohesionSql)
 }

@@ -1350,6 +1350,50 @@ object Similarity {
       |WHERE r = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- sim20
+  /** sim20 — IVF CELL-BALANCE audit: the occupancy distribution of the
+    * coarse quantizer's cells — the operational number that decides
+    * whether the sim03/sim08 cell-blocking regime holds at scale (the
+    * O(n^1.5) claim assumes ~√n per cell; one hot cell degrades its
+    * block toward all-pairs, and the fix — more cells, better
+    * centroids — starts from this table). One-row summary: cells
+    * planned vs populated, min/max/mean occupancy, the imbalance
+    * factor max/mean, and the share of the corpus in the largest
+    * cell. Costs one |cells|-cardinality aggregate over the shared
+    * assignment — the audit rides the index build. */
+  def cellBalance(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val assigned = assignCells(n, centroids(s, n))
+    val occ = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+    occ.agg(count(lit(1)).as("n_cells"),
+        sum(col("occ")).cast("long").as("n_vecs"),
+        min(col("occ")).as("min_occ"),
+        max(col("occ")).as("max_occ"))
+      .withColumn("mean_occ",
+        col("n_vecs").cast("double") / col("n_cells").cast("double"))
+      .withColumn("imbalance",
+        col("max_occ").cast("double") * col("n_cells").cast("double")
+          / col("n_vecs").cast("double"))
+      .withColumn("top_cell_share",
+        col("max_occ").cast("double") / col("n_vecs").cast("double"))
+  }
+
+  val cellBalanceSql: String = normedCte + "," + centCte + "," +
+    assignedCte + "," +
+    """
+      |occ AS (SELECT cell, COUNT(*) AS occ FROM assigned GROUP BY cell)
+      |SELECT COUNT(*) AS n_cells,
+      |  CAST(SUM(occ) AS BIGINT) AS n_vecs,
+      |  CAST(MIN(occ) AS BIGINT) AS min_occ,
+      |  CAST(MAX(occ) AS BIGINT) AS max_occ,
+      |  CAST(SUM(occ) AS DOUBLE) / COUNT(*) AS mean_occ,
+      |  CAST(MAX(occ) AS DOUBLE) * COUNT(*) / CAST(SUM(occ) AS BIGINT)
+      |    AS imbalance,
+      |  CAST(MAX(occ) AS DOUBLE) / CAST(SUM(occ) AS BIGINT)
+      |    AS top_cell_share
+      |FROM occ""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1369,7 +1413,8 @@ object Similarity {
     "sim16_range_search" -> (rangeSearch _),
     "sim17_hard_negatives" -> (hardNegatives _),
     "sim18_pq_error" -> (pqError _),
-    "sim19_embed_decontaminate" -> (embedDecontaminate _))
+    "sim19_embed_decontaminate" -> (embedDecontaminate _),
+    "sim20_cell_balance" -> (cellBalance _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1390,5 +1435,6 @@ object Similarity {
     "sim16_range_search" -> rangeSearchSql,
     "sim17_hard_negatives" -> hardNegativesSql,
     "sim18_pq_error" -> pqErrorSql,
-    "sim19_embed_decontaminate" -> embedDecontaminateSql)
+    "sim19_embed_decontaminate" -> embedDecontaminateSql,
+    "sim20_cell_balance" -> cellBalanceSql)
 }
