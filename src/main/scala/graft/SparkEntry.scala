@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Pruning.queries ++
       operators.Bucketed.queries ++
       operators.Reuse.queries ++
+      operators.Observability.queries ++
       operators.RuntimeFilter.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.Pruning.oracles ++
       operators.Bucketed.oracles ++
       operators.Reuse.oracles ++
+      operators.Observability.oracles ++
       operators.RuntimeFilter.oracles: _*)
 }

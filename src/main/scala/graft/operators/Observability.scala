@@ -30,4 +30,39 @@ object Observability {
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** op10 — observe() promoted under the oracle gate: a curation-style
+    * quality filter instrumented with CollectMetrics probes on BOTH
+    * sides of the drop (rows/chars in, rows/chars out — the per-run
+    * drop-rate report), where the ORACLE is the uninstrumented query:
+    * observation must ride the action invisibly (no row change, no
+    * extra pass — the plan shows CollectMetrics nodes, pinned in
+    * PlanSpec, and nothing else new). ObservabilitySpec asserts the
+    * metric VALUES; this entry pins the non-perturbation half. */
+  def observedFilter(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val (observedIn, _) = countAndSums(docs, "op10_in", "n_chars")
+    val kept = observedIn.where(length(col("text")) >= 50)
+    val (observedOut, _) = countAndSums(kept, "op10_out", "n_chars")
+    observedOut.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val observedFilterSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE LENGTH(text) >= 50
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val queries: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+    Seq("op10_observed_filter" -> (observedFilter _))
+
+  val oracles: Seq[(String, String)] =
+    Seq("op10_observed_filter" -> observedFilterSql)
 }

@@ -642,4 +642,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate graft_cdc_chunks"),
       s"mm08 lost the generator:\n$p")
   }
+
+  test("op10: both CollectMetrics probes ride the plan; nothing else " +
+    "is added around the filter") {
+    val p = plan("op10_observed_filter")
+    assert("CollectMetrics".r.findAllIn(p).size == 2,
+      s"op10 expected exactly 2 observe probes:\n$p")
+  }
 }
