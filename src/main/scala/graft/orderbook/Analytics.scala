@@ -747,6 +747,68 @@ object Analytics {
       |GROUP BY ticker, day
       |ORDER BY ticker, day""".stripMargin
 
+  /** ob33 — DEPTH-WEIGHTED book imbalance: per snapshot, level-1
+    * liquidity matters more than level-3, so the pressure signal
+    * weights contracts by 1/level before differencing the sides —
+    * wimb = (Σ_yes c/l − Σ_no c/l) / (Σ_yes c/l + Σ_no c/l) ∈ [−1, 1]
+    * — then summarizes per ticker (snapshot count, min/max, mean).
+    * The "which way is the book leaning where it counts" number next
+    * to ob07's flat depth and ob16's flow imbalance.
+    *
+    * Exactness: weights 1/l for l ∈ {1,2,3} become INTEGERS via the
+    * LCM trick (6/l ∈ {6,3,2}), so both weighted sums are exact
+    * BIGINTs and each snapshot's ratio is one correctly-rounded
+    * double division — engine-identical; the per-ticker mean runs
+    * over DECIMAL(18,9)-quantized ratios (exact inputs, so the grid
+    * is safe at any size — no libm anywhere). Level is recovered from
+    * the snapshot encoding (price − event_id % 90), mirrored by the
+    * oracle. Two hash aggregates, no window. */
+  def weightedImbalance(s: SparkSession, d: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val weighted = Derive.snapshots(s, d)
+      .withColumn("lvl", (col("price") - col("event_id") % 90))
+      .withColumn("w", (lit(6) / col("lvl")).cast(LongType))
+      .groupBy(col("ticker"), col("event_id"))
+      .agg(
+        sum(when(col("side") === "yes", col("w") * col("contracts"))
+          .otherwise(0L)).as("wyes"),
+        sum(when(col("side") === "no", col("w") * col("contracts"))
+          .otherwise(0L)).as("wno"))
+      .withColumn("wimb",
+        when(col("wyes") + col("wno") > 0,
+          (col("wyes") - col("wno")).cast(DoubleType) /
+            (col("wyes") + col("wno")).cast(DoubleType)))
+    weighted.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_snapshots"),
+        min(col("wimb")).as("min_wimb"),
+        max(col("wimb")).as("max_wimb"),
+        (sum(col("wimb").cast(dec9)).cast(DoubleType) /
+          count(when(col("wimb").isNotNull, 1L))).as("mean_wimb"))
+      .orderBy(col("ticker"))
+  }
+
+  val weightedImbalanceSql: String = Derive.cte +
+    """, wi AS (
+      |  SELECT ticker, event_id,
+      |    CAST(SUM(CASE WHEN side = 'yes'
+      |      THEN (6 // (price - event_id % 90)) * contracts ELSE 0 END)
+      |      AS BIGINT) AS wyes,
+      |    CAST(SUM(CASE WHEN side = 'no'
+      |      THEN (6 // (price - event_id % 90)) * contracts ELSE 0 END)
+      |      AS BIGINT) AS wno
+      |  FROM ob_snapshots GROUP BY ticker, event_id),
+      |wr AS (
+      |  SELECT ticker,
+      |    CASE WHEN wyes + wno > 0 THEN
+      |      CAST(wyes - wno AS DOUBLE) / CAST(wyes + wno AS DOUBLE)
+      |    END AS wimb
+      |  FROM wi)
+      |SELECT ticker, COUNT(*) AS n_snapshots,
+      |  MIN(wimb) AS min_wimb, MAX(wimb) AS max_wimb,
+      |  CAST(SUM(CAST(wimb AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(wimb) AS mean_wimb
+      |FROM wr GROUP BY ticker ORDER BY ticker""".stripMargin
+
   // ----------------------------------------------------------------- B13
   /** Microprice (size-weighted mid) per ticker from the latest book:
     * micro = (ask·q_bid + bid·q_ask) / (q_bid + q_ask) with the
@@ -1487,7 +1549,8 @@ object Analytics {
     "ob29_asof_native" -> (asofNative _),
     "ob30_asof_native_strict" -> (asofNativeStrict _),
     "ob31_book_conservation" -> (bookConservation _),
-    "ob32_flow_predictability" -> (flowPredictability _))
+    "ob32_flow_predictability" -> (flowPredictability _),
+    "ob33_weighted_imbalance" -> (weightedImbalance _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1521,5 +1584,6 @@ object Analytics {
     "ob29_asof_native" -> asofPriceSql,
     "ob30_asof_native_strict" -> asofToleranceSql,
     "ob31_book_conservation" -> bookConservationSql,
-    "ob32_flow_predictability" -> flowPredictabilitySql)
+    "ob32_flow_predictability" -> flowPredictabilitySql,
+    "ob33_weighted_imbalance" -> weightedImbalanceSql)
 }
