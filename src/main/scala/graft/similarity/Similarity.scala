@@ -1394,6 +1394,155 @@ object Similarity {
       |    AS top_cell_share
       |FROM occ""".stripMargin
 
+  // --------------------------------------------------------------- sim21
+  /** sim21 — IVF-PQ END-TO-END: the production retrieval stack a faiss
+    * `IVFx,PQy` index runs, composed from the gated pieces — coarse
+    * probe (sim04: top-2 cells per query over the broadcast centroid
+    * set), PQ-ADC scoring of ONLY the probed cells' candidates
+    * (sim07: 4 integer LUT lookups per candidate, never a full dot),
+    * bounded shortlist (top-10 by ADC through graft_topk), then exact
+    * fp32 re-rank of the shortlist alone (sim06's two-stage contract:
+    * the expensive exact math touches ≤ 10 rows per query). Every
+    * inter-stage handoff is id-keyed; each corpus vector lives in ONE
+    * cell so probe candidates are disjoint — no dedup stage. The
+    * approximate stages are all-integer (bit-reproducible), the only
+    * doubles are the final re-rank cosines. */
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val nn = n.select(col("vec_id"), col("e"), col("nrm"))
+    val cent = centroids(s, n)
+    val assigned = assignCells(n, cent)
+    val mx = nn.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = nn.join(broadcast(mx))
+      .select(col("vec_id"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    val cb = q.where(col("vec_id") < 8)
+      .crossJoin(broadcast(subspaces(s)))
+      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
+        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    val codes = q.crossJoin(broadcast(cb))
+      .withColumn("dist", call_function("graft_int_l2sq",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(m, code))), p -> p.code)")
+        .as("code"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val probes = n.where(col("vec_id") < 5).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("pid").as("cell"))
+    val lut = q.where(col("vec_id") < 5)
+      .crossJoin(broadcast(cb))
+      .withColumn("dot", call_function("graft_int_dot",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
+      .groupBy(col("vec_id").as("query_id"), col("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(k, dot))), p -> p.dot)")
+        .as("row"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, row))), p -> p.row)")
+        .as("lut"))
+    val cand = broadcast(probes)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
+        "neighbor_id")
+      .join(broadcast(lut), "query_id")
+      .withColumn("adc", expr(
+        "aggregate(zip_with(code, lut, (cd, row) -> element_at(row, cd + 1)), 0L, (acc, x) -> acc + x)"))
+    val shortlist = topKPerQuery(cand, 10, col("adc"),
+        col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val rescored = shortlist
+      .join(nn.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(rescored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val ivfPqSql: String = normedCte + "," + centCte + "," +
+    """ranked AS (
+      |  SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |  FROM n v CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, pid AS cell
+      |  FROM ranked WHERE vec_id < 5 AND rn <= 2),
+      |mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx),
+      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |cb AS (
+      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
+      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
+      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
+      |codes AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT q.vec_id, cb.m, cb.k,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
+      |        cb.k) AS rn
+      |    FROM q CROSS JOIN cb) t
+      |  WHERE rn = 1),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      |adc AS (
+      |  SELECT ca.query_id, ca.neighbor_id,
+      |    CAST(SUM(list_sum(list_transform(range(1, 17),
+      |      i -> CAST(qq.q[c.m * 16 + CAST(i AS INT)] AS BIGINT)
+      |           * cb.csub[CAST(i AS INT)]))) AS BIGINT) AS adc
+      |  FROM cand ca
+      |  JOIN codes c ON c.vec_id = ca.neighbor_id
+      |  JOIN cb ON cb.m = c.m AND cb.k = c.code
+      |  JOIN q qq ON qq.vec_id = ca.query_id
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+      |    FROM adc) t WHERE rn <= 10)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |    list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sh.query_id
+      |      ORDER BY list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) DESC,
+      |               sh.neighbor_id) AS INTEGER) AS rnk
+      |  FROM short sh
+      |  JOIN n qn ON qn.vec_id = sh.query_id
+      |  JOIN n cn ON cn.vec_id = sh.neighbor_id) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1414,7 +1563,8 @@ object Similarity {
     "sim17_hard_negatives" -> (hardNegatives _),
     "sim18_pq_error" -> (pqError _),
     "sim19_embed_decontaminate" -> (embedDecontaminate _),
-    "sim20_cell_balance" -> (cellBalance _))
+    "sim20_cell_balance" -> (cellBalance _),
+    "sim21_ivfpq" -> (ivfPq _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1436,5 +1586,6 @@ object Similarity {
     "sim17_hard_negatives" -> hardNegativesSql,
     "sim18_pq_error" -> pqErrorSql,
     "sim19_embed_decontaminate" -> embedDecontaminateSql,
-    "sim20_cell_balance" -> cellBalanceSql)
+    "sim20_cell_balance" -> cellBalanceSql,
+    "sim21_ivfpq" -> ivfPqSql)
 }
