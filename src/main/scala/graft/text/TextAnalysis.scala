@@ -1608,6 +1608,127 @@ object TextAnalysis {
       |  CAST(SUM(term) AS DOUBLE) / CAST(MAX(n_s) AS BIGINT) AS kl
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- txt31
+  /** txt31 — HEAPS'-LAW fit: vocabulary growth V(n) ≈ K·n^β across the
+    * accumulating corpus (docs in ingestion order) — the corpus
+    * statistic that PREDICTS what txt21's Zipf head only describes:
+    * β near the corpus's own fit says how fast new tokens (and OOV
+    * rate, and vocabulary-keyed state) keep growing at 100× the data.
+    *
+    * Scale shape: "cumulative distinct" is NOT computed by scanning
+    * prefixes — each token reduces to its FIRST-SEEN doc (one
+    * vocabulary-keyed min), first-seens histogram into ~20 doc
+    * buckets, and the cumulative sum runs over ≤ 21 metadata-sized
+    * rows (txt21's head regime). The ln-ln least squares reuses the
+    * txt21 recipe exactly: DECIMAL(28,6)-quantized point coordinates
+    * (1e-6 grid per the txt30 lesson), EXACT decimal moment sums,
+    * closed-form β / ln K / R² as one fixed-shape double expression. */
+  def heapsFit(s: SparkSession, d: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val d12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    // CHARACTER 3-grams, not whitespace tokens: the growth unit must
+    // be fine enough to still be growing on this corpus's tiny
+    // synthetic vocabulary; on a real crawl either unit works
+    val grams = Tables.documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, length(text) - 2),
+             i -> substring(text, i, 3))""")).as("gram"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val firstSeen = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    // LOG-spaced prefixes (bucket b covers docs < 2^(b+1)): early
+    // growth gets resolution, the point count is ~log2(n_docs) at ANY
+    // scale — the cumulative window below never outgrows ~40 rows.
+    // floor(log2) is boundary-safe: log2 of a power of two is exact
+    // in IEEE, and off-power inputs sit far beyond one ulp from an
+    // integer until ~2^50 docs
+    val perBucket = firstSeen
+      .groupBy(floor(log2(col("first_doc") + 1)).cast(LongType)
+        .as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucket.crossJoin(broadcast(nDocs))
+      .withColumn("vocab_cum", sum(col("new_vocab")).over(w))
+      .withColumn("docs_cum",
+        least(expr("shiftleft(1L, cast(bucket + 1 as int)) - 1"),
+          col("n_docs")))
+      .select(
+        log(col("docs_cum").cast(DoubleType)).cast(d6).as("x"),
+        log(col("vocab_cum").cast(DoubleType)).cast(d6).as("y"))
+    val m = pts
+      .select(col("x"), col("y"),
+        (col("x").cast(DoubleType) * col("y").cast(DoubleType))
+          .cast(d12).as("xy"),
+        (col("x").cast(DoubleType) * col("x").cast(DoubleType))
+          .cast(d12).as("xx"),
+        (col("y").cast(DoubleType) * col("y").cast(DoubleType))
+          .cast(d12).as("yy"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("xy")).cast(DoubleType).as("sxy"),
+        sum(col("xx")).cast(DoubleType).as("sxx"),
+        sum(col("yy")).cast(DoubleType).as("syy"))
+    // a saturated corpus (all vocabulary first-seen in one bucket —
+    // this synthetic corpus's 31-token vocab does exactly that) leaves
+    // a single point: the fit is undefined, reported as NULLs next to
+    // the honest n_points rather than an ANSI divide-by-zero abort
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n") * col("syy") - col("sy") * col("sy")
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    m.select(col("n").cast(LongType).as("n_points"),
+      when(den =!= 0d, beta).as("beta"),
+      when(den =!= 0d,
+        (col("sy") - beta * col("sx")) / col("n")).as("ln_k"),
+      when(den =!= 0d && den2 =!= 0d,
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          (den * den2)).as("r2"))
+  }
+
+  val heapsFitSql: String =
+    s"""WITH hf_g AS (
+      |  SELECT doc_id, substring(text, CAST(i AS INT), 3) AS gram
+      |  FROM documents, unnest(range(1, LENGTH(text) - 1)) AS u(i)
+      |  WHERE LENGTH(text) >= 3),
+      |hf_nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |hf_fs AS (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM hf_g
+      |  GROUP BY gram),
+      |hf_pb AS (
+      |  SELECT CAST(floor(log2(first_doc + 1)) AS BIGINT) AS bucket,
+      |    COUNT(*) AS new_vocab
+      |  FROM hf_fs GROUP BY 1),
+      |hf_pts AS (
+      |  SELECT
+      |    CAST(ln(CAST(least((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INT)) - 1,
+      |      n_docs) AS DOUBLE)) AS DECIMAL(28,6)) AS x,
+      |    CAST(ln(CAST(SUM(new_vocab) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE)) AS DECIMAL(28,6)) AS y
+      |  FROM hf_pb, hf_nd),
+      |hf_m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS syy
+      |  FROM hf_pts)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta,
+      |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+      |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |  END AS ln_k,
+      |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+      |    ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |      ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+      |FROM hf_m""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1639,7 +1760,8 @@ object TextAnalysis {
     "txt27_token_fertility" -> (tokenFertility _),
     "txt28_bigram_nll" -> (bigramNll _),
     "txt29_bpe_pretokens" -> (bpePretokens _),
-    "txt30_source_drift" -> (sourceDrift _))
+    "txt30_source_drift" -> (sourceDrift _),
+    "txt31_heaps_fit" -> (heapsFit _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1671,5 +1793,6 @@ object TextAnalysis {
     "txt27_token_fertility" -> tokenFertilitySql,
     "txt28_bigram_nll" -> bigramNllSql,
     "txt29_bpe_pretokens" -> bpePretokensSql,
-    "txt30_source_drift" -> sourceDriftSql)
+    "txt30_source_drift" -> sourceDriftSql,
+    "txt31_heaps_fit" -> heapsFitSql)
 }
