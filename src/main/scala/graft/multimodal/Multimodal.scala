@@ -539,6 +539,77 @@ object Multimodal {
       |FROM cs_tot t LEFT JOIN cs_st s ON s.kind = t.kind
       |ORDER BY t.kind""".stripMargin
 
+  // ---------------------------------------------------------------- mm09
+  /** mm09 — SHARED-FRAME detection across videos: which video pairs
+    * share frame CONTENT (a re-encoded or clipped copy keeps frames
+    * whole-file hashing can't see — the frame-level analog of mm05's
+    * whole-payload pHash). Frames are FIXED 32-byte windows (a codec's
+    * GOP grid, not per-video metadata — per-video frame sizes would
+    * misalign identical content); each video reduces to its DISTINCT
+    * frame-digest set; digests shared by more than MaxFrameDf videos
+    * drop as boilerplate (dd13's df-cap move — a ubiquitous intro
+    * frame would otherwise pair everything with everything); pair
+    * counts come from a digest-keyed self-join bounded per digest by
+    * the cap. Payload bytes never shuffle — only 32-char digests.
+    *
+    * Like dd06/sim09/sim19, the fixture PLANTS the condition it
+    * detects: every video with media_id % 11 = 2 gets a clipped
+    * re-upload (id + 100000, first frame cut — the grid stays
+    * aligned), so the gate checks recall, not an empty corpus. */
+  val MaxFrameDf = 20L
+  val FrameBytes = 32
+
+  def sharedFrames(s: SparkSession, d: String): DataFrame = {
+    val base = media(s, d).where(col("kind") === "video")
+      .select(col("media_id"), col("payload").cast("string").as("txt"))
+    val planted = base.where(col("media_id") % 11 === 2)
+      .select((col("media_id") + 100000L).as("media_id"),
+        substring(col("txt"), FrameBytes + 1, Int.MaxValue).as("txt"))
+    val fr = base.unionByName(planted)
+      .where(length(col("txt")) >= FrameBytes)
+      .select(col("media_id"), explode(expr(
+        s"""transform(sequence(0, length(txt) div $FrameBytes - 1),
+             i -> md5(substring(txt, i * $FrameBytes + 1, $FrameBytes)))"""))
+        .as("dg"))
+      .distinct()
+    val keep = fr.groupBy(col("dg"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxFrameDf)
+      .select(col("dg"))
+    val fr2 = fr.join(keep, "dg")
+    fr2.select(col("dg"), col("media_id").as("video_a"))
+      .join(fr2.select(col("dg"), col("media_id").as("video_b")), "dg")
+      .where(col("video_a") < col("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("video_a"), col("video_b"))
+  }
+
+  val sharedFramesSql: String = mediaCte + s""",
+      |sf_b AS (
+      |  SELECT media_id, text AS txt FROM media WHERE kind = 'video'),
+      |sf_aug AS (
+      |  SELECT * FROM sf_b
+      |  UNION ALL
+      |  SELECT media_id + 100000, substring(txt, ${FrameBytes + 1})
+      |  FROM sf_b WHERE media_id % 11 = 2),
+      |sf_fr AS (
+      |  SELECT DISTINCT media_id,
+      |    md5(substring(txt, CAST(i * $FrameBytes + 1 AS INT),
+      |      $FrameBytes)) AS dg
+      |  FROM sf_aug, unnest(range(0, LENGTH(txt) // $FrameBytes)) AS u(i)
+      |  WHERE LENGTH(txt) >= $FrameBytes),
+      |sf_keep AS (
+      |  SELECT dg FROM sf_fr GROUP BY dg
+      |  HAVING COUNT(*) <= $MaxFrameDf),
+      |sf_fr2 AS (SELECT f.* FROM sf_fr f JOIN sf_keep USING (dg))
+      |SELECT a.media_id AS video_a, b.media_id AS video_b,
+      |  COUNT(*) AS n_shared
+      |FROM sf_fr2 a JOIN sf_fr2 b
+      |  ON a.dg = b.dg AND a.media_id < b.media_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm01_blob_stats" -> (blobStats _),
@@ -548,7 +619,8 @@ object Multimodal {
     "mm05_phash_neardup" -> (phashNearDup _),
     "mm06_phash_clusters" -> (phashClusters _),
     "mm07_chunk_dedup" -> (chunkDedup _),
-    "mm08_chunk_savings" -> (chunkSavings _))
+    "mm08_chunk_savings" -> (chunkSavings _),
+    "mm09_shared_frames" -> (sharedFrames _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
@@ -558,7 +630,8 @@ object Multimodal {
     "mm05_phash_neardup" -> phashNearDupSql,
     "mm06_phash_clusters" -> phashClustersSql,
     "mm07_chunk_dedup" -> chunkDedupSql,
-    "mm08_chunk_savings" -> chunkSavingsSql)
+    "mm08_chunk_savings" -> chunkSavingsSql,
+    "mm09_shared_frames" -> sharedFramesSql)
 }
 
 /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
