@@ -1230,6 +1230,190 @@ object Dedup {
       |SELECT id_t, id_e, jaccard FROM best WHERE rn = 1
       |ORDER BY id_t""".stripMargin
 
+  // ---------------------------------------------------------------- dd18
+  /** dd18 — INCREMENTAL NEAR-dup: dd14's snapshot verdicts
+    * (dup-of-history / dup-in-increment / kept) upgraded from exact
+    * fingerprints to banded-MinHash near-duplicates — the matrix cell
+    * the family still missed: dd14 is incremental×exact, dd16 is
+    * cross-side×near-dup against a FIXED eval set; a daily crawl
+    * append needs incremental×near-dup against the whole history.
+    * Shape is dd16's: the increment side band-joins the history's
+    * signatures (history never self-joins, never rescans raw text —
+    * at production scale the history side is the persisted signature
+    * STORE, dd14's argument), plus one in-increment banded pass where
+    * only the EARLIER doc can be the keeper. History matches take
+    * verdict priority (dd14's convention). The fixture plants edited
+    * history copies in the increment (text + ' extra token') so the
+    * genuinely-fuzzy path is exercised, not just jaccard-1.0 twins. */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 0)
+    val incBase = docs.where(col("doc_id") % 5 === 0)
+    val inc = incBase
+      .unionByName(hist.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text")))
+      // in-increment near-dups too, so all three verdicts are live:
+      // an edited copy of an increment doc dups the EARLIER original
+      // (unless its text also near-matches history — history wins)
+      .unionByName(incBase.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text")))
+    val all = hist.withColumn("side", lit("h"))
+      .unionByName(inc.withColumn("side", lit("i")))
+    val sig = withHashedShingles(s, all)
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+      .select(col("doc_id"), col("side"), col("hsh"), col("sig"))
+    val bands = withBandKeys(sig.select(col("doc_id"), col("sig")))
+      .join(sig.select(col("doc_id"), col("side")), "doc_id")
+    val bh = bands.where(col("side") === "h")
+      .select(col("doc_id").as("id_h"), col("sig").as("sig_h"),
+        col("band"), col("bkey"))
+    val bi = bands.where(col("side") === "i")
+      .select(col("doc_id").as("id_i"), col("sig").as("sig_i"),
+        col("band"), col("bkey"))
+    def verified(cand: DataFrame, lId: String, rId: String): DataFrame = {
+      val sl = sig.select(col("doc_id").as(lId), col("hsh").as("sh_l"))
+      val sr = sig.select(col("doc_id").as(rId), col("hsh").as("sh_r"))
+      cand.join(sl.distinct(), lId).join(sr.distinct(), rId)
+        .withColumn("n_common",
+          call_function("graft_sorted_intersect_count",
+            col("sh_l"), col("sh_r")))
+        .withColumn("n_union",
+          size(col("sh_l")).cast(LongType) + size(col("sh_r")) -
+            col("n_common"))
+        .withColumn("jaccard",
+          when(col("n_union") > 0,
+            col("n_common").cast(DoubleType) / col("n_union")))
+        .where(col("jaccard") >= 0.8)
+        .select(col(lId), col(rId), col("jaccard"))
+    }
+    val candH = bh.join(bi, Seq("band", "bkey"))
+      .where(call_function("graft_positional_eq_count",
+        col("sig_h"), col("sig_i")) >= 26)
+      .select(col("id_h"), col("id_i")).distinct()
+    val bestH = verified(candH, "id_h", "id_i")
+      .groupBy(col("id_i"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("id_h").as("m")))
+        .as("w"))
+      .select(col("id_i"), col("w.m").as("h_match"),
+        (-col("w.nj")).as("h_jaccard"))
+    val ba = bi.select(col("id_i").as("id_a"), col("sig_i").as("sig_a"),
+      col("band"), col("bkey"))
+    val candI = ba.join(bi, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_i") &&
+        call_function("graft_positional_eq_count",
+          col("sig_a"), col("sig_i")) >= 26)
+      .select(col("id_a"), col("id_i")).distinct()
+    val bestI = verified(candI, "id_a", "id_i")
+      .groupBy(col("id_i"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("id_a").as("m")))
+        .as("w"))
+      .select(col("id_i"), col("w.m").as("i_match"),
+        (-col("w.nj")).as("i_jaccard"))
+    inc.select(col("doc_id").as("id_i"))
+      .join(bestH, Seq("id_i"), "left")
+      .join(bestI, Seq("id_i"), "left")
+      .select(col("id_i"),
+        when(col("h_match").isNotNull, "dup_of_history")
+          .when(col("i_match").isNotNull, "dup_in_increment")
+          .otherwise("kept").as("verdict"),
+        coalesce(col("h_match"), col("i_match"), lit(-1L))
+          .as("match_id"),
+        coalesce(col("h_jaccard"), col("i_jaccard")).as("jaccard"))
+      .orderBy(col("id_i"))
+  }
+
+  val incrementalNearDupSql: String =
+    """WITH hist_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |inc_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, text || ' extra token'
+      |  FROM hist_docs WHERE doc_id % 13 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, text || ' extra token'
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 0),
+      |all_docs AS (
+      |  SELECT doc_id, text, 'h' AS side FROM hist_docs
+      |  UNION ALL
+      |  SELECT doc_id, text, 'i' FROM inc_docs),
+      |sh AS (
+      |  SELECT doc_id, side,
+      |    list_distinct(list_transform(range(1, LENGTH(text) - 1),
+      |                  i -> substr(text, CAST(i AS INT), 3))) AS shingles
+      |  FROM all_docs),
+      |hs AS (
+      |  SELECT doc_id, side, list_distinct(list_transform(shingles, s ->
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(s) + 1),
+      |      i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007))) AS hsh
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, side, hsh, list_transform(range(0, 32), j ->
+      |    list_min(list_transform(hsh, h ->
+      |      (((2654435761 * (CAST(j AS BIGINT) + 1)) % 1000000007) * h
+      |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, side, sig,  b.band,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      sig[CAST(8 * b.band + 1 AS INT):CAST(8 * b.band + 8 AS INT)],
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |pre_h AS (
+      |  SELECT DISTINCT h.doc_id AS id_h, i.doc_id AS id_i
+      |  FROM bands h JOIN bands i
+      |    ON h.band = i.band AND h.bkey = i.bkey
+      |   AND h.side = 'h' AND i.side = 'i'
+      |  WHERE list_sum(list_transform(range(1, 33), x ->
+      |    CASE WHEN h.sig[CAST(x AS INT)] = i.sig[CAST(x AS INT)]
+      |         THEN 1 ELSE 0 END)) >= 26),
+      |ver_h AS (
+      |  SELECT id_h, id_i,
+      |    CAST(len(list_intersect(sl.hsh, sr.hsh)) AS DOUBLE)
+      |      / len(list_distinct(sl.hsh || sr.hsh)) AS jaccard
+      |  FROM pre_h
+      |  JOIN hs sl ON sl.doc_id = id_h AND sl.side = 'h'
+      |  JOIN hs sr ON sr.doc_id = id_i AND sr.side = 'i'),
+      |best_h AS (
+      |  SELECT id_i, id_h AS h_match, jaccard AS h_jaccard FROM (
+      |    SELECT id_i, id_h, jaccard, ROW_NUMBER() OVER (
+      |      PARTITION BY id_i ORDER BY jaccard DESC, id_h) AS rn
+      |    FROM ver_h WHERE jaccard >= 0.8) t WHERE rn = 1),
+      |pre_i AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, i.doc_id AS id_i
+      |  FROM bands a JOIN bands i
+      |    ON a.band = i.band AND a.bkey = i.bkey
+      |   AND a.side = 'i' AND i.side = 'i' AND a.doc_id < i.doc_id
+      |  WHERE list_sum(list_transform(range(1, 33), x ->
+      |    CASE WHEN a.sig[CAST(x AS INT)] = i.sig[CAST(x AS INT)]
+      |         THEN 1 ELSE 0 END)) >= 26),
+      |ver_i AS (
+      |  SELECT id_a, id_i,
+      |    CAST(len(list_intersect(sl.hsh, sr.hsh)) AS DOUBLE)
+      |      / len(list_distinct(sl.hsh || sr.hsh)) AS jaccard
+      |  FROM pre_i
+      |  JOIN hs sl ON sl.doc_id = id_a AND sl.side = 'i'
+      |  JOIN hs sr ON sr.doc_id = id_i AND sr.side = 'i'),
+      |best_i AS (
+      |  SELECT id_i, id_a AS i_match, jaccard AS i_jaccard FROM (
+      |    SELECT id_i, id_a, jaccard, ROW_NUMBER() OVER (
+      |      PARTITION BY id_i ORDER BY jaccard DESC, id_a) AS rn
+      |    FROM ver_i WHERE jaccard >= 0.8) t WHERE rn = 1)
+      |SELECT d.doc_id AS id_i,
+      |  CASE WHEN h.h_match IS NOT NULL THEN 'dup_of_history'
+      |       WHEN i.i_match IS NOT NULL THEN 'dup_in_increment'
+      |       ELSE 'kept' END AS verdict,
+      |  COALESCE(h.h_match, i.i_match, -1) AS match_id,
+      |  COALESCE(h.h_jaccard, i.i_jaccard) AS jaccard
+      |FROM inc_docs d
+      |LEFT JOIN best_h h ON h.id_i = d.doc_id
+      |LEFT JOIN best_i i ON i.id_i = d.doc_id
+      |ORDER BY id_i""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
@@ -1248,7 +1432,8 @@ object Dedup {
     "dd14_incremental" -> (incrementalDedup _),
     "dd15_sketch_calibration" -> (sketchCalibration _),
     "dd16_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
-    "dd17_cluster_cohesion" -> (clusterCohesion _))
+    "dd17_cluster_cohesion" -> (clusterCohesion _),
+    "dd18_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
@@ -1270,5 +1455,6 @@ object Dedup {
     "dd14_incremental" -> incrementalDedupSql,
     "dd15_sketch_calibration" -> sketchCalibrationSql,
     "dd16_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
-    "dd17_cluster_cohesion" -> clusterCohesionSql)
+    "dd17_cluster_cohesion" -> clusterCohesionSql,
+    "dd18_incremental_neardup" -> incrementalNearDupSql)
 }
