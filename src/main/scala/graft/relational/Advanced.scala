@@ -1158,8 +1158,8 @@ object Advanced {
     * generated from the data's own bounds, LEFT-joined to the hourly
     * aggregate, absent cells zero-filled (q41/q47 impute VALUES inside
     * an existing row set; this materializes the MISSING rows — at
-    * sf0.01 the events table fills ~10k of the 3.6k grid cells, so
-    * real zeros survive to the output).
+    * sf0.01 the 10k events land in only some of the 3.6k grid cells,
+    * so real zeros survive to the output).
     *
     * Spark-first shape: the spine is `explode(sequence(min, max,
     * interval 1 hour))` over a 1-row scalar-aggregate frame — fully
