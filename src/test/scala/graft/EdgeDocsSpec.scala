@@ -105,7 +105,8 @@ class EdgeDocsSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("ob") || n.startsWith("q15") || n.startsWith("q16") ||
         n.startsWith("q21") || n.startsWith("q26") ||
-        n.startsWith("q58") || n.startsWith("q61") || n.startsWith("q63"))
+        n.startsWith("q58") || n.startsWith("q61") ||
+        n.startsWith("q63") || n.startsWith("q65"))
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
