@@ -547,6 +547,39 @@ object Analytics {
       .orderBy(col("ticker"), col("event_id"))
   }
 
+  /** ob34 — COMPOSITE-KEY native as-of: the (ticker, side) book query
+    * the single-key operator can't express without concat hacks — for
+    * every snapshot LEVEL anchor (distinct (ticker, side, event_id)),
+    * the latest delta ON THE SAME SIDE at or before it. A yes-side
+    * anchor must never be enriched with a no-side print: the two sides
+    * are independent books (A10's side-tag explode exists precisely to
+    * keep them apart). Same one-exchange-one-sort-per-side merge as
+    * ob29, now clustering and comparing on a two-column key row;
+    * oracle is DuckDB ASOF with an additional equality condition. */
+  def asofComposite(s: SparkSession, d: String): DataFrame = {
+    val anchors = Derive.snapshots(s, d)
+      .select(col("ticker"), col("side"), col("event_id")).distinct()
+    val quotes = Derive.deltas(s, d)
+      .select(col("ticker").as("q_ticker"), col("side").as("q_side"),
+        col("event_id").as("q_event_id"),
+        col("price").as("last_price"), col("seq").as("last_seq"))
+    graft.plans.AsOf.join(anchors, quotes,
+        Seq("ticker", "side"), Seq("q_ticker", "q_side"),
+        "event_id", "q_event_id")
+      .select(col("ticker"), col("side"), col("event_id"),
+        col("last_price"), col("last_seq"))
+      .orderBy(col("ticker"), col("side"), col("event_id"))
+  }
+
+  val asofCompositeSql: String = Derive.cte +
+    """SELECT s.ticker, s.side, s.event_id,
+      |  d.price AS last_price, d.seq AS last_seq
+      |FROM (SELECT DISTINCT ticker, side, event_id FROM ob_snapshots) s
+      |ASOF LEFT JOIN ob_deltas d
+      |  ON s.ticker = d.ticker AND s.side = d.side
+      |  AND d.event_id <= s.event_id
+      |ORDER BY s.ticker, s.side, s.event_id""".stripMargin
+
   /** ob31 — BOOK-CONSERVATION audit: content-level integrity on top of
     * A3's sequence-level fail-stop — for each consecutive snapshot
     * pair, does the sum of deltas in the interval (a, b] account for
@@ -1550,7 +1583,8 @@ object Analytics {
     "ob30_asof_native_strict" -> (asofNativeStrict _),
     "ob31_book_conservation" -> (bookConservation _),
     "ob32_flow_predictability" -> (flowPredictability _),
-    "ob33_weighted_imbalance" -> (weightedImbalance _))
+    "ob33_weighted_imbalance" -> (weightedImbalance _),
+    "ob34_asof_composite" -> (asofComposite _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1585,5 +1619,6 @@ object Analytics {
     "ob30_asof_native_strict" -> asofToleranceSql,
     "ob31_book_conservation" -> bookConservationSql,
     "ob32_flow_predictability" -> flowPredictabilitySql,
-    "ob33_weighted_imbalance" -> weightedImbalanceSql)
+    "ob33_weighted_imbalance" -> weightedImbalanceSql,
+    "ob34_asof_composite" -> asofCompositeSql)
 }

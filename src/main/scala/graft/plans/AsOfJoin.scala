@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
 /** The engine's whole-operator custom-Catalyst surface: a NATIVE as-of
   * join — `LogicalPlan` node + `SparkStrategy` + physical `SparkPlan` —
@@ -15,10 +15,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * ([[graft.functions.GraftExtensions]]).
   *
   * Semantics (LEFT as-of): every left row, enriched with the columns of
-  * the LATEST right row sharing its key with `rightTs <= leftTs`; left
-  * rows with no such right row keep nulls — exactly DuckDB's
-  * `ASOF LEFT JOIN … ON l.k = r.k AND r.ts <= l.ts`, the enrichment
-  * shape the reference's split snapshot/delta streams exist for
+  * the LATEST right row sharing its key(s) with `rightTs <= leftTs`;
+  * left rows with no such right row keep nulls — exactly DuckDB's
+  * `ASOF LEFT JOIN … ON l.k = r.k AND r.ts <= l.ts` (multi-column keys
+  * map to additional equality conditions), the enrichment shape the
+  * reference's split snapshot/delta streams exist for
   * (`consumer.py:24-27` processes them independently; answering
   * "prevailing quote at each anchor" NEEDS this join).
   *
@@ -43,20 +44,53 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the sort cost of that key's partition, same as SMJ, and the AQE
   * skew-split machinery (op05) applies to the exchanges it reads.
   *
-  * Registered as `ob29_asof_native` with ob14's oracle (two
-  * implementations — composed vs native — one DuckDB ASOF truth). */
+  * Hot-path evaluation is BOUND + CODEGEN'D (the round-9 version paid
+  * interpreted `Expression.eval` + interpreted orderings per row): keys
+  * and timestamps are extracted through `UnsafeProjection.create`
+  * (whole-expression codegen into compact key rows) and compared with
+  * `RowOrdering.create` (codegen'd ordering with interpreted fallback),
+  * so the merge loop touches UnsafeRow field accessors only.
+  *
+  * Registered as `ob29_asof_native` (single key) and
+  * `ob34_asof_composite` ((ticker, side) key) with DuckDB ASOF
+  * oracles. */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output.map(AsOfJoinNode.clean) ++
+      right.output.map(a => AsOfJoinNode.clean(a).withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinNode {
+  /** Metadata key marking the re-aliasing Project the builder wraps
+    * around the right child for attribute-id disambiguation. Spark's
+    * `RemoveRedundantAliases` strips same-name, metadata-free aliases
+    * for every node except the built-in Join — for a SELF as-of with
+    * unrenamed columns that would collapse the right side back onto
+    * the left side's expr ids and silently mirror left values into the
+    * right half. An alias whose metadata differs from its child's is
+    * never considered redundant, so this marker makes the
+    * disambiguation survive optimization; the node strips it from its
+    * own output so the marker never leaks into a result schema. */
+  val RealiasMarker = "__graft_asof_realias"
+
+  def clean(a: Attribute): Attribute =
+    if (a.metadata.contains(RealiasMarker)) {
+      a.withMetadata(new MetadataBuilder().withMetadata(a.metadata)
+        .remove(RealiasMarker).build())
+    } else a
+
+  def mark(m: Metadata): Metadata =
+    new MetadataBuilder().withMetadata(m)
+      .putBoolean(RealiasMarker, value = true).build()
 }
 
 /** Planner strategy: the one-case mapping from the logical node to the
@@ -64,8 +98,8 @@ case class AsOfJoinNode(
   * only the as-of merge itself is custom). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+    case AsOfJoinNode(l, r, lks, rks, lts, rts, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lts, rts,
         strict) :: Nil
     case _ => Nil
   }
@@ -74,19 +108,19 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Physical partitioned merge as-of join.
   *
   * Contract with the engine: `requiredChildDistribution` clusters both
-  * children on their key (EnsureRequirements inserts compatible hash
+  * children on their keys (EnsureRequirements inserts compatible hash
   * exchanges — or none, when an upstream partitioning already
-  * satisfies them); `requiredChildOrdering` asks for (key, ts)
+  * satisfies them); `requiredChildOrdering` asks for (keys…, ts)
   * ascending on both sides (satisfied by SortExec, or for free off a
   * sorted source). `doExecute` then zips co-partitioned inputs and
   * merges each pair with ONE forward pass: a buffered right iterator
   * is advanced while it is still at-or-before the current left row,
   * remembering only the latest same-key right row (copied out of the
-  * reused UnsafeRow buffer). Null keys/timestamps never match, on
-  * either side — SQL join-key semantics. */
+  * reused UnsafeRow buffer). Null key columns / timestamps never
+  * match, on either side — SQL join-key semantics. */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     strict: Boolean = false) extends BinaryExecNode {
 
@@ -100,15 +134,16 @@ case class AsOfJoinExec(
       .createMetric(sparkContext, "number of matched left rows"))
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output.map(AsOfJoinNode.clean) ++
+      right.output.map(a => AsOfJoinNode.clean(a).withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
-      ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
 
   // the merge emits left rows in their incoming order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -119,16 +154,26 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lkB = BindReferences.bindReference(leftKey, left.output)
-    val ltsB = BindReferences.bindReference(leftTs, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
-    val rtsB = BindReferences.bindReference(rightTs, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
     val rightArity = right.output.size
     val outRows = longMetric("numOutputRows")
     val matchedRows = longMetric("numMatchedRows")
+    val (lks, rks, lts, rts) = (leftKeys, rightKeys, leftTs, rightTs)
+    val (lOut, rOut, out) = (left.output, right.output, output)
+    val isStrict = strict
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
+      // bound, codegen'd extractors: each evaluates its expressions
+      // against the child's UnsafeRow into a compact key/ts row —
+      // generated once per partition, no per-row interpretation
+      val lKeyProj = UnsafeProjection.create(lks, lOut)
+      val rKeyProj = UnsafeProjection.create(rks, rOut)
+      val lTsProj = UnsafeProjection.create(lts :: Nil, lOut)
+      val rTsProj = UnsafeProjection.create(rts :: Nil, rOut)
+      // codegen'd natural-ascending orderings over the projected rows
+      // (null ordering is irrelevant: null keys/ts short-circuit below)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(tsType :: Nil)
       val rbuf = rit.buffered
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
@@ -137,39 +182,38 @@ case class AsOfJoinExec(
       // the result projection also frees downstream operators from
       // JoinedRow's slower field access — same shape as SMJ's
       // resultProj
-      val proj = org.apache.spark.sql.catalyst.expressions
-        .UnsafeProjection.create(output, output)
-      // O(1) merge state: the latest at-or-before right row (a copy —
-      // the child iterator reuses its UnsafeRow buffer) and its key,
-      // re-evaluated from the copy so backing memory stays valid
+      val proj = UnsafeProjection.create(out, out)
+      // O(1) merge state: the latest at-or-before right row and its
+      // key row (copies — both the child iterator and the projections
+      // reuse their UnsafeRow buffers)
       var held: InternalRow = null
-      var heldKey: Any = null
+      var heldKey: InternalRow = null
       lit.map { lrow =>
-        val k = lkB.eval(lrow)
-        val t = ltsB.eval(lrow)
-        if (k == null || t == null) {
+        val lk = lKeyProj(lrow)
+        val lt = lTsProj(lrow)
+        if (lk.anyNull || lt.isNullAt(0)) {
           outRows += 1
           proj(joined(lrow, nullRight))
         } else {
           var scanning = true
           while (scanning && rbuf.hasNext) {
             val rrow = rbuf.head
-            val rk = rkB.eval(rrow)
-            val rt = rtsB.eval(rrow)
-            if (rk == null || rt == null) { rbuf.next() } // unmatchable
+            val rk = rKeyProj(rrow)
+            val rt = rTsProj(rrow)
+            if (rk.anyNull || rt.isNullAt(0)) { rbuf.next() } // unmatchable
             else {
-              val kc = keyOrd.compare(rk, k)
-              val tc = tsOrd.compare(rt, t)
-              if (kc < 0 || (kc == 0 && (if (strict) tc < 0 else tc <= 0))) {
+              val kc = keyOrd.compare(rk, lk)
+              val tc = tsOrd.compare(rt, lt)
+              if (kc < 0 || (kc == 0 && (if (isStrict) tc < 0 else tc <= 0))) {
                 if (kc == 0) {
                   held = rrow.copy()
-                  heldKey = rkB.eval(held)
+                  heldKey = rk.copy()
                 }
                 rbuf.next()
               } else scanning = false
             }
           }
-          val matched = held != null && keyOrd.compare(heldKey, k) == 0
+          val matched = held != null && keyOrd.compare(heldKey, lk) == 0
           outRows += 1
           if (matched) matchedRows += 1
           proj(joined(lrow, if (matched) held else nullRight))
@@ -186,16 +230,34 @@ case class AsOfJoinExec(
   * because constructing a DataFrame from a raw LogicalPlan is a
   * package-private Spark door. */
 object AsOf {
-  /** `strict = true` matches STRICTLY-before right rows (`rightTs <
-    * leftTs`) — the "prevailing quote must predate the anchor" mode
-    * (ob19/ob23's semantics); default is at-or-before (`<=`). */
+  /** Single-key convenience — the common ticker-keyed shape. */
   def join(left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
+      strict: Boolean): org.apache.spark.sql.DataFrame =
+    join(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs, strict)
+
+  def join(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): org.apache.spark.sql.DataFrame =
+    join(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs,
+      strict = false)
+
+  /** Composite-key as-of: equality on every (leftKeys(i), rightKeys(i))
+    * pair, then latest-at-or-before on the ts pair — the (ticker, side)
+    * book shape ob34 registers. `strict = true` matches STRICTLY-before
+    * right rows (`rightTs < leftTs`) — the "prevailing quote must
+    * predate the anchor" mode (ob19/ob23's semantics); default is
+    * at-or-before (`<=`). */
+  def join(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String,
       strict: Boolean = false): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.GraftPlanBridge.asofJoin(
-      left, right, leftKey, rightKey, leftTs, rightTs, strict)
+      left, right, leftKeys, rightKeys, leftTs, rightTs, strict)
 
   /** True when `spark` was built with the graft extensions (the
     * strategy is injected); callers outside GraftSession would

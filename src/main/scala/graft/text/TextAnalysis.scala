@@ -1551,11 +1551,13 @@ object TextAnalysis {
     * Shape: one (source, token) count shuffle; corpus counts
     * RE-AGGREGATE from it (op09's reuse shape — the vocabulary never
     * shuffles twice); totals broadcast; one token-keyed join back; one
-    * per-source decimal sum. Parity: both lns through DECIMAL(18,10)
-    * quantization, the summed term is the EXACT decimal product
-    * c_st · (lnq_s − lnq_c) — DECIMAL(18,10)×DECIMAL(19,0) =
-    * DECIMAL(38,10), exact and order-independent in both engines —
-    * and the only double ops are the two ln inputs and the final
+    * per-source decimal sum. Parity: the ln DIFFERENCE is quantized
+    * ONCE at DECIMAL(18,6) (quantizing the two lns separately at
+    * finer scales re-opens the double-rounding divergence this family
+    * exists to avoid), the summed term is the EXACT decimal product
+    * c_st · round(ln p_s − ln p_c) — DECIMAL(18,6)×DECIMAL(19,0) =
+    * DECIMAL(38,6), exact and order-independent in both engines —
+    * and the only double ops are the ln inputs and the final
     * normalization by the source's token count. */
   def sourceDrift(s: SparkSession, d: String): DataFrame = {
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)

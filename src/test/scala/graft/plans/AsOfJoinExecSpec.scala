@@ -75,6 +75,62 @@ class AsOfJoinExecSpec extends AnyFunSuite {
       ("B", 15L, 4), ("C", 5L, 5)))
   }
 
+  test("SAME-NAME self-as-of: disambiguating aliases survive " +
+    "RemoveRedundantAliases; right half carries real (not mirrored) values") {
+    // strict mode makes the expectation discriminating: the right half
+    // must be the PREVIOUS same-key row, so an id-collapse bug that
+    // mirrors left values into the right half fails loudly (with <=
+    // semantics the correct answer IS the left row and the bug hides)
+    val out = AsOf.join(trades, trades, "k", "k", "ts", "ts", strict = true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(5)) -1 else r.getInt(5))).toSet
+    assert(out === Set(
+      ("A", 10L, 1, -1),  // no strictly-earlier A row
+      ("A", 20L, 2, 1),   // previous A row, NOT itself
+      ("A", 30L, 3, 2),
+      ("B", 15L, 4, -1),
+      ("C", 5L, 5, -1)))
+    // and the marker metadata must not leak into the result schema
+    val schema = AsOf.join(trades, trades, "k", "k", "ts", "ts").schema
+    assert(schema.fields.forall(
+      !_.metadata.contains(AsOfJoinNode.RealiasMarker)),
+      s"realias marker leaked into schema: $schema")
+  }
+
+  test("composite key: equality on every key pair, latest at-or-before " +
+    "within the composite group") {
+    val l = Seq(
+      ("A", "yes", 20L, 1), ("A", "no", 20L, 2), ("B", "yes", 20L, 3)
+    ).toDF("k", "side", "ts", "id")
+    val r = Seq(
+      ("A", "yes", 5L, 100), ("A", "yes", 15L, 150),
+      ("A", "no", 10L, 200), ("B", "no", 1L, 300)
+    ).toDF("qk", "qside", "qts", "px")
+    val out = AsOf.join(l, r, Seq("k", "side"), Seq("qk", "qside"),
+        "ts", "qts")
+      .select($"id", $"px").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+      .toSet
+    assert(out === Set(
+      (1, 150),  // (A,yes): latest of 5/15
+      (2, 200),  // (A,no)
+      (3, -1)))  // (B,yes) has only a (B,no) quote -> null
+  }
+
+  test("composite key: a null in ANY key column never matches") {
+    val l = Seq((Some("A"), Some("x"), 10L, 1), (Some("A"), None, 10L, 2))
+      .toDF("k", "side", "ts", "id")
+    val r = Seq((Some("A"), Some("x"), 5L, 100), (Some("A"), None, 5L, 200))
+      .toDF("qk", "qside", "qts", "px")
+    val out = AsOf.join(l, r, Seq("k", "side"), Seq("qk", "qside"),
+        "ts", "qts")
+      .select($"id", $"px").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+      .toSet
+    assert(out === Set((1, 100), (2, -1)))
+  }
+
   test("strict mode: an equal-ts right row is excluded; default mode " +
     "includes it") {
     val l = Seq(("A", 20L, 1)).toDF("k", "ts", "id")

@@ -39,11 +39,16 @@ class StreamDistinctSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // last emitted row per ticker = final sketch verdict
+      // last emitted row per ticker = final sketch verdict. k_used alone
+      // can tie across micro-batches (saturated sketch whose h_K keeps
+      // shrinking, or a batch adding no new hashes) and row_number would
+      // then pick an arbitrary batch — est is monotone non-decreasing at
+      // fixed k_used, so (k_used DESC, est DESC) IS the final emission
       val finals = spark.table("stream_distinct")
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("ticker")).orderBy(col("k_used").desc)))
+            .partitionBy(col("ticker"))
+            .orderBy(col("k_used").desc, col("est").desc)))
         .where(col("rn") === 1)
         .collect()
         .map(r => r.getAs[String]("ticker") ->
