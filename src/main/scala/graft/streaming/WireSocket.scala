@@ -116,9 +116,23 @@ object WireSocket {
   * restart into the stream: re-connect + re-auth + re-subscribe with a
   * synthetic `graft_resubscribed` envelope per recovery, backoff
   * `reconnectBackoffMs`), and for authenticated feeds `accessKey` +
-  * `privateKeyFile` (PKCS#8 PEM; sends a signed auth line before
-  * subscribe — see [[WireSocket.authCommand]]) with optional
-  * `authPath` (default [[WireSocket.AuthPath]]). */
+  * `privateKeyFile` (PKCS#8 PEM) with optional `authPath` (default
+  * [[WireSocket.AuthPath]]).
+  *
+  * `transport` selects the wire (default `tcp` — NDJSON over a raw
+  * socket, the replay-fixture shape):
+  *  - `ws`  — RFC 6455 WebSocket ([[WsWire]]): HTTP Upgrade handshake
+  *    on `path` (default [[WireSocket.AuthPath]]), masked client
+  *    frames, one text message per envelope, ping/pong + close
+  *    handshake + fragmentation handled per the RFC. Signed auth rides
+  *    as CONNECT request headers, exactly the reference's shape
+  *    (kalshi_ws_client.py:106-115) — NOT as a first line.
+  *  - `wss` — `ws` over TLS with hostname verification; trust defaults
+  *    to the JDK store, or a private CA via `trustStoreFile` +
+  *    `trustStorePass` (PKCS#12).
+  * Subscribe command, envelope schema, seq fail-stop, offsets, and the
+  * reconnect contract are IDENTICAL across transports — downstream
+  * cannot tell them apart. */
 class WireSocketProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-socket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -140,22 +154,26 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WireSocket.schema
         override def toMicroBatchStream(ckpt: String): MicroBatchStream = {
-          // credentials present → lead the connection with a signed
-          // auth line; absent → unauthenticated replay, the default.
-          // The thunk defers SIGNING to the moment the reader thread
-          // actually connects: endpoints in this auth family reject
-          // timestamps outside a small skew window, so a signature
-          // minted at plan time would go stale during any
-          // planning→connect delay.
-          val authLine: Option[() => String] = for {
+          // credentials present → signed auth (a header map for the WS
+          // CONNECT request, or the first line for the tcp transport);
+          // absent → unauthenticated replay, the default. The thunk
+          // defers SIGNING to the moment the reader thread actually
+          // connects: endpoints in this auth family reject timestamps
+          // outside a small skew window, so a signature minted at plan
+          // time would go stale during any planning→connect delay.
+          val path =
+            Option(options.get("authPath")).getOrElse(WireSocket.AuthPath)
+          val auth: Option[() => Map[String, String]] = for {
             key <- Option(options.get("accessKey"))
             pem <- Option(options.get("privateKeyFile"))
           } yield {
             val signer = Signing.signerFromKeyFile(pem, key)
-            val path =
-              Option(options.get("authPath")).getOrElse(WireSocket.AuthPath)
-            () => WireSocket.authCommand(signer.headers("GET", path))
+            () => signer.headers("GET", path)
           }
+          val ssl: Option[javax.net.ssl.SSLContext] =
+            Option(options.get("trustStoreFile")).map(f =>
+              WsWire.sslContext(f,
+                Option(options.get("trustStorePass")).getOrElse("changeit")))
           new WireSocketStream(
             options.get("host"),
             options.get("port").toInt,
@@ -164,9 +182,11 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
             Option(options.get("channels")).map(_.split(",").toSeq)
               .getOrElse(Seq("orderbook_delta")),
             options.getBoolean("failOnGap", true),
-            authLine,
+            auth,
             options.getInt("maxReconnects", 0),
-            options.getLong("reconnectBackoffMs", 200L))
+            options.getLong("reconnectBackoffMs", 200L),
+            Option(options.get("transport")).getOrElse("tcp"),
+            path, ssl)
         }
       }
     }
@@ -178,12 +198,19 @@ private[streaming] case class WireOffset(n: Long) extends Offset {
 
 /** Driver-side connection + buffer; offsets are line counts. Modeled
   * on Spark's TextSocketMicroBatchStream, plus the subscribe handshake
-  * and the reference's fail-stop seq validation. */
+  * and the reference's fail-stop seq validation. `transport` picks the
+  * wire (`tcp` NDJSON / `ws` RFC 6455 / `wss` = ws over TLS); the
+  * envelope/seq/offset/reconnect contract is transport-independent. */
 private[streaming] class WireSocketStream(host: String, port: Int,
     tickers: Seq[String], channels: Seq[String], failOnGap: Boolean,
-    authLine: Option[() => String] = None,
-    maxReconnects: Int = 0, reconnectBackoffMs: Long = 200L)
+    auth: Option[() => Map[String, String]] = None,
+    maxReconnects: Int = 0, reconnectBackoffMs: Long = 200L,
+    transport: String = "tcp", wsPath: String = WireSocket.AuthPath,
+    ssl: Option[javax.net.ssl.SSLContext] = None)
     extends MicroBatchStream {
+
+  require(Set("tcp", "ws", "wss")(transport),
+    s"unknown transport '$transport' (tcp | ws | wss)")
 
   private val lock = new Object
   // lines received but not yet committed; head is offset `committed`
@@ -197,11 +224,17 @@ private[streaming] class WireSocketStream(host: String, port: Int,
     * server closes or a seq gap fail-stops it. Per-connection state
     * (the monotone `seq`) resets with the connection, exactly like the
     * reference client's restart. */
-  private def runEpoch(): Unit = {
+  private def runEpoch(): Unit =
+    if (transport == "tcp") runEpochTcp() else runEpochWs()
+
+  /** Legacy line wire: signed auth as the first line (the tcp protocol
+    * has no headers to carry it), then NDJSON envelopes. */
+  private def runEpochTcp(): Unit = {
     socket = new Socket(host, port)
     val out = new OutputStreamWriter(socket.getOutputStream,
       StandardCharsets.UTF_8)
-    authLine.foreach(a => out.write(a() + "\n")) // signed at connect
+    auth.foreach(a => // signed at connect
+      out.write(WireSocket.authCommand(a()) + "\n"))
     out.write(WireSocket.subscribeCommand(tickers, channels) + "\n")
     out.flush()
     val in = new BufferedReader(new InputStreamReader(
@@ -213,6 +246,32 @@ private[streaming] class WireSocketStream(host: String, port: Int,
       lock.synchronized { buf += line }
       line = in.readLine()
     } // null = server closed: end of this connection epoch
+  }
+
+  /** RFC 6455 wire (the reference's actual transport,
+    * kalshi_ws_client.py:111-115): Upgrade handshake with the signed
+    * headers ON the CONNECT request, subscribe as the first text
+    * frame, one envelope per text message; a server close frame ends
+    * the epoch exactly like tcp EOF. */
+  private def runEpochWs(): Unit = {
+    socket = transport match {
+      case "wss" =>
+        val ctx = ssl.getOrElse(javax.net.ssl.SSLContext.getDefault)
+        WsWire.tlsSocket(ctx, host, port)
+      case _ => new Socket(host, port)
+    }
+    val ws = new WsWire.Client(socket, s"$host:$port", wsPath,
+      auth.map(_()).getOrElse(Map.empty))
+    ws.handshake()
+    ws.sendText(WireSocket.subscribeCommand(tickers, channels))
+    var expected = 1L
+    var msg = ws.receiveText()
+    while (msg.isDefined) {
+      val line = msg.get
+      if (failOnGap) expected = WireSocket.validateSeq(line, expected)
+      lock.synchronized { buf += line }
+      msg = ws.receiveText()
+    } // None = close handshake done: end of this connection epoch
   }
 
   /** RECOVERY = re-subscribe + re-snapshot (the reference fail-stops
