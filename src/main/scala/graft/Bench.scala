@@ -13,9 +13,18 @@ object Bench {
     // Durable seam artifacts (dd signature, dd13 postings, mm05/mm06
     // pair set): pass 1 builds each at most once, pass 2 reads parquet —
     // the production precompute-once shape, disclosed in the record as
-    // seam_cache. Per-query cache resets still apply to everything else.
-    System.err.println(
-      s"[bench] durable seam cache: ${GraftSession.enableDurableSeams(spark)}")
+    // seam_cache. The bench uses a FRESH cache dir every invocation so
+    // pass 1 always pays each seam's cold build exactly once in-process;
+    // Seams times those builds and the record carries them as
+    // `seam_build` (the one-time price the warm min-of-2 numbers
+    // amortize — the round-9 verdict's cold-start disclosure). Verify
+    // keeps the persistent dir; correctness is build-path-invariant
+    // (SigCacheSpec/MmSeamSpec pin artifact equality).
+    val seamDir = java.nio.file.Files
+      .createTempDirectory("graft-seam-bench").toString
+    spark.conf.set(Seams.CacheDirKey, seamDir)
+    spark.conf.set(graft.dedup.Dedup.SigCacheDirKey, seamDir)
+    System.err.println(s"[bench] durable seam cache (fresh): $seamDir")
     // Two-level-scan bucket sizing from measured density: target
     // rows-per-(key, bucket) ≈ 8·√(rows per ticker), so both the local
     // sort size and the per-key summary length grow as √n instead of
@@ -181,10 +190,19 @@ object Bench {
     val probeJson = steady.map(num).mkString("[", ",", "]")
     val loadJson = loadAvgs.map(num).mkString("[", ",", "]")
     val ratioJson = probeRatio.map(num).getOrElse("null")
-    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"sf":"$sfName"}"""
+    // Seam cold-start disclosure: wall seconds each durable seam build
+    // cost in pass 1 (the fresh cache dir guarantees every build ran
+    // in THIS process). Warm per-query numbers + this map = the full
+    // cost story; total rides the stdout twin, the map the sidecar.
+    val seamBuilds = Seams.buildTimes.toSeq.sortBy(_._1)
+    val seamBuildJson = seamBuilds
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val seamBuildTotal = num(seamBuilds.map(_._2).sum)
+    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build":$seamBuildJson,"seam_build_total":$seamBuildTotal,"sf":"$sfName"}"""
     // stdout twin: identical shape, shaved to survive the tail window
     // (coarser per-query precision, probe observations sidecar-only).
-    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"sf":"$sfName","full_record":"bench_last.json"}"""
+    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build_total":$seamBuildTotal,"sf":"$sfName","full_record":"bench_last.json"}"""
     // The harness keeps only a bounded TAIL of the run's output; at 152
     // queries the record overflows it (BENCH_r08 `parsed: null` — the
     // tail starts mid-record because Spark's shutdown logging lands
@@ -197,6 +215,12 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/bench_last.json"),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // the fresh-per-run seam dir would otherwise accumulate in /tmp
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(seamDir))
     println(stdoutRecord)
   }
 }

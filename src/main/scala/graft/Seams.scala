@@ -59,6 +59,16 @@ object Seams {
       case dir => artifact(s, corpusDir, name, dir)(build)
     }
 
+  /** Wall seconds spent BUILDING each seam in this process (reads cost
+    * nothing here): the one-time price the warm bench numbers amortize.
+    * Bench points the cache at a fresh dir so pass 1 pays every build
+    * exactly once, then emits this map as `seam_build` next to
+    * `seam_cache:true` — the round-9 verdict's cold-start disclosure. */
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  def buildTimes: Map[String, Double] = built.toMap
+
   /** The artifact path itself, for callers with their own config key
     * (the minhash sig seam predates [[CacheDirKey]] and keeps
     * `spark.graft.sigCacheDir`). */
@@ -66,8 +76,15 @@ object Seams {
       cacheDir: String)(build: => DataFrame): DataFrame = {
     val art = new File(cacheDir,
       s"$name-${corpusFingerprint(corpusDir)}").toString
-    if (!new File(art, "_SUCCESS").isFile)
+    if (!new File(art, "_SUCCESS").isFile) {
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(art)
+      val sec = (System.nanoTime() - t0) / 1e9
+      built.updateWith(name) {
+        case Some(v) => Some(v + sec)
+        case None => Some(sec)
+      }
+    }
     s.read.parquet(art)
   }
 }

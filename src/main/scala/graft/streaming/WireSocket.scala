@@ -132,7 +132,12 @@ object WireSocket {
   *    `trustStorePass` (PKCS#12).
   * Subscribe command, envelope schema, seq fail-stop, offsets, and the
   * reconnect contract are IDENTICAL across transports — downstream
-  * cannot tell them apart. */
+  * cannot tell them apart.
+  *
+  * `shards` (optional) = comma-separated `host:port` endpoints: one
+  * connection AND one Spark input partition per shard, tickers
+  * assigned round-robin, per-shard seq validation + reconnect budget
+  * ([[WireSocketStream]]). */
 class WireSocketProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-socket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -174,40 +179,68 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
             Option(options.get("trustStoreFile")).map(f =>
               WsWire.sslContext(f,
                 Option(options.get("trustStorePass")).getOrElse("changeit")))
-          new WireSocketStream(
-            options.get("host"),
-            options.get("port").toInt,
-            Option(options.get("tickers")).map(_.split(",").toSeq)
-              .getOrElse(Seq.empty),
-            Option(options.get("channels")).map(_.split(",").toSeq)
-              .getOrElse(Seq("orderbook_delta")),
-            options.getBoolean("failOnGap", true),
-            auth,
-            options.getInt("maxReconnects", 0),
-            options.getLong("reconnectBackoffMs", 200L),
-            Option(options.get("transport")).getOrElse("tcp"),
-            path, ssl)
+          val tickers = Option(options.get("tickers"))
+            .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          val channels = Option(options.get("channels"))
+            .map(_.split(",").toSeq).getOrElse(Seq("orderbook_delta"))
+          // `shards` = comma-separated host:port endpoints, one
+          // connection (and one Spark input partition) each; tickers
+          // are assigned round-robin across shards. Absent → the
+          // single host/port connection.
+          val endpoints: Seq[(String, Int)] =
+            Option(options.get("shards")) match {
+              case Some(s) => s.split(",").toSeq.map { hp =>
+                val i = hp.lastIndexOf(':')
+                require(i > 0, s"shard '$hp' is not host:port")
+                (hp.substring(0, i), hp.substring(i + 1).toInt)
+              }
+              case None =>
+                Seq((options.get("host"), options.get("port").toInt))
+            }
+          val conns = endpoints.zipWithIndex.map { case ((h, p), i) =>
+            val shardTickers =
+              if (endpoints.size == 1) tickers
+              else tickers.zipWithIndex
+                .filter(_._2 % endpoints.size == i).map(_._1)
+            new WireConn(h, p, shardTickers, channels,
+              options.getBoolean("failOnGap", true), auth,
+              options.getInt("maxReconnects", 0),
+              options.getLong("reconnectBackoffMs", 200L),
+              Option(options.get("transport")).getOrElse("tcp"),
+              path, ssl)
+          }
+          new WireSocketStream(conns)
         }
       }
     }
 }
 
-private[streaming] case class WireOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Per-shard offsets: one monotone line count per connection, joined
+  * with commas (a single shard serializes exactly like the round-9
+  * scalar offset). */
+private[streaming] case class WireOffset(ns: Seq[Long]) extends Offset {
+  override def json(): String = ns.mkString(",")
+}
+private[streaming] object WireOffset {
+  def apply(n: Long): WireOffset = WireOffset(Seq(n))
+  def parse(json: String): WireOffset =
+    WireOffset(json.split(",").toSeq.map(_.trim.toLong))
 }
 
-/** Driver-side connection + buffer; offsets are line counts. Modeled
-  * on Spark's TextSocketMicroBatchStream, plus the subscribe handshake
-  * and the reference's fail-stop seq validation. `transport` picks the
-  * wire (`tcp` NDJSON / `ws` RFC 6455 / `wss` = ws over TLS); the
-  * envelope/seq/offset/reconnect contract is transport-independent. */
-private[streaming] class WireSocketStream(host: String, port: Int,
+/** ONE wire connection: socket + line buffer + reader thread + the
+  * reconnect loop — the unit a shard owns. All of round 9's contract
+  * lives here unchanged (subscribe-on-connect, per-connection seq
+  * fail-stop, `graft_resubscribed` recovery epochs, line-count
+  * offsets); [[WireSocketStream]] composes N of these into an
+  * N-partition source. `transport` picks the wire (`tcp` NDJSON /
+  * `ws` RFC 6455 / `wss` = ws over TLS); the contract is
+  * transport-independent. */
+private[streaming] final class WireConn(host: String, port: Int,
     tickers: Seq[String], channels: Seq[String], failOnGap: Boolean,
     auth: Option[() => Map[String, String]] = None,
     maxReconnects: Int = 0, reconnectBackoffMs: Long = 200L,
     transport: String = "tcp", wsPath: String = WireSocket.AuthPath,
-    ssl: Option[javax.net.ssl.SSLContext] = None)
-    extends MicroBatchStream {
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
 
   require(Set("tcp", "ws", "wss")(transport),
     s"unknown transport '$transport' (tcp | ws | wss)")
@@ -318,59 +351,91 @@ private[streaming] class WireSocketStream(host: String, port: Int,
   reader.setDaemon(true)
   reader.start()
 
-  private def raiseIfFailed(): Unit = {
+  def raiseIfFailed(): Unit = {
     val e = readerError
     if (e != null) throw new RuntimeException(
-      s"graft-socket reader failed: ${e.getMessage}", e)
+      s"graft-socket reader failed ($host:$port): ${e.getMessage}", e)
   }
 
-  override def initialOffset(): Offset = WireOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    WireOffset(json.toLong)
+  def latest: Long = lock.synchronized(committed + buf.size)
+
+  def slice(s: Long, e: Long): Array[String] = lock.synchronized {
+    // fail fast instead of serving wrong lines: offsets index THIS
+    // connection's line stream, so a range outside the live buffer
+    // means Spark is replaying a checkpoint from a previous run — a
+    // socket feed is not a durable log and cannot honor it (Spark's
+    // own socket source documents the same non-recoverability).
+    if (s < committed || e > committed + buf.size)
+      throw new IllegalStateException(
+        s"graft-socket ($host:$port) cannot serve offsets [$s, $e): the " +
+          s"live buffer covers [$committed, ${committed + buf.size}). " +
+          "Checkpointed offsets from a previous run are unrecoverable " +
+          "over a raw socket feed — restart with a fresh checkpoint " +
+          "(recovery = re-subscribe + re-snapshot, like the reference " +
+          "client), or front the feed with a durable log.")
+    buf.slice((s - committed).toInt, (e - committed).toInt).toArray
+  }
+
+  def commitUpTo(upTo: Long): Unit = lock.synchronized {
+    val drop = (upTo - committed).toInt
+    if (drop > 0) { buf.remove(0, drop); committed = upTo }
+  }
+
+  def stop(): Unit = {
+    stopped = true
+    val s = socket
+    if (s != null && !s.isClosed) s.close()
+  }
+}
+
+/** N-shard micro-batch source: one [[WireConn]] per subscription shard,
+  * one input partition per shard per batch — ingest parallelism is the
+  * shard count, not 1 (the round-9 single-connection shape is the
+  * 1-shard case and serializes identical offsets). Each shard keeps
+  * its OWN per-connection seq validation and reconnect budget: a gap
+  * on one shard fail-stops the query (the reference contract), and a
+  * recovered shard re-subscribes only its own ticker subset. At real
+  * fan-in this is the "one connection per market shard" deployment the
+  * round-9 scale note described — now executable instead of a comment. */
+private[streaming] class WireSocketStream(conns: Seq[WireConn])
+    extends MicroBatchStream {
+  require(conns.nonEmpty, "graft-socket needs at least one shard")
+
+  override def initialOffset(): Offset =
+    WireOffset(Seq.fill(conns.size)(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = WireOffset.parse(json)
+    require(o.ns.size == conns.size,
+      s"offset has ${o.ns.size} shards, source has ${conns.size} — a " +
+        "checkpoint from a different shard layout is unrecoverable")
+    o
+  }
 
   override def latestOffset(): Offset = {
-    raiseIfFailed()
-    lock.synchronized(WireOffset(committed + buf.size))
+    conns.foreach(_.raiseIfFailed())
+    WireOffset(conns.map(_.latest))
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    raiseIfFailed()
-    val (s, e) = (start.asInstanceOf[WireOffset].n,
-      end.asInstanceOf[WireOffset].n)
-    val lines = lock.synchronized {
-      // fail fast instead of serving wrong lines: offsets index THIS
-      // connection's line stream, so a range outside the live buffer
-      // means Spark is replaying a checkpoint from a previous run — a
-      // socket feed is not a durable log and cannot honor it (Spark's
-      // own socket source documents the same non-recoverability).
-      if (s < committed || e > committed + buf.size)
-        throw new IllegalStateException(
-          s"graft-socket cannot serve offsets [$s, $e): the live buffer " +
-            s"covers [$committed, ${committed + buf.size}). Checkpointed " +
-            "offsets from a previous run are unrecoverable over a raw " +
-            "socket feed — restart with a fresh checkpoint (recovery = " +
-            "re-subscribe + re-snapshot, like the reference client), or " +
-            "front the feed with a durable log.")
-      buf.slice((s - committed).toInt, (e - committed).toInt).toArray
-    }
-    Array(WireLinesPartition(lines))
+    conns.foreach(_.raiseIfFailed())
+    val s = start.asInstanceOf[WireOffset].ns
+    val e = end.asInstanceOf[WireOffset].ns
+    conns.indices.map { i =>
+      WireLinesPartition(conns(i).slice(s(i), e(i)))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     WireLinesReaderFactory
 
-  override def commit(end: Offset): Unit = lock.synchronized {
-    val upTo = end.asInstanceOf[WireOffset].n
-    val drop = (upTo - committed).toInt
-    if (drop > 0) { buf.remove(0, drop); committed = upTo }
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[WireOffset].ns
+    conns.indices.foreach(i => conns(i).commitUpTo(e(i)))
   }
 
-  override def stop(): Unit = {
-    stopped = true
-    val s = socket
-    if (s != null && !s.isClosed) s.close()
-  }
+  override def stop(): Unit = conns.foreach(_.stop())
 }
 
 private[streaming] case class WireLinesPartition(lines: Array[String])

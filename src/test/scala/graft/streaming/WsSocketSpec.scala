@@ -199,6 +199,113 @@ class WsSocketSpec extends AnyFunSuite {
     } finally { server.close(); ckpt.toFile.delete() }
   }
 
+  // ------------------------------------------------------- sharding
+
+  test("2-shard ingest: one WS connection + one input partition per " +
+    "shard, round-robin tickers, per-shard seq validation") {
+    // each shard serves its own ticker with its OWN per-connection seq
+    val feedA = Fixtures.genMessages(Seq("KXTEST-A"), 10)
+      .map(Fixtures.envelopeJson)
+    val feedB = Fixtures.genMessages(Seq("KXTEST-B"), 14)
+      .map(Fixtures.envelopeJson)
+    val sA = new MiniWsServer(Seq(feedA))
+    val sB = new MiniWsServer(Seq(feedB))
+    try {
+      val q = spark.readStream.format("graft-socket")
+        .option("shards", s"localhost:${sA.port},localhost:${sB.port}")
+        .option("tickers", "KXTEST-A,KXTEST-B")
+        .option("transport", "ws")
+        .load()
+        .writeStream.format("memory").queryName("wsx_shards")
+        .outputMode("append").start()
+      try awaitRows("wsx_shards", (feedA.size + feedB.size).toLong, q)
+      finally q.stop()
+      // round-robin assignment: shard 0 got ticker A, shard 1 ticker B
+      assert(sA.subscribeLine ===
+        WireSocket.subscribeCommand(Seq("KXTEST-A")))
+      assert(sB.subscribeLine ===
+        WireSocket.subscribeCommand(Seq("KXTEST-B")))
+      // both feeds arrived intact (seq 1..n per shard validated in
+      // flight — a cross-shard global seq would have fail-stopped)
+      val got = spark.table("wsx_shards").collect()
+        .map(_.getString(0)).toSeq
+      assert(got.filter(_.contains("KXTEST-A")) === feedA)
+      assert(got.filter(_.contains("KXTEST-B")) === feedB)
+    } finally { sA.close(); sB.close() }
+  }
+
+  test("sharded stream plans ONE partition per shard and commits " +
+    "per-shard offsets independently") {
+    val c1 = Seq("l1", "l2", "l3")
+    val c2 = Seq("r1", "r2")
+    val sA = new MiniWsServer(Seq(c1))
+    val sB = new MiniWsServer(Seq(c2))
+    try {
+      val conns = Seq(
+        new WireConn("localhost", sA.port, Seq("T1"), Seq("c"),
+          failOnGap = false, transport = "ws"),
+        new WireConn("localhost", sB.port, Seq("T2"), Seq("c"),
+          failOnGap = false, transport = "ws"))
+      val stream = new WireSocketStream(conns)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var latest = stream.latestOffset().asInstanceOf[WireOffset]
+      while (latest.ns != Seq(3L, 2L) && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        latest = stream.latestOffset().asInstanceOf[WireOffset]
+      }
+      assert(latest.ns === Seq(3L, 2L))
+      assert(latest.json === "3,2")
+      assert(stream.deserializeOffset("3,2") === WireOffset(Seq(3L, 2L)))
+      val parts = stream.planInputPartitions(
+        WireOffset(Seq(0L, 0L)), latest)
+      assert(parts.length === 2, "not one partition per shard")
+      assert(parts(0).asInstanceOf[WireLinesPartition].lines.toSeq === c1)
+      assert(parts(1).asInstanceOf[WireLinesPartition].lines.toSeq === c2)
+      // commit trims each shard's buffer independently
+      stream.commit(WireOffset(Seq(3L, 1L)))
+      val after = stream.planInputPartitions(
+        WireOffset(Seq(3L, 1L)), WireOffset(Seq(3L, 2L)))
+      assert(after(0).asInstanceOf[WireLinesPartition].lines.isEmpty)
+      assert(after(1).asInstanceOf[WireLinesPartition].lines.toSeq ===
+        Seq("r2"))
+      // a checkpoint with the wrong shard count is refused, not mapped
+      intercept[IllegalArgumentException](stream.deserializeOffset("7"))
+      stream.stop()
+    } finally { sA.close(); sB.close() }
+  }
+
+  test("a seq gap on ONE shard fail-stops the whole query") {
+    val good = Fixtures.genMessages(Seq("KXTEST-A"), 10)
+      .map(Fixtures.envelopeJson)
+    val gappy = Fixtures.genMessages(Seq("KXTEST-B"), 10)
+      .filterNot {
+        case Left(s) => s.seq == 3L
+        case Right(d) => d.seq == 3L
+      }.map(Fixtures.envelopeJson)
+    val sA = new MiniWsServer(Seq(good))
+    val sB = new MiniWsServer(Seq(gappy))
+    val ckpt = Files.createTempDirectory("wsx-shardgap-ckpt")
+    try {
+      val q = spark.readStream.format("graft-socket")
+        .option("shards", s"localhost:${sA.port},localhost:${sB.port}")
+        .option("tickers", "KXTEST-A,KXTEST-B")
+        .option("transport", "ws")
+        .load()
+        .writeStream.format("memory").queryName("wsx_shardgap")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val e = intercept[StreamingQueryException] {
+        q.awaitTermination(30000)
+        throw new AssertionError(s"query still running: ${q.status}")
+      }
+      assert(e.getMessage.contains("Missed message!") &&
+        e.getMessage.contains("Expected seq: 3"), e.getMessage)
+      assert(e.getMessage.contains(s"localhost:${sB.port}"),
+        s"failure not attributed to the gapped shard: ${e.getMessage}")
+    } finally { sA.close(); sB.close(); ckpt.toFile.delete() }
+  }
+
   // ------------------------------------------------ signed CONNECT auth
 
   private lazy val apiKeys = {

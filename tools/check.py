@@ -28,9 +28,16 @@ import pyarrow.parquet as pq
 
 def canon_type(t: pa.DataType) -> str:
     """Canonical type label: collapses representation-only differences
-    (string vs large_string, timestamp tz/unit, dictionary encoding)
-    but keeps the distinctions the driver's hash sees (int width,
-    int vs decimal — DuckDB HUGEINT exports as decimal128(38,0))."""
+    (string vs large_string, dictionary encoding) but keeps the
+    distinctions a value hash can see: int width, int vs decimal
+    (DuckDB HUGEINT exports as decimal128(38,0)), DECIMAL precision
+    AND scale (str(t) carries both — "1.500000" vs "1.5000000000"
+    hash apart), and the TIMESTAMP unit + tz-awareness (an us vs ns
+    epoch integer, or naive vs UTC-aware, renders differently). No
+    registered query outputs timestamps/decimals today (the oracle
+    determinism rules cast to BIGINT/INT/DOUBLE/STRING), so this
+    strictness costs nothing now and catches the drift class the day
+    one does."""
     if pa.types.is_dictionary(t):
         return canon_type(t.value_type)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -38,7 +45,7 @@ def canon_type(t: pa.DataType) -> str:
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "binary"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return f"timestamp[{t.unit}]" + ("+tz" if t.tz else "")
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -111,7 +118,57 @@ def selftest() -> None:
         assert "sum_x" in drift_bare, \
             f"gate MISSED un-cast SUM drift: {schema_map(bare.schema)}"
         assert not drift_cast, f"gate false-positive on CAST'd SUM: {drift_cast}"
-    print("SELFTEST PASS: un-cast SUM goes red, CAST'd SUM stays green")
+
+        # --- DECIMAL-scale drift: same precision, different scale must
+        # go red (equal numeric values render "1.500000" vs
+        # "1.5000000000" under a scale-faithful formatter) ---
+        import decimal as _dec
+        spark_dec = pa.table({"v": pa.array(
+            [_dec.Decimal("1.500000")], pa.decimal128(18, 6))})
+        ddir = Path(tmp) / "d"
+        ddir.mkdir()
+        pq.write_table(spark_dec, ddir / "part-0.parquet")
+        dec_schema = schema_map(spark_parquet_schema(ddir))
+        wide = con.execute(
+            "SELECT CAST(1.5 AS DECIMAL(18,10)) AS v").arrow()
+        same = con.execute(
+            "SELECT CAST(1.5 AS DECIMAL(18,6)) AS v").arrow()
+        assert dec_schema["v"] != schema_map(wide.schema)["v"], \
+            f"gate MISSED decimal-scale drift: {dec_schema} vs " \
+            f"{schema_map(wide.schema)}"
+        assert dec_schema["v"] == schema_map(same.schema)["v"], \
+            "gate false-positive on scale-matched DECIMAL"
+
+        # --- TIMESTAMP-unit drift: a ns-unit Spark column vs DuckDB's
+        # us export must go red (epoch integers differ by 1000x under
+        # an integer hash), and tz-awareness must not be collapsed ---
+        import datetime as _dt
+        t0 = _dt.datetime(2026, 1, 1, 12, 0, 0)
+        spark_ns = pa.table({"ts": pa.array([t0], pa.timestamp("ns"))})
+        tdir = Path(tmp) / "ts"
+        tdir.mkdir()
+        pq.write_table(spark_ns, tdir / "part-0.parquet",
+                       coerce_timestamps=None)
+        ts_schema = schema_map(spark_parquet_schema(tdir))
+        duck_us = con.execute(
+            "SELECT TIMESTAMP '2026-01-01 12:00:00' AS ts").arrow()
+        assert ts_schema["ts"] != schema_map(duck_us.schema)["ts"], \
+            f"gate MISSED timestamp-unit drift: {ts_schema} vs " \
+            f"{schema_map(duck_us.schema)}"
+        spark_us = pa.table({"ts": pa.array([t0], pa.timestamp("us"))})
+        udir = Path(tmp) / "tsu"
+        udir.mkdir()
+        pq.write_table(spark_us, udir / "part-0.parquet")
+        assert schema_map(spark_parquet_schema(udir))["ts"] == \
+            schema_map(duck_us.schema)["ts"], \
+            "gate false-positive on unit-matched naive TIMESTAMP"
+        tz_aware = con.execute(
+            "SELECT TIMESTAMPTZ '2026-01-01 12:00:00+00' AS ts").arrow()
+        assert schema_map(spark_parquet_schema(udir))["ts"] != \
+            schema_map(tz_aware.schema)["ts"], \
+            "gate MISSED tz-awareness drift"
+    print("SELFTEST PASS: un-cast SUM, DECIMAL-scale, timestamp-unit, "
+          "and tz-awareness drifts all go red; matched types stay green")
 
 
 def main():
