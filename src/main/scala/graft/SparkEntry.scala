@@ -30,6 +30,7 @@ object SparkEntry {
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
+      streaming.StreamedQueries.queries ++
       operators.Salting.queries ++
       operators.Pruning.queries ++
       operators.Bucketed.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
+      streaming.StreamedQueries.oracles ++
       operators.Salting.oracles ++
       operators.Pruning.oracles ++
       operators.Bucketed.oracles ++

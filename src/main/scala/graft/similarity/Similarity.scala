@@ -37,7 +37,7 @@ object Similarity {
       .where(col("nrm") > 0)
   }
 
-  private val normedCte: String =
+  private[graft] val normedCte: String =
     """WITH v AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
@@ -96,7 +96,7 @@ object Similarity {
         col("w").getField("pid").as("cell"))
 
   /** Oracle mirror of [[cellsOf]] (default path) + [[centroids]]. */
-  private val centCte: String =
+  private[graft] val centCte: String =
     """cells AS (
       |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM n),
       |cent AS (
@@ -106,7 +106,7 @@ object Similarity {
   /** Oracle mirror of [[assignCells]] — the window-ranked spelling
     * (shared by every oracle that consumes the nearest-centroid
     * partition; the tie-break MUST stay `csim DESC, pid`). */
-  private val assignedCte: String =
+  private[graft] val assignedCte: String =
     """assigned AS (
       |  SELECT vec_id, e, nrm, pid AS cell FROM (
       |    SELECT v.vec_id, v.e, v.nrm, c.pid,

@@ -66,18 +66,25 @@ object StreamDistinct {
     }
   }
 
+  /** Generic (key, hash) stream → per-key cardinality stream — the
+    * one state hop, shared by the wire path below and the st02
+    * registry replay ([[StreamedQueries]]). */
+  def runOn(spark: SparkSession, elems: Dataset[Elem]): Dataset[Card] = {
+    import spark.implicits._
+    elems.groupByKey(_.ticker)
+      .transformWithState(new Processor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Wire messages → per-ticker distinct-price-level cardinality
     * stream. The element hash is the txt15 Knuth-multiplier spread so
     * small integer price grids still fill [0, M) uniformly. */
   def run(spark: SparkSession, messages: DataFrame): Dataset[Card] = {
     import spark.implicits._
-    messages.where(col("type") === "orderbook_delta")
+    runOn(spark, messages.where(col("type") === "orderbook_delta")
       .select(col("msg.market_ticker").as("ticker"),
         ((col("msg.price").cast("long") * 2654435761L + 678L) % M)
           .as("h"))
-      .as[Elem]
-      .groupByKey(_.ticker)
-      .transformWithState(new Processor, TimeMode.None(),
-        OutputMode.Update())
+      .as[Elem])
   }
 }

@@ -53,10 +53,10 @@ class EntrySpec extends AnyFunSuite {
   test("SURVEY.md §2 inventory and the registry agree") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val mentioned = raw"`((?:ob|q|dd|sim|txt|mm|op)\d{2}[a-z0-9_]*)`".r
+    val mentioned = raw"`((?:ob|q|dd|sim|txt|mm|op|st)\d{2}[a-z0-9_]*)`".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
     // ranges like `q01…q27` / `txt01…txt17` expand to their id spans
-    val ranged = raw"`(ob|q|dd|sim|txt|mm|op)(\d{2})…(?:ob|q|dd|sim|txt|mm|op)?(\d{2})`".r
+    val ranged = raw"`(ob|q|dd|sim|txt|mm|op|st)(\d{2})…(?:ob|q|dd|sim|txt|mm|op|st)?(\d{2})`".r
       .findAllMatchIn(survey).flatMap { m =>
         (m.group(2).toInt to m.group(3).toInt)
           .map(i => f"${m.group(1)}$i%02d")
