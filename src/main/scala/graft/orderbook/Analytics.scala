@@ -580,6 +580,117 @@ object Analytics {
       |  AND d.event_id <= s.event_id
       |ORDER BY s.ticker, s.side, s.event_id""".stripMargin
 
+  /** ob35 — LEE–READY trade classification: tag every delta print as
+    * buyer- or seller-initiated — THE microstructure labeling (Lee &
+    * Ready 1991) that order-flow work (ob16/ob21/ob28) presupposes:
+    * quote test first (2·price vs the PREVAILING snapshot mid_x2 —
+    * strictly-before via the native as-of, ob30's semantics: a
+    * same-event quote must not classify its own print), tick test as
+    * the tie/no-quote fallback (vs the last DIFFERENT price of the
+    * same ticker: uptick → buy, downtick → sell), unclassified when
+    * neither speaks. Per ticker: counts by classification route and
+    * the buy fraction over classified prints.
+    *
+    * Shape: one (ticker, event_id) snapshot hash-agg for mids (ob06's
+    * mid_x2, exact integers), ONE native as-of (strict), and one
+    * per-ticker ordered window for the tick base — the last different
+    * price is `lag` + change-point carry (`last(_, ignoreNulls)` over
+    * the prefix), the q41 LOCF shape keyed by ticker, so no
+    * self-join re-scans history per print. All-integer comparisons
+    * (2·price vs mid_x2 — no halves), one double division at the
+    * end. */
+  def leeReady(s: SparkSession, d: String): DataFrame = {
+    val mids = Derive.snapshots(s, d)
+      .groupBy(col("ticker").as("m_ticker"), col("event_id").as("m_eid"))
+      .agg((max(when(col("side") === "yes", col("price"))) + lit(100) -
+        max(when(col("side") === "no", col("price")))).as("mid_x2"))
+    val dl = Derive.deltas(s, d)
+      .select(col("ticker"), col("event_id"), col("price"))
+    val withMid = graft.plans.AsOf.join(dl, mids,
+      "ticker", "m_ticker", "event_id", "m_eid", strict = true)
+    val w = Window.partitionBy(col("ticker")).orderBy(col("event_id"))
+    val chg = when(lag(col("price"), 1).over(w).isNotNull &&
+      lag(col("price"), 1).over(w) =!= col("price"),
+      lag(col("price"), 1).over(w))
+    val classified = withMid
+      .withColumn("last_diff", last(chg, ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cls",
+        when(col("mid_x2").isNotNull && col("price") * 2 > col("mid_x2"),
+          "quote_buy")
+        .when(col("mid_x2").isNotNull && col("price") * 2 < col("mid_x2"),
+          "quote_sell")
+        .when(col("last_diff").isNotNull && col("price") > col("last_diff"),
+          "tick_buy")
+        .when(col("last_diff").isNotNull && col("price") < col("last_diff"),
+          "tick_sell")
+        .otherwise("unclassified"))
+    def n(c: String) = sum(when(col("cls") === c, 1L).otherwise(0L))
+    classified.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_trades"),
+        n("quote_buy").as("n_quote_buy"),
+        n("quote_sell").as("n_quote_sell"),
+        n("tick_buy").as("n_tick_buy"),
+        n("tick_sell").as("n_tick_sell"),
+        n("unclassified").as("n_unclassified"))
+      .withColumn("buy_frac",
+        when(col("n_trades") > col("n_unclassified"),
+          (col("n_quote_buy") + col("n_tick_buy")).cast(DoubleType) /
+            (col("n_trades") - col("n_unclassified"))))
+      .orderBy(col("ticker"))
+  }
+
+  val leeReadySql: String = Derive.cte +
+    """, lr_mids AS (
+      |  SELECT ticker AS m_ticker, event_id AS m_eid,
+      |    MAX(CASE WHEN side = 'yes' THEN price END) + 100
+      |      - MAX(CASE WHEN side = 'no' THEN price END) AS mid_x2
+      |  FROM ob_snapshots GROUP BY 1, 2),
+      |lr AS (
+      |  SELECT d.ticker, d.event_id, d.price, m.mid_x2
+      |  FROM ob_deltas d
+      |  ASOF LEFT JOIN lr_mids m
+      |    ON d.ticker = m.m_ticker AND m.m_eid < d.event_id),
+      |lr_tick AS (
+      |  SELECT *, LAST_VALUE(chg IGNORE NULLS) OVER (
+      |      PARTITION BY ticker ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_diff
+      |  FROM (
+      |    SELECT *, CASE WHEN LAG(price) OVER w IS NOT NULL
+      |        AND LAG(price) OVER w <> price
+      |      THEN LAG(price) OVER w END AS chg
+      |    FROM lr
+      |    WINDOW w AS (PARTITION BY ticker ORDER BY event_id)) t),
+      |lr_cls AS (
+      |  SELECT ticker,
+      |    CASE
+      |      WHEN mid_x2 IS NOT NULL AND price * 2 > mid_x2 THEN 'quote_buy'
+      |      WHEN mid_x2 IS NOT NULL AND price * 2 < mid_x2 THEN 'quote_sell'
+      |      WHEN last_diff IS NOT NULL AND price > last_diff THEN 'tick_buy'
+      |      WHEN last_diff IS NOT NULL AND price < last_diff THEN 'tick_sell'
+      |      ELSE 'unclassified' END AS cls
+      |  FROM lr_tick)
+      |SELECT ticker, COUNT(*) AS n_trades,
+      |  CAST(SUM(CASE WHEN cls = 'quote_buy' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quote_buy,
+      |  CAST(SUM(CASE WHEN cls = 'quote_sell' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quote_sell,
+      |  CAST(SUM(CASE WHEN cls = 'tick_buy' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tick_buy,
+      |  CAST(SUM(CASE WHEN cls = 'tick_sell' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tick_sell,
+      |  CAST(SUM(CASE WHEN cls = 'unclassified' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unclassified,
+      |  CASE WHEN COUNT(*) >
+      |      SUM(CASE WHEN cls = 'unclassified' THEN 1 ELSE 0 END)
+      |    THEN CAST(SUM(CASE WHEN cls IN ('quote_buy', 'tick_buy')
+      |        THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / (COUNT(*) -
+      |         SUM(CASE WHEN cls = 'unclassified' THEN 1 ELSE 0 END))
+      |  END AS buy_frac
+      |FROM lr_cls GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
   /** ob31 — BOOK-CONSERVATION audit: content-level integrity on top of
     * A3's sequence-level fail-stop — for each consecutive snapshot
     * pair, does the sum of deltas in the interval (a, b] account for
@@ -1584,7 +1695,8 @@ object Analytics {
     "ob31_book_conservation" -> (bookConservation _),
     "ob32_flow_predictability" -> (flowPredictability _),
     "ob33_weighted_imbalance" -> (weightedImbalance _),
-    "ob34_asof_composite" -> (asofComposite _))
+    "ob34_asof_composite" -> (asofComposite _),
+    "ob35_lee_ready" -> (leeReady _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1620,5 +1732,6 @@ object Analytics {
     "ob31_book_conservation" -> bookConservationSql,
     "ob32_flow_predictability" -> flowPredictabilitySql,
     "ob33_weighted_imbalance" -> weightedImbalanceSql,
-    "ob34_asof_composite" -> asofCompositeSql)
+    "ob34_asof_composite" -> asofCompositeSql,
+    "ob35_lee_ready" -> leeReadySql)
 }

@@ -625,6 +625,126 @@ object Similarity {
       |WHERE rnk <= 2
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim22
+  /** GRAPH-WALK ANN: a BOUNDED 2-hop beam search over sim08's kNN
+    * graph — the HNSW-family retrieval pattern (navigate from an entry
+    * point along stored neighbor edges, then exact-rerank the visited
+    * frontier) expressed as a fixed join pipeline instead of an
+    * iterative driver loop. Entry point per query = the nearest coarse
+    * centroid, which IS a corpus vector here (the deterministic
+    * first-⌈√n⌉ prefix), so graph edges exist from it by construction;
+    * frontier = entry ∪ its out-neighbors ∪ their out-neighbors
+    * (≤ 1 + k + k² nodes at out-degree k=2), deduplicated, then
+    * exact-cosine top-3 via the bounded-heap `graft_topk`.
+    *
+    * Scale: the walk is two equi-joins against the bounded-degree edge
+    * list — per-hop fan-out is k, never a cell population — and the
+    * probe side is broadcast-scale throughout; the only corpus-sized
+    * work is the edge build itself, which is sim08's cell-blocked
+    * O(n^1.5) construction, durable-seam-able exactly like the dd
+    * postings. A fixed hop budget is the honest distributed analog of
+    * HNSW's sequential greedy descent: each hop is one join stage, and
+    * recall grows with hops/degree rather than with any driver-side
+    * iteration. */
+  def graphAnn(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = centroids(s, n)
+    val q = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    // entry: argmax-cosine centroid, the assignCells argmin spelling
+    val entry = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("eq"), col("ce"))
+          / (col("nrm_q") * col("cnrm")))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("csim")).as("nc"), col("pid").as("pid")))
+        .as("w"))
+      .select(col("query_id"), col("w").getField("pid").as("node"))
+    // sim08's edge list (out-degree 2), without its presentation sort
+    val assigned = assignCells(n, centroids(s, n))
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    val scored = assigned
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("cell"))
+      .join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val edges = topKPerQuery(scored, 2, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id"))
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val hop1 = entry.join(edges, col("node") === col("src"))
+      .select(col("query_id"), col("dst").as("node"))
+    val hop2 = hop1
+      .join(edges.select(col("src").as("s2"), col("dst").as("d2")),
+        col("node") === col("s2"))
+      .select(col("query_id"), col("d2").as("node"))
+    val frontier = entry.unionByName(hop1).unionByName(hop2).distinct()
+    val rerank = frontier
+      .join(n.select(col("vec_id").as("node"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), Seq("node"))
+      .join(broadcast(q), Seq("query_id"))
+      .where(col("node") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+      .withColumn("neighbor_id", col("node"))
+    topKPerQuery(rerank, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val graphAnnSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    """
+      |gq AS (
+      |  SELECT vec_id AS query_id, e AS eq, nrm AS nrm_q FROM n
+      |  WHERE vec_id < 5),
+      |g_entry AS (
+      |  SELECT query_id, pid AS node FROM (
+      |    SELECT q.query_id, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_dot_product(q.eq, c.ce) / (q.nrm_q * c.cnrm)
+      |          DESC, c.pid) AS rn
+      |    FROM gq q CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |g_edges AS (
+      |  SELECT query_id AS src, neighbor_id AS dst FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |          c.vec_id) AS rnk
+      |    FROM assigned q JOIN assigned c
+      |      ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
+      |  WHERE rnk <= 2),
+      |g_hop1 AS (
+      |  SELECT e0.query_id, ed.dst AS node
+      |  FROM g_entry e0 JOIN g_edges ed ON ed.src = e0.node),
+      |g_hop2 AS (
+      |  SELECT h1.query_id, ed.dst AS node
+      |  FROM g_hop1 h1 JOIN g_edges ed ON ed.src = h1.node),
+      |g_frontier AS (
+      |  SELECT DISTINCT query_id, node FROM (
+      |    SELECT query_id, node FROM g_entry
+      |    UNION ALL SELECT query_id, node FROM g_hop1
+      |    UNION ALL SELECT query_id, node FROM g_hop2) u)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT f.query_id, v.vec_id AS neighbor_id,
+      |    list_dot_product(q.eq, v.e) / (q.nrm_q * v.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY f.query_id
+      |      ORDER BY list_dot_product(q.eq, v.e) / (q.nrm_q * v.nrm)
+      |        DESC, v.vec_id) AS INTEGER) AS rnk
+      |  FROM g_frontier f
+      |  JOIN n v ON v.vec_id = f.node
+      |  JOIN gq q ON q.query_id = f.query_id
+      |  WHERE v.vec_id <> f.query_id) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   // --------------------------------------------------------------- sim09
   /** SemDeDup END-TO-END: the semantic-dedup decision sim08's graph
     * exists to feed. Corpus = embeddings ∪ injected scaled copies
@@ -1564,7 +1684,8 @@ object Similarity {
     "sim18_pq_error" -> (pqError _),
     "sim19_embed_decontaminate" -> (embedDecontaminate _),
     "sim20_cell_balance" -> (cellBalance _),
-    "sim21_ivfpq" -> (ivfPq _))
+    "sim21_ivfpq" -> (ivfPq _),
+    "sim22_graph_ann" -> (graphAnn _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1587,5 +1708,6 @@ object Similarity {
     "sim18_pq_error" -> pqErrorSql,
     "sim19_embed_decontaminate" -> embedDecontaminateSql,
     "sim20_cell_balance" -> cellBalanceSql,
-    "sim21_ivfpq" -> ivfPqSql)
+    "sim21_ivfpq" -> ivfPqSql,
+    "sim22_graph_ann" -> graphAnnSql)
 }

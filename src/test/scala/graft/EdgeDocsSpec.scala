@@ -106,7 +106,8 @@ class EdgeDocsSpec extends AnyFunSuite {
       n.startsWith("ob") || n.startsWith("q15") || n.startsWith("q16") ||
         n.startsWith("q21") || n.startsWith("q26") ||
         n.startsWith("q58") || n.startsWith("q61") ||
-        n.startsWith("q63") || n.startsWith("q65"))
+        n.startsWith("q63") || n.startsWith("q65") ||
+        n.startsWith("st02")) // the deltas-backed streaming replay
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
@@ -123,7 +124,8 @@ class EdgeDocsSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("txt") || n.startsWith("dd") || n.startsWith("mm") ||
         n.startsWith("sim") || n.startsWith("op") ||
-        n.startsWith("q59") || n.startsWith("q60") || n.startsWith("q62"))
+        n.startsWith("q59") || n.startsWith("q60") || n.startsWith("q62") ||
+        n.startsWith("st01")) // the embeddings-backed streaming replay
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =

@@ -63,4 +63,45 @@ object AsOfJoinProps extends Properties("asofjoin") {
       }.toMap
       (got == want) :| s"strict=$strict got=$got want=$want"
     }
+
+  private val sides = Vector("yes", "no")
+
+  private val compositeGen: Gen[(List[(String, String, Long, Int)],
+      List[(String, String, Long, Int)], Boolean)] = for {
+    nl <- Gen.chooseNum(0, 25)
+    nr <- Gen.chooseNum(0, 25)
+    l <- Gen.listOfN(nl, for {
+      k <- Gen.oneOf(keys); sd <- Gen.oneOf(sides)
+      t <- Gen.chooseNum(0L, 12L)
+    } yield (k, sd, t))
+    r <- Gen.listOfN(nr, for {
+      k <- Gen.oneOf(keys); sd <- Gen.oneOf(sides)
+      t <- Gen.chooseNum(0L, 12L)
+    } yield (k, sd, t))
+    strict <- Gen.oneOf(true, false)
+  } yield (
+    l.zipWithIndex.map { case ((k, sd, t), i) => (k, sd, t, i) },
+    r.distinct.zipWithIndex
+      .map { case ((k, sd, t), i) => (k, sd, t, (i + 1) * 100) },
+    strict)
+
+  property("composite keys: equality on EVERY key pair, same reference") =
+    Prop.forAll(compositeGen) { case (lrows, rrows, strict) =>
+      import spark.implicits._
+      val l = lrows.toDF("k", "side", "ts", "id")
+      val r = rrows.toDF("qk", "qside", "qts", "px")
+      val got =
+        if (lrows.isEmpty) Map.empty[Int, Int]
+        else AsOf.join(l, r, Seq("k", "side"), Seq("qk", "qside"),
+            "ts", "qts", strict = strict)
+          .select($"id", $"px").collect()
+          .map(x => x.getInt(0) ->
+            (if (x.isNullAt(1)) -1 else x.getInt(1))).toMap
+      val want = lrows.map { case (k, sd, t, id) =>
+        val cands = rrows.filter(q => q._1 == k && q._2 == sd &&
+          (if (strict) q._3 < t else q._3 <= t))
+        id -> (if (cands.isEmpty) -1 else cands.maxBy(_._3)._4)
+      }.toMap
+      (got == want) :| s"strict=$strict got=$got want=$want"
+    }
 }
