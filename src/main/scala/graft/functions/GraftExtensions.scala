@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator surface: the native as-of join's planner strategy
     // (logical AsOfJoinNode -> physical AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL surface for the same operator: the graft_asof TABLE function
+    // (TableFunctionRegistry builder -> unresolved AsOfSqlNode) plus
+    // the resolution rule that lowers it once its relations resolve
+    ext.injectTableFunction((FunctionIdentifier("graft_asof"),
+      info("graft_asof"),
+      (e: Seq[Expression]) => graft.plans.AsOfSql.builder(e)))
+    ext.injectResolutionRule(s => graft.plans.AsOfSqlResolution(s))
   }
 }
 

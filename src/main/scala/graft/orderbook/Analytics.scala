@@ -580,6 +580,30 @@ object Analytics {
       |  AND d.event_id <= s.event_id
       |ORDER BY s.ticker, s.side, s.event_id""".stripMargin
 
+  /** ob36 — ob14's as-of enrichment through PURE SQL TEXT: the
+    * `graft_asof` table function ([[graft.plans.AsOfSql]] — TVF
+    * builder + resolution rule, injected via SparkSessionExtensions)
+    * over temp views, `ORDER BY` and projection in the same SQL
+    * string. SAME oracle as ob14/ob29 — the operator's FOURTH gated
+    * implementation under one DuckDB ASOF truth (composed, native
+    * API, native strict, native SQL): a SQL-resident user of the
+    * reference's stack can reach the custom operator without a line
+    * of Scala. */
+  def asofSqlTvf(s: SparkSession, d: String): DataFrame = {
+    Derive.snapshots(s, d)
+      .select(col("ticker"), col("event_id")).distinct()
+      .createOrReplaceTempView("ob36_anchors")
+    Derive.deltas(s, d)
+      .select(col("ticker").as("q_ticker"),
+        col("event_id").as("q_event_id"),
+        col("price").as("last_price"), col("seq").as("last_seq"))
+      .createOrReplaceTempView("ob36_quotes")
+    s.sql("""SELECT ticker, event_id, last_price, last_seq
+      |FROM graft_asof('ob36_anchors', 'ob36_quotes',
+      |  'ticker', 'q_ticker', 'event_id', 'q_event_id')
+      |ORDER BY ticker, event_id""".stripMargin)
+  }
+
   /** ob35 — LEE–READY trade classification: tag every delta print as
     * buyer- or seller-initiated — THE microstructure labeling (Lee &
     * Ready 1991) that order-flow work (ob16/ob21/ob28) presupposes:
@@ -1696,7 +1720,8 @@ object Analytics {
     "ob32_flow_predictability" -> (flowPredictability _),
     "ob33_weighted_imbalance" -> (weightedImbalance _),
     "ob34_asof_composite" -> (asofComposite _),
-    "ob35_lee_ready" -> (leeReady _))
+    "ob35_lee_ready" -> (leeReady _),
+    "ob36_asof_sql" -> (asofSqlTvf _))
 
   val oracles: Seq[(String, String)] = Seq(
     "ob01_snapshot_explode" -> snapshotExplodeSql,
@@ -1733,5 +1758,6 @@ object Analytics {
     "ob32_flow_predictability" -> flowPredictabilitySql,
     "ob33_weighted_imbalance" -> weightedImbalanceSql,
     "ob34_asof_composite" -> asofCompositeSql,
-    "ob35_lee_ready" -> leeReadySql)
+    "ob35_lee_ready" -> leeReadySql,
+    "ob36_asof_sql" -> asofPriceSql)
 }

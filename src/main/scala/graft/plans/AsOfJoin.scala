@@ -91,6 +91,40 @@ object AsOfJoinNode {
   def mark(m: Metadata): Metadata =
     new MetadataBuilder().withMetadata(m)
       .putBoolean(RealiasMarker, value = true).build()
+
+  private def attrOf(p: LogicalPlan, name: String): Attribute =
+    p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"as-of input has no column '$name' (has: ${p.output.map(_.name).mkString(", ")})"))
+
+  /** Node construction from two ANALYZED child plans — the one shared
+    * core behind the DataFrame API ([[org.apache.spark.sql
+    * .GraftPlanBridge]]) and the SQL table function ([[AsOfSql]]):
+    * re-aliases the right child to fresh, marker-protected attribute
+    * ids, resolves key/ts names, and fails fast on type mismatches
+    * (the merge compares with ONE ordering per role — a mismatch must
+    * fail at construction, not as a ClassCastException in a task). */
+  def build(lp: LogicalPlan, rp0: LogicalPlan,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String, strict: Boolean): AsOfJoinNode = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"as-of key lists must be non-empty and same-length: " +
+        s"$leftKeys vs $rightKeys")
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)(
+          explicitMetadata = Some(mark(a.metadata)))), rp0)
+    val lks = leftKeys.map(attrOf(lp, _))
+    val rks = rightKeys.map(attrOf(rp, _))
+    val (lt, rt) = (attrOf(lp, leftTs), attrOf(rp, rightTs))
+    leftKeys.lazyZip(rightKeys).lazyZip(lks.lazyZip(rks).toSeq).foreach {
+      case (ln, rn, (la, ra)) =>
+        require(la.dataType == ra.dataType,
+          s"as-of key types differ: $ln ${la.dataType} vs $rn ${ra.dataType}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types differ: $leftTs ${lt.dataType} vs $rightTs ${rt.dataType}")
+    AsOfJoinNode(lp, rp, lks, rks, lt, rt, strict)
+  }
 }
 
 /** Planner strategy: the one-case mapping from the logical node to the

@@ -51,12 +51,21 @@ object StreamedQueries {
     val name = s"graft_replay_${qid.incrementAndGet()}"
     val stream = s.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
-    val q = topology(stream).writeStream
-      .format("memory").queryName(name).outputMode("update")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store partitions = shuffle partitions AT QUERY START, one
+    // RocksDB instance each per micro-batch: at the session's 32 that
+    // is ~100 store opens for a bounded replay whose state is
+    // cells/tickers-sized. 8 keeps the fold parallel and cuts the
+    // fixed store cost ~4x; restored before the caller's own plan runs
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = topology(stream).writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
 

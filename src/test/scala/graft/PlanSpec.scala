@@ -649,4 +649,46 @@ class PlanSpec extends AnyFunSuite {
     assert("CollectMetrics".r.findAllIn(p).size == 2,
       s"op10 expected exactly 2 observe probes:\n$p")
   }
+
+  test("ob35: classification rides the NATIVE as-of; the tick base is " +
+    "a ticker-keyed window; no cartesian anywhere") {
+    val p = plan("ob35_lee_ready")
+    assert(p.contains("AsOfJoin"), s"ob35 lost the native as-of:\n$p")
+    assert(p.contains("hashpartitioning(ticker"),
+      s"ob35 tick window not ticker-keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ob35 has a cartesian:\n$p")
+  }
+
+  test("ob34: the composite-key as-of clusters and sorts BOTH key " +
+    "columns on both sides") {
+    val p = plan("ob34_asof_composite")
+    assert(p.contains("AsOfJoin"), s"ob34 lost the native as-of:\n$p")
+    // EnsureRequirements must hash-cluster on (ticker, side) — a
+    // single-column exchange would co-locate only one key and the
+    // merge would see interleaved groups
+    assert("hashpartitioning\\(ticker#\\d+, side#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"ob34 left not clustered on BOTH keys:\n$p")
+    assert("hashpartitioning\\(q_ticker#\\d+, q_side#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"ob34 right not clustered on BOTH keys:\n$p")
+  }
+
+  test("sim22: graph walk is equi-joins over the edge list + a " +
+    "bounded-heap rerank — no cartesian, no ranking window") {
+    val p = plan("sim22_graph_ann")
+    assert(!p.contains("CartesianProduct"), s"sim22 has a cartesian:\n$p")
+    // the edge build must come from the cell equi-join (sim08's
+    // blocked shape), never an all-pairs fallback
+    assert(p.contains("hashpartitioning(cell") ||
+      "HashJoin \\[cell".r.findFirstIn(p).isDefined ||
+      p.contains("SortMergeJoin [cell"),
+      s"sim22 edges not cell-blocked:\n$p")
+    assert("ObjectHashAggregate.*functions=\\[graft_topk\\(".r
+      .findFirstIn(p).isDefined,
+      s"sim22 rerank has no bounded-heap aggregate:\n$p")
+    assert(!"windowspecdefinition\\(query_id#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"sim22 ranks through a per-query window:\n$p")
+  }
 }
