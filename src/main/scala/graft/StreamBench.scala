@@ -75,8 +75,122 @@ object StreamBench {
     val csec = (System.nanoTime() - t2) / 1e9
     println(f"""{"metric":"candle_agg","messages":$msgs,"sec":$csec%.2f,"msgs_per_sec":${msgs / csec}%.0f}""")
 
+    wireIngest(spark, shards = 1)
+    wireIngest(spark, shards = 2)
     bookLatency(spark)
     spark.stop()
+  }
+
+  /** One scripted RFC 6455 replay connection: handshake, read the
+    * masked subscribe frame, write every line as a text frame, close.
+    * The server role of the same [[graft.streaming.WsWire]] codec the
+    * client speaks (frames unmasked server→client, masked frames
+    * REQUIRED client→server). */
+  private def wsReplayServer(lines: Seq[String]): java.net.ServerSocket = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.streaming.WsWire
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = sock.getOutputStream
+        def line(): String = {
+          val sb = new StringBuilder
+          var b = in.read()
+          while (b != -1 && b != '\n') {
+            if (b != '\r') sb.append(b.toChar); b = in.read()
+          }
+          sb.toString
+        }
+        line() // GET
+        var h = line()
+        var key: String = null
+        while (h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0 && h.substring(0, i).trim
+              .equalsIgnoreCase("Sec-WebSocket-Key"))
+            key = h.substring(i + 1).trim
+          h = line()
+        }
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${WsWire.acceptKey(key)}\r\n\r\n")
+          .getBytes(UTF_8))
+        out.flush()
+        WsWire.readFrame(in, expectMasked = true) // subscribe
+        lines.foreach(l =>
+          WsWire.writeFrame(out, WsWire.Opcode.Text, l.getBytes(UTF_8), None))
+        WsWire.writeFrame(out, WsWire.Opcode.Close,
+          Array[Byte](0x03, 0xe8.toByte), None)
+        try WsWire.readFrame(in, expectMasked = true) catch {
+          case _: java.io.IOException => ()
+        }
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    server
+  }
+
+  /** Live-wire ingest: the SAME unified pipeline fed from the
+    * graft-socket WS transport — real RFC 6455 frames end-to-end —
+    * with `shards` connections (one input partition each). Each shard
+    * serves its own ticker set with its own per-connection seq, so the
+    * fail-stop validator runs hot on every line; throughput is
+    * messages / (start → all rows durably in parquet). The 1-shard vs
+    * 2-shard pair is the ingest-parallelism number the sharded source
+    * exists for. */
+  private def wireIngest(spark: org.apache.spark.sql.SparkSession,
+      shards: Int, perShardTickers: Int = 10,
+      perTicker: Int = 2000): Unit = {
+    val shardTickers = (0 until shards).map(sh =>
+      (0 until perShardTickers).map(i => f"KXWIRE$sh%d-$i%02d"))
+    // the live validator expects ONE monotone per-CONNECTION seq
+    // (kalshi_ws_client.py:129-146); the fixture generator numbers per
+    // ticker, so renumber each shard's feed globally 1..m — and give
+    // each shard its own sid, or the "sid-seq" lineage ids collide
+    // across shards and the replay-dedup silently halves the stream
+    val shardLines = shardTickers.zipWithIndex.map { case (ts, sh) =>
+      Fixtures.genMessages(ts, perTicker).map(Fixtures.envelopeJson)
+        .zipWithIndex.map { case (l, i) =>
+          l.replaceFirst("\"sid\":\\d+", s""""sid":${9000 + sh}""")
+            .replaceFirst("\"seq\":\\d+", s""""seq":${i + 1}""") } }
+    val wantDeltas = shardTickers.zip(shardLines).map { case (ts, _) =>
+      Fixtures.genMessages(ts, perTicker).collect { case Right(_) => 1 }.size
+    }.sum
+    val servers = shardLines.map(wsReplayServer)
+    val out = Files.createTempDirectory(s"graft-sbench-wire$shards")
+    try {
+      val endpoints = servers.map(s => s"localhost:${s.getLocalPort}")
+      val df = spark.readStream.format("graft-socket")
+        .option("shards", endpoints.mkString(","))
+        // interleaved so the source's round-robin assignment hands each
+        // shard exactly the tickers its server feeds
+        .option("tickers", (0 until perShardTickers)
+          .flatMap(i => shardTickers.map(_(i))).mkString(","))
+        .option("channels", "orderbook_snapshot,orderbook_delta")
+        .option("transport", "ws")
+        .load()
+      val t0 = System.nanoTime()
+      val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
+        out.toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < wantDeltas && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = try spark.read.parquet(s"$out/orderbook_deltas").count()
+          catch { case _: Throwable => 0L }
+        if (n < wantDeltas) Thread.sleep(50)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val msgs = shardLines.map(_.size).sum
+      require(n >= wantDeltas, s"wire ingest timed out: $n/$wantDeltas")
+      println(f"""{"metric":"wire_ingest","shards":$shards,"messages":$msgs,"sec":$sec%.2f,"msgs_per_sec":${msgs / sec}%.0f,"delta_rows":$n}""")
+    } finally servers.foreach(_.close())
   }
 
   /** Live top-of-book latency over the durable queue — the reference's

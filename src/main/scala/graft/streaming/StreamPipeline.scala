@@ -74,7 +74,7 @@ object StreamPipeline {
     decode(lines.toDF("value"))
   }
 
-  private[streaming] def decode(raw: DataFrame): DataFrame =
+  private[graft] def decode(raw: DataFrame): DataFrame =
     raw.select(col("value").as("raw"),
         from_json(col("value"), wireEnvelope).as("m"))
       .select(col("raw"), col("m.type").as("type"), col("m.sid").as("sid"),
@@ -276,12 +276,17 @@ object StreamPipeline {
 
   /** [[runUnified]] over any decoded [[Connectors.MessageSource]]
     * frame — the file-replay, socket, and durable-queue paths all fan
-    * into the identical sink topology. */
-  def runUnifiedFrom(messages: DataFrame, outDir: String): StreamingQuery =
+    * into the identical sink topology. Bounded replays drain with the
+    * default `AvailableNow`; a LIVE source (the graft-socket wire,
+    * whose lines arrive while the query runs) passes a processing-time
+    * trigger instead — AvailableNow's wrapper would freeze the end
+    * offset at start and miss everything after it. */
+  def runUnifiedFrom(messages: DataFrame, outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_ckpt_unified")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
         try {
