@@ -1,0 +1,169 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew validation at a scale where skew actually BITES — the data
+  * point the per-round sf0.1 corpus can't provide (its hot key is big
+  * relatively but every partition still fits in one fast task; the
+  * round-9 verdict re-raised this every round since 2).
+  *
+  * Generates a deterministic documents-shaped corpus in /tmp with a
+  * BRUTAL key distribution — `en` holds ~60% of all rows, and text
+  * bytes skew WITH rows — then measures each mechanism against its
+  * naive twin ON THE SAME DATA, same JVM, interleaved. Correctness
+  * first: each route pair must return IDENTICAL rows before its
+  * timing is reported (a fast wrong answer is not a result).
+  * Generation is fully deterministic (hash-of-id mixing, no RNG).
+  *
+  * Three measurements, one control:
+  *  - CONTROL `skew_agg_algebraic`: op01's salted two-phase
+  *    aggregation vs a plain GROUP BY with algebraic (sum/count)
+  *    aggregates. EXPECTED ~1x or a salted LOSS: map-side partial
+  *    aggregation already collapses the hot key to one row per
+  *    partition before the shuffle — algebraic aggs are structurally
+  *    skew-immune, and the salted route pays an extra shuffle. This
+  *    is the honest boundary of op01's mechanism: salting earns its
+  *    keep on NON-collapsible aggregation state and on joins, not on
+  *    sums.
+  *  - `skew_join`: op02's salted fact⋈dim join vs the plain shuffled
+  *    join, with the text payload riding the fact side — the hot
+  *    reducer must sort+stream ~60% of corpus BYTES in one task while
+  *    the salted twin spreads it over 32.
+  *  - `skew_aqe`: AQE `OptimizeSkewedJoin` (op05's automation) ON vs
+  *    OFF on a lang-keyed fact⋈fact pair workload (both sides raw
+  *    scans, ×8 pair fan-out) — the hot partition is hundreds of MB
+  *    against an 8 MB advisory, so the rule must split it into ~dozens
+  *    of parallel reads.
+  *
+  * `sbt "runMain graft.SkewBench [nRows]"` → JSON lines, recorded in
+  * BASELINE.md round-10 notes.
+  */
+object SkewBench {
+
+  /** Deterministic skewed corpus: ~60% `en`, the rest spread over 40
+    * uniform tails; ~40-80 words of text per row so bytes skew with
+    * rows (hot sources are also wordy — the realistic shape). */
+  def generate(s: SparkSession, dir: String, n: Long): Unit = {
+    val out = new File(dir)
+    if (new File(out, "_SUCCESS").isFile) return
+    s.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(hash(col("id")), lit(100)) < 60, lit("en"))
+          .otherwise(concat(lit("l"),
+            pmod(hash(col("id"), lit(7)), lit(40)))).as("lang"),
+        concat(lit("src"), pmod(hash(col("id"), lit(13)), lit(8)))
+          .as("source"))
+      .withColumn("text",
+        concat_ws(" ", transform(
+          sequence(lit(1), lit(40) + pmod(hash(col("doc_id")), lit(40))),
+          i => concat(lit("w"), pmod(hash(col("doc_id"), i), lit(5000))))))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** min-of-2 wall seconds, result rows returned for the equality
+    * assertion (result sets here are ≤ #langs rows). */
+  private def run(df: => DataFrame): (Seq[String], Double) = {
+    val secs = (1 to 2).map { _ =>
+      timed(df.collect().map(_.toString).sorted.toSeq)
+    }
+    (secs.head._1, secs.map(_._2).min)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val dir = s"/tmp/graft-skew-$n"
+    val spark = GraftSession.local()
+    generate(spark, dir, n)
+    val docs = spark.read.parquet(dir)
+    val total = docs.count()
+    val hot = docs.where(col("lang") === "en").count()
+    System.err.println(s"[skew] corpus $total rows, hot key $hot " +
+      f"(${hot * 100.0 / total}%.1f%%)")
+
+    // --- CONTROL: algebraic aggs are skew-immune via map-side partials
+    val tokens = docs.select(col("lang"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val (saltedRows, saltedSec) = run(
+      operators.Salting.saltedAgg(tokens, col("lang"), col("doc_id"), 32,
+        Seq(count(lit(1)).as("pn"), sum(col("n_tok")).as("pt")),
+        Seq(sum(col("pn")).cast("long").as("n_docs"),
+          sum(col("pt")).cast("long").as("n_tokens"))))
+    val (plainRows, plainSec) = run(
+      tokens.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens")))
+    require(saltedRows == plainRows,
+      "salted aggregation diverged from the plain GROUP BY")
+    println(f"""{"metric":"skew_agg_algebraic","rows":$total,"hot_frac":${hot.toDouble / total}%.2f,"salted_sec":$saltedSec%.2f,"plain_sec":$plainSec%.2f,"note":"control: partials make algebraic aggs skew-immune"}""")
+
+    // --- op02 mechanism: salted fact⋈dim join, PAYLOAD-BEARING fact
+    // side (the hot reducer must sort+stream ~60% of corpus bytes) ---
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.read.parquet(dir)
+      .select(col("lang"), col("doc_id"), col("text"))
+    val dim2 = s2.read.parquet(dir)
+      .groupBy(col("lang")).agg(min(col("doc_id")).as("lang_min_id"))
+    def post(j: DataFrame) = j.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).cast("long").as("bytes"),
+        max(col("lang_min_id")).as("min_id"))
+    val (sjRows, sjSec) = run(post(
+      operators.Salting.saltedJoin(fact, dim2, "lang", col("doc_id"), 32)))
+    val (pjRows, pjSec) = run(post(fact.join(dim2, Seq("lang"))))
+    require(sjRows == pjRows, "salted join diverged from the plain join")
+    println(f"""{"metric":"skew_join","rows":$total,"salted_sec":$sjSec%.2f,"plain_sec":$pjSec%.2f,"speedup":${pjSec / sjSec}%.2f}""")
+
+    // --- op05 mechanism: AQE OptimizeSkewedJoin ON vs OFF on a
+    // lang-keyed fact⋈fact pair aggregate (both sides raw scans, x8
+    // fan-out; hot partition >> advisory, so the rule must split) ---
+    def pairWork(sess: SparkSession): DataFrame = {
+      val a = sess.read.parquet(dir)
+        .select(col("lang"), col("source"), col("n_chars"))
+      val b = sess.read.parquet(dir)
+        .select(col("lang"), col("source").as("src_b"))
+        .distinct()
+      a.join(b, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_chars") *
+            (pmod(hash(col("src_b")), lit(7)) + lit(1)))
+            .cast("long").as("weighted"))
+    }
+    def aqeSession(skew: Boolean): SparkSession = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
+      // the post-join agg rides the join's hash distribution; splitting
+      // the hot partition breaks that guarantee, so by default the rule
+      // REFUSES rather than add the (cheap, lang-keyed, pre-aggregated)
+      // exchange back — force it, as op05 does, and let AQE weigh the
+      // split against a partial-agg-sized reshuffle
+      ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
+        skew.toString)
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      ss.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      // keep the post-join agg from hiding the split: partial agg still
+      // runs per split task, which is the parallelism under test
+      ss
+    }
+    val (onRows, onSec) = run(pairWork(aqeSession(skew = true)))
+    val (offRows, offSec) = run(pairWork(aqeSession(skew = false)))
+    require(onRows == offRows, "AQE skew split changed the result")
+    println(f"""{"metric":"skew_aqe","rows":$total,"skew_on_sec":$onSec%.2f,"skew_off_sec":$offSec%.2f,"speedup":${offSec / onSec}%.2f}""")
+
+    spark.stop()
+  }
+}
