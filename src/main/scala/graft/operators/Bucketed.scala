@@ -44,7 +44,13 @@ object Bucketed {
         }
         rm(loc)
       }
-      df.write.bucketBy(8, key).sortBy(key)
+      // repartition on the SAME murmur3 hash the bucketizer uses, so
+      // every task holds exactly one bucket's rows and each bucket is
+      // ONE sorted file — the layout precondition for the sorted
+      // bucket scan (op11): with multiple files per bucket Spark
+      // cannot claim scan-output ordering and re-sorts before SMJ
+      df.repartition(8, col(key))
+        .write.bucketBy(8, key).sortBy(key)
         .mode("overwrite").saveAsTable(name)
     }
 
@@ -76,9 +82,56 @@ object Bucketed {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** op11 — the bucket layout's SECOND amortized win: with per-bucket
+    * SORTED single files (the [[ensureBucketed]] write) and the sorted
+    * bucket scan enabled, the fact⋈fact SMJ runs with ZERO Exchange
+    * AND ZERO Sort on either side — the write-time sort is amortized
+    * over every later merge join exactly like the write-time shuffle
+    * (op07). At 100 TB the eliminated per-join sort is the larger of
+    * the two prices (it's the spill producer). The sorted-scan
+    * property needs `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (off by default because multi-file buckets would force a
+    * per-bucket merge at scan; our one-file-per-bucket write is
+    * exactly the layout the conf exists for), set on this query's own
+    * session — conf-isolated like op05. Zero-Exchange + zero-Sort is
+    * plan-pinned in PlanSpec; the oracle is the plain join. */
+  def sortedBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.Seams.corpusFingerprint(d)
+    val li = s"graft_b_lineitem_$fp"
+    val ord = s"graft_b_orders_$fp"
+    ensureBucketed(s, li, Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_orderkey")
+    ensureBucketed(s, ord, Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s2.table(li)
+      .join(s2.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sortedBucketJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_qty,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "op07_bucketed_join" -> (bucketedJoin _))
+    "op07_bucketed_join" -> (bucketedJoin _),
+    "op11_sorted_bucket_join" -> (sortedBucketJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
-    "op07_bucketed_join" -> bucketedJoinSql)
+    "op07_bucketed_join" -> bucketedJoinSql,
+    "op11_sorted_bucket_join" -> sortedBucketJoinSql)
 }

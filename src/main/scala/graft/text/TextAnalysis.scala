@@ -1731,6 +1731,145 @@ object TextAnalysis {
       |      ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
       |FROM hf_m""".stripMargin
 
+  // ---------------------------------------------------------------- txt32
+  /** txt32 — KMV SET-OPERATION sketches: estimated vocabulary UNION,
+    * INTERSECTION, and Jaccard for every SOURCE PAIR from per-source
+    * k-minimum-values sketches — the theta-sketch family's core trick,
+    * which Spark's own approx machinery (HLL-based
+    * `approx_count_distinct`) cannot do at all (HLL unions but never
+    * intersects). The curation question it answers: which sources
+    * overlap enough that near-dup work between them will pay off —
+    * WITHOUT a corpus-sized pairwise pass.
+    *
+    * Estimator (deterministic given the hash, so oracle-checkable,
+    * like txt15): per pair, the union sketch = k smallest distinct
+    * hashes of A ∪ B; θ = its k-th value; est_union = (k−1)·M/θ
+    * (under-filled = exact). Membership within the union sketch is
+    * EXACT: h ≤ θ_union ≤ θ_A implies any h ∈ A is in KMV_A, so
+    * kmv_jaccard = |{h in union sketch : h ∈ KMV_A ∧ h ∈ KMV_B}| / k
+    * and est_intersection = kmv_jaccard · est_union. The exact
+    * Jaccard rides along (affordable at gate scale) so the artifact
+    * shows where the estimates land.
+    *
+    * Scale: ONE (source, hash) distinct shuffle (txt15's budget) →
+    * per-source ≤K-row sketches (map-side min-k mergeable, as txt15
+    * notes) → everything pairwise happens on sketch-sized data
+    * (sources² × 2K rows — metadata scale; the pair frame broadcasts).
+    * The exact ridealong is one vocab-keyed equi-join — at 100 TB you
+    * drop that column and keep the sketches; nothing else changes. */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val K = 64
+    val M = 1000000007L
+    val sh = Tables.documents(s, d)
+      .select(col("source"),
+        explode(call_function("graft_shingle_hashes", col("text"))).as("h0"))
+      .select(col("source"), (col("h0") * 2654435761L + 678L) % M as "h")
+      .distinct()
+    val wS = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kmv = sh.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= K).select(col("source"), col("h"))
+    val srcs = sh.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val pa = broadcast(pairs).join(kmv, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val pb = broadcast(pairs).join(kmv, col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val pu = pa.unionByName(pb)
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wU = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val sk = pu.withColumn("rn", row_number().over(wU))
+      .where(col("rn") <= K)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k_u"), max(col("h")).as("theta"),
+        sum(col("in_a") * col("in_b")).as("inter_k"))
+    // exact ridealong: one vocab-keyed equi-join + per-source counts
+    val cnts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("sa"), col("h"))
+      .join(sh.select(col("source").as("sb"), col("h")), Seq("h"))
+      .where(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    val estU = when(col("k_u") < K, col("k_u").cast(DoubleType))
+      .otherwise((col("k_u") - 1).cast(DoubleType) * M / col("theta"))
+    sk
+      .join(inter, Seq("sa", "sb"), "left")
+      .join(broadcast(cnts.select(col("source").as("sa"),
+        col("n").as("n_a"))), Seq("sa"))
+      .join(broadcast(cnts.select(col("source").as("sb"),
+        col("n").as("n_b"))), Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("k_u").cast(IntegerType).as("k_used"),
+        estU.as("est_union"),
+        (col("inter_k").cast(DoubleType) / col("k_u")).as("kmv_jaccard"),
+        ((col("inter_k").cast(DoubleType) / col("k_u")) * estU)
+          .as("est_intersection"),
+        (coalesce(col("n_inter"), lit(0L)).cast(DoubleType) /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
+          .as("exact_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val kmvOverlapSql: String =
+    """WITH ko_sh AS (
+      |  SELECT DISTINCT source,
+      |    (list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(g) + 1),
+      |                     i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761 + 678)
+      |      % 1000000007 AS h
+      |  FROM (SELECT source, unnest(list_transform(range(1, LENGTH(text) - 1),
+      |                i -> substr(text, CAST(i AS INT), 3))) AS g
+      |        FROM documents) t),
+      |ko_kmv AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+      |      AS rn FROM ko_sh) r
+      |  WHERE rn <= 64),
+      |ko_src AS (SELECT DISTINCT source FROM ko_sh),
+      |ko_pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM ko_src a JOIN ko_src b ON a.source < b.source),
+      |ko_pu AS (
+      |  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+      |    SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
+      |    FROM ko_pairs p JOIN ko_kmv k ON k.source = p.sa
+      |    UNION ALL
+      |    SELECT p.sa, p.sb, k.h, 0, 1
+      |    FROM ko_pairs p JOIN ko_kmv k ON k.source = p.sb) u
+      |  GROUP BY 1, 2, 3),
+      |ko_sk AS (
+      |  SELECT sa, sb, COUNT(*) AS k_u, CAST(MAX(h) AS BIGINT) AS theta,
+      |    SUM(in_a * in_b) AS inter_k
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h)
+      |          AS rn FROM ko_pu) r
+      |  WHERE rn <= 64 GROUP BY 1, 2),
+      |ko_cnt AS (SELECT source, COUNT(*) AS n FROM ko_sh GROUP BY source),
+      |ko_inter AS (
+      |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+      |  FROM ko_sh a JOIN ko_sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.sa AS source_a, s.sb AS source_b,
+      |  CAST(s.k_u AS INT) AS k_used,
+      |  CASE WHEN s.k_u < 64 THEN CAST(s.k_u AS DOUBLE)
+      |       ELSE CAST(s.k_u - 1 AS DOUBLE) * 1000000007 / s.theta
+      |  END AS est_union,
+      |  CAST(s.inter_k AS DOUBLE) / s.k_u AS kmv_jaccard,
+      |  (CAST(s.inter_k AS DOUBLE) / s.k_u) *
+      |    (CASE WHEN s.k_u < 64 THEN CAST(s.k_u AS DOUBLE)
+      |          ELSE CAST(s.k_u - 1 AS DOUBLE) * 1000000007 / s.theta END)
+      |    AS est_intersection,
+      |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+      |    (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS exact_jaccard
+      |FROM ko_sk s
+      |LEFT JOIN ko_inter i ON i.sa = s.sa AND i.sb = s.sb
+      |JOIN ko_cnt ca ON ca.source = s.sa
+      |JOIN ko_cnt cb ON cb.source = s.sb
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -1763,7 +1902,8 @@ object TextAnalysis {
     "txt28_bigram_nll" -> (bigramNll _),
     "txt29_bpe_pretokens" -> (bpePretokens _),
     "txt30_source_drift" -> (sourceDrift _),
-    "txt31_heaps_fit" -> (heapsFit _))
+    "txt31_heaps_fit" -> (heapsFit _),
+    "txt32_kmv_overlap" -> (kmvOverlap _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1796,5 +1936,6 @@ object TextAnalysis {
     "txt28_bigram_nll" -> bigramNllSql,
     "txt29_bpe_pretokens" -> bpePretokensSql,
     "txt30_source_drift" -> sourceDriftSql,
-    "txt31_heaps_fit" -> heapsFitSql)
+    "txt31_heaps_fit" -> heapsFitSql,
+    "txt32_kmv_overlap" -> kmvOverlapSql)
 }

@@ -674,6 +674,21 @@ class PlanSpec extends AnyFunSuite {
       s"ob34 right not clustered on BOTH keys:\n$p")
   }
 
+  test("op11: sorted-bucket SMJ runs with ZERO Exchange and ZERO Sort " +
+    "below the join — both write-time costs amortized") {
+    val df = operators.Bucketed.sortedBucketJoin(spark, sf)
+    df.collect() // materialize through AQE so the final plan is real
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"op11 did not plan an SMJ:\n$p")
+    // everything BELOW the join line: scans only — no Exchange (op07's
+    // property) and no Sort (the sorted-scan property this entry adds)
+    val below = p.split("SortMergeJoin").last
+    assert(!below.contains("Exchange"),
+      s"op11 join still shuffles below the SMJ:\n$p")
+    assert(!below.contains("Sort"),
+      s"op11 join still sorts below the SMJ:\n$p")
+  }
+
   test("sim22: graph walk is equi-joins over the edge list + a " +
     "bounded-heap rerank — no cartesian, no ranking window") {
     val p = plan("sim22_graph_ann")
