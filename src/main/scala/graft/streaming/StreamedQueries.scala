@@ -178,11 +178,95 @@ object StreamedQueries {
        |  END AS est
        |FROM sk ORDER BY ticker""".stripMargin
 
+  // ----------------------------------------------------------------- st03
+  /** st03 — the PRODUCTION streaming sessionizer
+    * ([[StreamPipeline.messageSessions]]: `session_window` + watermark
+    * over the wire-message frame) under the driver's oracle: the delta
+    * feed replayed as wire-shaped rows in ≥4 micro-batches, sessions
+    * emitted in APPEND mode (exactly once, when the watermark proves
+    * them closed), against the batch gaps-and-islands spelling in
+    * DuckDB.
+    *
+    * Two replay mechanics make the equality exact:
+    *  - the chunk files are NOT time-ordered (repartition scatters
+    *    rows), so the watermark is set far beyond the corpus span —
+    *    no intra-replay late-drop can occur and the equality tests
+    *    the session MERGE logic, not the feed's ordering luck;
+    *  - a single far-future FLUSH row (its own file, newest mtime, so
+    *    the file source schedules it LAST) advances the watermark past
+    *    every real session's close at end of replay; the flush
+    *    ticker's own session never closes and thus never emits.
+    *
+    * Boundary parity: `session_window` opens a NEW session at
+    * diff ≥ gap (window ends are exclusive), so the oracle spells
+    * `>=` — q16's batch convention is strictly-greater, which would
+    * diverge on an exact-boundary event. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val wmDays = 36500L
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"),
+        struct(col("ticker").as("market_ticker"),
+          col("ts_ms").as("ts")).as("msg"))
+    val maxTs = Derive.deltas(s, d).agg(max(col("ts_ms"))).head.getLong(0)
+    val flushTs = maxTs + gapMs + wmDays * 24 * 3600 * 1000 + 3600 * 1000
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = Files.createTempDirectory("graft-sess-in")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    in.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+    msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
+    // flush file written AFTER, into the same dir, newest mtime → the
+    // file source (ordered by mtime) runs it as the last micro-batch
+    val old = System.currentTimeMillis() - 120000
+    Files.list(in).forEach(p => { p.toFile.setLastModified(old); () })
+    s.range(1).select(lit("orderbook_delta").as("type"),
+        struct(lit("ZFLUSH").as("market_ticker"),
+          lit(flushTs).as("ts")).as("msg"))
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val name = s"graft_sessions_${qid.incrementAndGet()}"
+    val q = StreamPipeline.messageSessions(
+        s.readStream.schema(msgs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString),
+        gap = "30 minutes", watermark = s"$wmDays days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .where(col("ticker") =!= "ZFLUSH") // its session never closes
+      .select(col("ticker"), col("session_start"), col("session_end"),
+        col("n_msgs"))
+      .orderBy(col("ticker"), col("session_start"))
+  }
+
+  val streamSessionsSql: String = Derive.cte +
+    """, ss_f AS (
+      |  SELECT ticker, ts_ms, event_id,
+      |    CASE WHEN LAG(ts_ms) OVER w IS NULL
+      |         OR ts_ms - LAG(ts_ms) OVER w >= 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ob_deltas
+      |  WINDOW w AS (PARTITION BY ticker ORDER BY ts_ms, event_id)),
+      |ss_g AS (
+      |  SELECT ticker, ts_ms,
+      |    SUM(is_new) OVER (PARTITION BY ticker ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM ss_f)
+      |SELECT ticker, MIN(ts_ms) AS session_start,
+      |  MAX(ts_ms) + 1800000 AS session_end, COUNT(*) AS n_msgs
+      |FROM ss_g GROUP BY ticker, sess
+      |ORDER BY ticker, session_start""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
-    "st02_stream_kmv" -> (streamKmv _))
+    "st02_stream_kmv" -> (streamKmv _),
+    "st03_stream_sessions" -> (streamSessions _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
-    "st02_stream_kmv" -> streamKmvSql)
+    "st02_stream_kmv" -> streamKmvSql,
+    "st03_stream_sessions" -> streamSessionsSql)
 }

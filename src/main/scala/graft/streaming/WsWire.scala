@@ -113,8 +113,10 @@ object WsWire {
       throw new IOException(
         s"control frame opcode=$opcode fin=$fin len=$len — protocol " +
           "error (RFC 6455 §5.5: control frames are unfragmented, <=125)")
-    if (len > Int.MaxValue - 8)
-      throw new IOException(s"frame too large: $len")
+    // §5.2: the 64-bit length's MSB MUST be 0 — a negative readLong is
+    // a protocol error, not a NegativeArraySizeException
+    if (len < 0 || len > Int.MaxValue - 8)
+      throw new IOException(s"frame length out of range: $len")
     val payload = new Array[Byte](len.toInt)
     val key = if (masked) { val k = new Array[Byte](4); in.readFully(k); k }
       else null

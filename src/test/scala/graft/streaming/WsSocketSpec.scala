@@ -92,6 +92,14 @@ class WsSocketSpec extends AnyFunSuite {
       new DataInputStream(new ByteArrayInputStream(fragPing)),
       expectMasked = false))
     assert(e4.getMessage.contains("control frame"))
+    // a 64-bit length with the MSB set (§5.2: MSB MUST be 0) is a
+    // protocol error, not a NegativeArraySizeException crash
+    val negLen = Array[Byte](0x81.toByte, 127,
+      0x80.toByte, 0, 0, 0, 0, 0, 0, 1)
+    val e5 = intercept[IOException](WsWire.readFrame(
+      new DataInputStream(new ByteArrayInputStream(negLen)),
+      expectMasked = false))
+    assert(e5.getMessage.contains("length out of range"))
   }
 
   // ------------------------------------------------------ e2e over ws
