@@ -201,34 +201,28 @@ object StreamedQueries {
     * diff ≥ gap (window ends are exclusive), so the oracle spells
     * `>=` — q16's batch convention is strictly-greater, which would
     * diverge on an exact-boundary event. */
-  def streamSessions(s: SparkSession, d: String): DataFrame = {
-    val gapMs = 30L * 60 * 1000
-    val wmDays = 36500L
-    val msgs = Derive.deltas(s, d)
-      .select(lit("orderbook_delta").as("type"),
-        struct(col("ticker").as("market_ticker"),
-          col("ts_ms").as("ts")).as("msg"))
-    val maxTs = Derive.deltas(s, d).agg(max(col("ts_ms"))).head.getLong(0)
-    val flushTs = maxTs + gapMs + wmDays * 24 * 3600 * 1000 + 3600 * 1000
+  /** Shared APPEND-mode replay for the watermarked window topologies
+    * (st03/st04): replay `msgs` in ≥4 micro-batches with `flushMsg`
+    * scheduled LAST (newest mtime — the file source orders by it), so
+    * the final batch's watermark closes every real window exactly
+    * once. The corpus-spanning watermark the callers pass makes the
+    * arbitrary chunk order a non-event. */
+  private def replayClosed(s: SparkSession, msgs: DataFrame,
+      flushMsg: DataFrame)(
+      topology: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = Files.createTempDirectory("graft-sess-in")
-    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    val in = Files.createTempDirectory("graft-replayc-in")
+    val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
     in.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
     msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
-    // flush file written AFTER, into the same dir, newest mtime → the
-    // file source (ordered by mtime) runs it as the last micro-batch
     val old = System.currentTimeMillis() - 120000
     Files.list(in).forEach(p => { p.toFile.setLastModified(old); () })
-    s.range(1).select(lit("orderbook_delta").as("type"),
-        struct(lit("ZFLUSH").as("market_ticker"),
-          lit(flushTs).as("ts")).as("msg"))
-      .coalesce(1).write.mode("append").parquet(in.toString)
-    val name = s"graft_sessions_${qid.incrementAndGet()}"
-    val q = StreamPipeline.messageSessions(
+    flushMsg.coalesce(1).write.mode("append").parquet(in.toString)
+    val name = s"graft_replayc_${qid.incrementAndGet()}"
+    val q = topology(
         s.readStream.schema(msgs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(in.toString),
-        gap = "30 minutes", watermark = s"$wmDays days")
+          .option("maxFilesPerTrigger", 1).parquet(in.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -236,6 +230,27 @@ object StreamedQueries {
       .start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  private val WmDays = 36500L
+
+  private def flushTsFor(s: SparkSession, d: String,
+      slackMs: Long): Long =
+    Derive.deltas(s, d).agg(max(col("ts_ms"))).head.getLong(0) +
+      slackMs + WmDays * 24 * 3600 * 1000 + 3600 * 1000
+
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"),
+        struct(col("ticker").as("market_ticker"),
+          col("ts_ms").as("ts")).as("msg"))
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      struct(lit("ZFLUSH").as("market_ticker"),
+        lit(flushTsFor(s, d, gapMs)).as("ts")).as("msg"))
+    replayClosed(s, msgs, flush)(
+        StreamPipeline.messageSessions(_, gap = "30 minutes",
+          watermark = s"$WmDays days"))
       .where(col("ticker") =!= "ZFLUSH") // its session never closes
       .select(col("ticker"), col("session_start"), col("session_end"),
         col("n_msgs"))
@@ -260,13 +275,51 @@ object StreamedQueries {
       |FROM ss_g GROUP BY ticker, sess
       |ORDER BY ticker, session_start""".stripMargin
 
+  // ----------------------------------------------------------------- st04
+  /** st04 — the PRODUCTION streaming OHLC aggregate
+    * ([[StreamPipeline.candles]]: watermarked 1-minute tumbling
+    * windows, open/close by `min_by`/`max_by` on the per-ticker seq)
+    * under the driver's oracle via the same closed-window replay as
+    * st03; the flush ticker's own candle never closes, so it never
+    * emits. Oracle = the batch floor-to-minute GROUP BY with
+    * `arg_min`/`arg_max` — deterministic because seq is unique per
+    * ticker. */
+  def streamCandles(s: SparkSession, d: String): DataFrame = {
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"), col("seq"),
+        struct(col("ticker").as("market_ticker"),
+          col("ts_ms").as("ts"), col("price")).as("msg"))
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      lit(1L).as("seq"),
+      struct(lit("ZFLUSH").as("market_ticker"),
+        lit(flushTsFor(s, d, 60L * 1000)).as("ts"),
+        lit(1).as("price")).as("msg"))
+    replayClosed(s, msgs, flush)(
+        StreamPipeline.candles(_, "1 minute", s"$WmDays days"))
+      .where(col("ticker") =!= "ZFLUSH") // its candle never closes
+      .select(col("ticker"), col("bucket_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"))
+      .orderBy(col("ticker"), col("bucket_start"))
+  }
+
+  val streamCandlesSql: String = Derive.cte +
+    """SELECT ticker, (ts_ms // 60000) * 60000 AS bucket_start,
+      |  arg_min(price, seq) AS open, MAX(price) AS high,
+      |  MIN(price) AS low, arg_max(price, seq) AS close,
+      |  COUNT(*) AS n_ticks
+      |FROM ob_deltas
+      |GROUP BY ticker, (ts_ms // 60000) * 60000
+      |ORDER BY ticker, bucket_start""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
-    "st03_stream_sessions" -> (streamSessions _))
+    "st03_stream_sessions" -> (streamSessions _),
+    "st04_stream_candles" -> (streamCandles _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
     "st02_stream_kmv" -> streamKmvSql,
-    "st03_stream_sessions" -> streamSessionsSql)
+    "st03_stream_sessions" -> streamSessionsSql,
+    "st04_stream_candles" -> streamCandlesSql)
 }
