@@ -235,9 +235,13 @@ object StreamedQueries {
   private val WmDays = 36500L
 
   private def flushTsFor(s: SparkSession, d: String,
-      slackMs: Long): Long =
-    Derive.deltas(s, d).agg(max(col("ts_ms"))).head.getLong(0) +
+      slackMs: Long): Long = {
+    // an EMPTY delta feed (degenerate corpora) has a NULL max — the
+    // flush still runs, it just closes nothing
+    val r = Derive.deltas(s, d).agg(max(col("ts_ms"))).head
+    (if (r.isNullAt(0)) 0L else r.getLong(0)) +
       slackMs + WmDays * 24 * 3600 * 1000 + 3600 * 1000
+  }
 
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     val gapMs = 30L * 60 * 1000

@@ -107,7 +107,8 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("q21") || n.startsWith("q26") ||
         n.startsWith("q58") || n.startsWith("q61") ||
         n.startsWith("q63") || n.startsWith("q65") ||
-        n.startsWith("st02")) // the deltas-backed streaming replay
+        n.startsWith("st02") || n.startsWith("st03") ||
+        n.startsWith("st04")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
