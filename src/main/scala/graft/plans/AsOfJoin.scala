@@ -93,8 +93,17 @@ object AsOfJoinNode {
       .putBoolean(RealiasMarker, value = true).build()
 
   private def attrOf(p: LogicalPlan, name: String): Attribute =
-    p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-      s"as-of input has no column '$name' (has: ${p.output.map(_.name).mkString(", ")})"))
+    p.output.filter(_.name == name) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"as-of input has no column '$name' (has: ${p.output.map(_.name).mkString(", ")})")
+      case many =>
+        // an ambiguous input (e.g. an unaliased self-join) must fail at
+        // construction — find() would silently bind an arbitrary one
+        throw new IllegalArgumentException(
+          s"as-of input has ${many.size} columns named '$name' — " +
+            "disambiguate with aliases before the join")
+    }
 
   /** Node construction from two ANALYZED child plans — the one shared
     * core behind the DataFrame API ([[org.apache.spark.sql

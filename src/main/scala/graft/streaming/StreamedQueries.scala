@@ -32,6 +32,17 @@ object StreamedQueries {
 
   private val qid = new AtomicInteger(0)
 
+  /** Recursive delete for the replay input/checkpoint dirs —
+    * `deleteOnExit` cannot remove non-empty directories, so without
+    * this every gated run would leak parquet replay dirs and RocksDB
+    * checkpoints in /tmp (the memory-sink table retains the results;
+    * nothing reads the dirs after termination). */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.deleteIfExists(q); () })
+    }
+
   /** Replay `rows` through `topology` in ≥3 micro-batches and return
     * the memory-sink table of all Update-mode emissions. */
   private def replay(s: SparkSession, rows: DataFrame)(
@@ -43,7 +54,6 @@ object StreamedQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = Files.createTempDirectory("graft-replay-in")
     val ckpt = Files.createTempDirectory("graft-replay-ckpt")
-    in.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
     // ≥3 part files → with maxFilesPerTrigger=1, ≥3 micro-batches:
     // the state fold crosses real batch boundaries, which is the
     // thing this entry exists to put under the oracle
@@ -65,7 +75,10 @@ object StreamedQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rmTree(in); rmTree(ckpt)
+    }
     s.table(name)
   }
 
@@ -214,22 +227,23 @@ object StreamedQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = Files.createTempDirectory("graft-replayc-in")
     val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
-    in.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
-    msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
-    val old = System.currentTimeMillis() - 120000
-    Files.list(in).forEach(p => { p.toFile.setLastModified(old); () })
-    flushMsg.coalesce(1).write.mode("append").parquet(in.toString)
-    val name = s"graft_replayc_${qid.incrementAndGet()}"
-    val q = topology(
-        s.readStream.schema(msgs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(in.toString))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    try {
+      msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
+      val old = System.currentTimeMillis() - 120000
+      Files.list(in).forEach(p => { p.toFile.setLastModified(old); () })
+      flushMsg.coalesce(1).write.mode("append").parquet(in.toString)
+      val name = s"graft_replayc_${qid.incrementAndGet()}"
+      val q = topology(
+          s.readStream.schema(msgs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in.toString))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    } finally { rmTree(in); rmTree(ckpt) }
   }
 
   private val WmDays = 36500L

@@ -150,7 +150,13 @@ class WireSocketProvider extends TableProvider with DataSourceRegister {
 private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String =
-    s"graft-socket(${options.get("host")}:${options.get("port")})"
+    // shards-only configuration has no host/port options — render the
+    // endpoint list instead of "null:null"
+    Option(options.get("shards")) match {
+      case Some(s) => s"graft-socket(shards=$s)"
+      case None =>
+        s"graft-socket(${options.get("host")}:${options.get("port")})"
+    }
   override def schema(): StructType = WireSocket.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -197,6 +203,15 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
               case None =>
                 Seq((options.get("host"), options.get("port").toInt))
             }
+          // round-robin over fewer tickers than shards would leave the
+          // tail shards subscribing with an EMPTY market_tickers list —
+          // on the reference's wire that means "everything", silently
+          // duplicating the whole feed into those partitions. Reject at
+          // plan time instead of producing duplicate streams.
+          require(tickers.isEmpty || endpoints.size <= tickers.size,
+            s"${endpoints.size} shards but only ${tickers.size} tickers — " +
+              "a shard with no tickers would subscribe to the full feed; " +
+              "use at most one shard per ticker")
           val conns = endpoints.zipWithIndex.map { case ((h, p), i) =>
             val shardTickers =
               if (endpoints.size == 1) tickers

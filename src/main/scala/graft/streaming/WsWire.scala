@@ -244,7 +244,14 @@ object WsWire {
               writeFrame(out, Opcode.Close, f.payload, Some(k))
             } catch { case _: IOException => () }
             return None
-          case Opcode.Text | Opcode.Binary =>
+          case Opcode.Binary =>
+            // the feed protocol is text-only NDJSON: a binary frame is
+            // a peer bug, and decoding it as UTF-8 would feed garbage
+            // into the JSON decoder downstream — fail loud like every
+            // other protocol violation (RSV bits, masked server frames)
+            throw new IOException(
+              "binary frame on a text-only feed — protocol error")
+          case Opcode.Text =>
             if (assembled != null)
               throw new IOException("new data frame inside a fragmented " +
                 "message — protocol error (expected continuation)")

@@ -172,6 +172,15 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ts types differ"))
   }
 
+  test("an ambiguous input (duplicate column names) fails at " +
+    "construction instead of binding an arbitrary column") {
+    val dup = trades.select($"k", $"ts", $"trade_id", $"ts".as("k"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(dup, quotes, "k", "qk", "ts", "qts")
+    }
+    assert(e.getMessage.contains("disambiguate"))
+  }
+
   test("randomized parity with the window-composed reference") {
     val rnd = new scala.util.Random(42)
     val keys = Array("k1", "k2", "k3", "k4")

@@ -46,6 +46,28 @@ class SocketSourceSpec extends AnyFunSuite {
   private def feedLines: Seq[String] =
     Fixtures.genMessages(Seq("KXTEST-A"), 20).map(Fixtures.envelopeJson)
 
+  private def opts(kv: (String, String)*) =
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(kv.toMap).asJava)
+
+  test("shards-only table renders the endpoint list in name(), not " +
+    "null:null") {
+    val t = new WireSocketTable(opts("shards" -> "h1:1,h2:2"))
+    assert(t.name() === "graft-socket(shards=h1:1,h2:2)")
+    assert(new WireSocketTable(opts("host" -> "h", "port" -> "9"))
+      .name() === "graft-socket(h:9)")
+  }
+
+  test("more shards than tickers is rejected at plan time — a " +
+    "ticker-less shard would subscribe to the whole feed") {
+    val m = opts("shards" -> "h1:1,h2:2,h3:3", "tickers" -> "T1,T2")
+    val e = intercept[IllegalArgumentException] {
+      new WireSocketTable(m).newScanBuilder(m).build()
+        .toMicroBatchStream("/tmp/unused")
+    }
+    assert(e.getMessage.contains("shards"))
+  }
+
   private def awaitRows(queryName: String, want: Long,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000

@@ -102,6 +102,40 @@ class WsSocketSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("length out of range"))
   }
 
+  test("a binary data frame on the text-only feed fails the connection " +
+    "instead of decoding garbage as UTF-8") {
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, UTF_8))
+      var key: String = null
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0 &&
+          line.substring(0, i).equalsIgnoreCase("Sec-WebSocket-Key"))
+          key = line.substring(i + 1).trim
+        line = in.readLine()
+      }
+      val out = s.getOutputStream
+      out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Accept: " +
+        WsWire.acceptKey(key) + "\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      WsWire.writeFrame(out, WsWire.Opcode.Binary, Array[Byte](1, 2, 3), None)
+      out.flush()
+    })
+    t.setDaemon(true); t.start()
+    val sock = new java.net.Socket("127.0.0.1", server.getLocalPort)
+    try {
+      val c = new WsWire.Client(sock, "127.0.0.1", "/")
+      c.handshake()
+      val e = intercept[IOException](c.receiveText())
+      assert(e.getMessage.contains("binary frame"))
+    } finally { sock.close(); server.close() }
+  }
+
   // ------------------------------------------------------ e2e over ws
 
   private def feedLines: Seq[String] =
