@@ -246,6 +246,58 @@ object StreamedQueries {
     } finally { rmTree(in); rmTree(ckpt) }
   }
 
+  /** ORDER-PRESERVING replay for order-sensitive state machines
+    * (st06's book: a stale snapshot arriving after newer deltas would
+    * wrongly reset the level map — the production feed is seq-ordered
+    * per connection and A3's validator fail-stops on violations, so an
+    * ordered replay IS the contract under test, not a simplification).
+    * Chunks `msgs` into 3 files by rank over `order` (per key, every
+    * row of chunk i precedes chunk i+1) and schedules them as 3
+    * micro-batches via strictly increasing mtimes — the state fold
+    * still crosses real batch boundaries. The global sort is replay
+    * harness cost, not operator cost. */
+  private def replayOrdered(s: SparkSession, msgs: DataFrame,
+      order: org.apache.spark.sql.Column)(
+      topology: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = Files.createTempDirectory("graft-replayo-in")
+    val ckpt = Files.createTempDirectory("graft-replayo-ckpt")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val chunked = msgs.withColumn("__chunk",
+        ntile(3).over(Window.orderBy(order)))
+      val base = System.currentTimeMillis() - 600000
+      (1 to 3).foreach { i =>
+        val stage = Files.createTempDirectory("graft-replayo-stage")
+        try {
+          chunked.where(col("__chunk") === i).drop("__chunk")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = Files.list(stage).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst.get
+          val dst = in.resolve(f"chunk-$i%02d.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(base + i * 60000L)
+        } finally rmTree(stage)
+      }
+      val name = s"graft_replayo_${qid.incrementAndGet()}"
+      val q = topology(
+          s.readStream.schema(msgs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in.toString))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rmTree(in); rmTree(ckpt)
+    }
+  }
+
   private val WmDays = 36500L
 
   private def flushTsFor(s: SparkSession, d: String,
@@ -329,15 +381,160 @@ object StreamedQueries {
       |GROUP BY ticker, (ts_ms // 60000) * 60000
       |ORDER BY ticker, bucket_start""".stripMargin
 
+  // ----------------------------------------------------------------- st05
+  /** st05 — the PRODUCTION streaming as-of join ([[AsOfStream.enrich]]:
+    * custom `flatMapGroupsWithState`, trades held until the watermark
+    * proves no earlier quote can still arrive) under the driver's
+    * oracle: the delta feed replayed as wire-shaped rows through the
+    * closed-window harness, every no-side print enriched with the
+    * latest yes-side quote at-or-before it in (ts, seq) order. The
+    * flush row is a far-future QUOTE on an unused ticker — quotes
+    * advance the watermark but never emit, so no output filter is
+    * needed; every real trade finalizes exactly once. Oracle = ob14's
+    * window-as-of shape spelled over the (ts, seq)-ordered stream (a
+    * quote at the same millisecond counts only when its seq precedes
+    * the trade's — [[AsOfStream.asOf]]'s lexicographic rule). */
+  def streamAsOf(s: SparkSession, d: String): DataFrame = {
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"), col("seq"),
+        struct(col("ticker").as("market_ticker"), col("side"),
+          col("ts_ms").as("ts"), col("price")).as("msg"))
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      lit(1L).as("seq"),
+      struct(lit("ZFLUSH").as("market_ticker"), lit("yes").as("side"),
+        lit(flushTsFor(s, d, 0L)).as("ts"), lit(1).as("price")).as("msg"))
+    replayClosed(s, msgs, flush)(
+        AsOfStream.enrich(s, _, watermark = s"$WmDays days").toDF())
+      .select(col("ticker"), col("trade_seq"), col("trade_ts"),
+        col("trade_price"), col("quote_seq"), col("quote_ts"),
+        col("quote_price"), col("staleness_ms"))
+      .orderBy(col("ticker"), col("trade_seq"))
+  }
+
+  val streamAsOfSql: String = Derive.cte +
+    """, enr AS (
+      |  SELECT ticker, side, ts_ms, seq, price,
+      |    LAST_VALUE(CASE WHEN side = 'yes' THEN seq END IGNORE NULLS)
+      |      OVER w AS quote_seq,
+      |    LAST_VALUE(CASE WHEN side = 'yes' THEN ts_ms END IGNORE NULLS)
+      |      OVER w AS quote_ts,
+      |    LAST_VALUE(CASE WHEN side = 'yes' THEN price END IGNORE NULLS)
+      |      OVER w AS quote_price
+      |  FROM ob_deltas
+      |  WINDOW w AS (PARTITION BY ticker ORDER BY ts_ms, seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT ticker, seq AS trade_seq, ts_ms AS trade_ts,
+      |  price AS trade_price,
+      |  COALESCE(quote_seq, -1) AS quote_seq,
+      |  COALESCE(quote_ts, -1) AS quote_ts,
+      |  CAST(COALESCE(quote_price, -1) AS INTEGER) AS quote_price,
+      |  COALESCE(ts_ms - quote_ts, -1) AS staleness_ms
+      |FROM enr WHERE side = 'no'
+      |ORDER BY ticker, trade_seq""".stripMargin
+
+  // ----------------------------------------------------------------- st06
+  /** st06 — the PRODUCTION live book ([[LiveBook.topOfBook]]: snapshot
+    * RESET + signed delta-apply per ticker in `flatMapGroupsWithState`,
+    * top-of-book emitted per updated ticker per batch — the closest
+    * operator to the reference's actual purpose, consumer.py:24-27)
+    * under the driver's oracle.
+    *
+    * Replay mechanics differ from st03-05: book application is
+    * ORDER-SENSITIVE (a stale snapshot arriving after newer deltas
+    * would wrongly reset), and the production contract is a seq-ordered
+    * feed per connection (A3's validator fail-stops on violations) —
+    * so [[replayOrdered]] chunks the corpus BY the application order
+    * (mtime-ordered files, one per chunk) instead of scattering rows.
+    * Messages interleave real snapshots (rebuilt as wire-shaped dollar
+    * ladders from the same anchors as ob_snapshots) with the delta
+    * stream on a shared per-event order: snapshot at 2·event_id, the
+    * same event's delta at 2·event_id+1 — deterministic on both sides
+    * of the gate. Final verdict per ticker = the emission at max
+    * last_seq (monotone under ordered replay). Oracle = last snapshot's
+    * ladder plus all deltas at-or-after it, summed per level, levels
+    * that net to zero dropped ([[LiveBook.apply]]'s removal rule),
+    * best = max price per side. */
+  def streamBook(s: SparkSession, d: String): DataFrame = {
+    val nullArr = lit(null).cast("array<array<double>>")
+    val deltaMsgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"),
+        (col("event_id") * 2 + 1).cast("long").as("seq"),
+        struct(col("ticker").as("market_ticker"), col("side"),
+          col("price"), col("delta"),
+          nullArr.as("yes_dollars"), nullArr.as("no_dollars")).as("msg"))
+    def ladder(side: String) = collect_list(when(col("side") === side,
+      array(col("price").cast("double") / 100.0,
+        col("contracts").cast("double"))))
+    val snapMsgs = Derive.snapshots(s, d)
+      .groupBy(col("ticker"), col("event_id"))
+      .agg(ladder("yes").as("yes_dollars"), ladder("no").as("no_dollars"))
+      .select(lit("orderbook_snapshot").as("type"),
+        (col("event_id") * 2).cast("long").as("seq"),
+        struct(col("ticker").as("market_ticker"),
+          lit(null).cast("string").as("side"),
+          lit(null).cast("int").as("price"),
+          lit(null).cast("int").as("delta"),
+          col("yes_dollars"), col("no_dollars")).as("msg"))
+    val emissions = replayOrdered(s,
+        deltaMsgs.unionByName(snapMsgs), col("seq"))(
+        LiveBook.topOfBook(s, _).toDF())
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("last_seq").desc)
+    emissions
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("ticker"), col("last_seq"), col("best_yes_cents"),
+        col("best_yes_qty"), col("best_no_cents"), col("best_no_qty"),
+        col("n_levels"))
+      .orderBy(col("ticker"))
+  }
+
+  val streamBookSql: String = Derive.cte +
+    """, snapm AS (
+      |  SELECT ticker, MAX(event_id) AS snap_eid
+      |  FROM ob_snapshots GROUP BY ticker),
+      |contrib AS (
+      |  SELECT os.ticker, os.side, os.price AS pc,
+      |    CAST(os.contracts AS BIGINT) AS q
+      |  FROM ob_snapshots os
+      |  JOIN snapm sm ON os.ticker = sm.ticker AND os.event_id = sm.snap_eid
+      |  UNION ALL
+      |  SELECT d.ticker, d.side, d.price AS pc, CAST(d.delta AS BIGINT) AS q
+      |  FROM ob_deltas d LEFT JOIN snapm sm ON d.ticker = sm.ticker
+      |  WHERE sm.snap_eid IS NULL OR d.event_id >= sm.snap_eid),
+      |book AS (
+      |  SELECT ticker, side, pc, SUM(q) AS q
+      |  FROM contrib GROUP BY ticker, side, pc HAVING SUM(q) <> 0)
+      |SELECT t.ticker, t.last_seq,
+      |  CAST(COALESCE(y.pc, -1) AS INTEGER) AS best_yes_cents,
+      |  CAST(COALESCE(y.q, 0) AS INTEGER) AS best_yes_qty,
+      |  CAST(COALESCE(n.pc, -1) AS INTEGER) AS best_no_cents,
+      |  CAST(COALESCE(n.q, 0) AS INTEGER) AS best_no_qty,
+      |  CAST(COALESCE(nl.n, 0) AS INTEGER) AS n_levels
+      |FROM (SELECT ticker, 2 * MAX(event_id) + 1 AS last_seq
+      |      FROM ob_deltas GROUP BY ticker) t
+      |LEFT JOIN (SELECT ticker, MAX(pc) AS pc, arg_max(q, pc) AS q
+      |           FROM book WHERE side = 'yes' GROUP BY ticker) y
+      |  USING (ticker)
+      |LEFT JOIN (SELECT ticker, MAX(pc) AS pc, arg_max(q, pc) AS q
+      |           FROM book WHERE side = 'no' GROUP BY ticker) n
+      |  USING (ticker)
+      |LEFT JOIN (SELECT ticker, COUNT(*) AS n FROM book GROUP BY ticker) nl
+      |  USING (ticker)
+      |ORDER BY t.ticker""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
     "st03_stream_sessions" -> (streamSessions _),
-    "st04_stream_candles" -> (streamCandles _))
+    "st04_stream_candles" -> (streamCandles _),
+    "st05_stream_asof" -> (streamAsOf _),
+    "st06_stream_book" -> (streamBook _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
     "st02_stream_kmv" -> streamKmvSql,
     "st03_stream_sessions" -> streamSessionsSql,
-    "st04_stream_candles" -> streamCandlesSql)
+    "st04_stream_candles" -> streamCandlesSql,
+    "st05_stream_asof" -> streamAsOfSql,
+    "st06_stream_book" -> streamBookSql)
 }
