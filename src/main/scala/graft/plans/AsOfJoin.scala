@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
 
 /** The engine's whole-operator custom-Catalyst surface: a NATIVE as-of
@@ -165,7 +167,7 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    strict: Boolean = false) extends BinaryExecNode {
+    strict: Boolean = false) extends BinaryExecNode with CodegenSupport {
 
   // production operators report themselves: row counts and the
   // match rate (unmatched anchors are the "stale enrichment" signal
@@ -263,6 +265,173 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // -------------------------------------------------- whole-stage codegen
+  //
+  // The merge loop as generated Java (the round-10 verdict's last
+  // engine-side item): the exec starts its own codegen region — like
+  // SortMergeJoinExec it reads the two (exchanged, sorted) child
+  // iterators directly via `inputRDDs` — and its OUTPUT fuses into the
+  // parent operators' region, so the projection/filter above an as-of
+  // runs on local variables instead of materialized UnsafeRows, and
+  // the per-row cost drops to inlined field accessors + inlined
+  // comparisons (no UnsafeProjection calls, no ordering objects, no
+  // JoinedRow indirection). Merge state (lookahead row, held row)
+  // lives in class fields so `shouldStop()` re-entry resumes mid-merge
+  // exactly where it left off.
+  //
+  // Display nuance: `CollapseCodegenStages.insertInputAdapter`
+  // special-cases SortMergeJoinExec/ShuffledHashJoinExec BY CLASS when
+  // cutting regions, so a custom two-input codegen node's sorted
+  // children print inside the join's `*(n)` span even though — exactly
+  // like SMJ — they run through their own doExecute via `inputRDDs`
+  // (the produce chain starts at this node; the child SortExecs'
+  // codegen machinery is simply unused). Execution order and plan
+  // shape are identical to the SMJ arrangement; only the EXPLAIN
+  // region numbering differs.
+
+  /** Codegen covers the types `ctx.genComp` can compare inline; the
+    * interpreted `doExecute` path stays behind for the rest (and for
+    * `spark.sql.codegen.wholeStage=false`, pinned by spec). */
+  override def supportCodegen: Boolean =
+    (leftKeys :+ leftTs).forall(e =>
+      org.apache.spark.sql.GraftPlanBridge.isAtomic(e.dataType))
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows alias the reused left-child UnsafeRow and the held
+  // copy — a buffering parent must copy, same contract as SMJ
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];", forceInline = true)
+    // lookahead right row not yet consumed, and the latest at-or-before
+    // right row (a copy — the child iterator reuses its UnsafeRow)
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val held = ctx.addMutableState("InternalRow", "asofHeld")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatchedRows")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lKeyEv = leftKeys.map(
+      BindReferences.bindReference(_, left.output).genCode(ctx))
+    val lTsEv = BindReferences.bindReference(leftTs, left.output).genCode(ctx)
+
+    val rr = ctx.freshName("asofRr")
+    ctx.INPUT_ROW = rr
+    val rKeyEv = rightKeys.map(
+      BindReferences.bindReference(_, right.output).genCode(ctx))
+    val rTsEv = BindReferences.bindReference(rightTs, right.output).genCode(ctx)
+
+    // held-row key re-evaluation for the final match check (held can
+    // predate the current left key; its keys are never null — a row is
+    // only held after the null short-circuit)
+    val hr = ctx.freshName("asofHr")
+    ctx.INPUT_ROW = hr
+    val hKeyEv = rightKeys.map(
+      BindReferences.bindReference(_, right.output).genCode(ctx))
+
+    val matched = ctx.freshName("asofMatched")
+    val kc = ctx.freshName("asofKc")
+    val tc = ctx.freshName("asofTc")
+    val mc = ctx.freshName("asofMc")
+    val scanning = ctx.freshName("asofScanning")
+
+    val lUnmatchable =
+      (lKeyEv.map(_.isNull.toString) :+ lTsEv.isNull.toString)
+        .mkString(" || ")
+    val rUnmatchable =
+      (rKeyEv.map(_.isNull.toString) :+ rTsEv.isNull.toString)
+        .mkString(" || ")
+    val kcChain = leftKeys.zip(lKeyEv).zip(rKeyEv).map {
+      case ((lk, l), r) =>
+        s"if ($kc == 0) $kc = " +
+          s"${ctx.genComp(lk.dataType, r.value.toString, l.value.toString)};"
+    }.mkString("\n")
+    val mcChain = leftKeys.zip(lKeyEv).zip(hKeyEv).map {
+      case ((lk, l), h) =>
+        s"if ($mc == 0) $mc = " +
+          s"${ctx.genComp(lk.dataType, h.value.toString, l.value.toString)};"
+    }.mkString("\n")
+    val tsCmp =
+      ctx.genComp(leftTs.dataType, rTsEv.value.toString, lTsEv.value.toString)
+    val tsOp = if (strict) "<" else "<="
+
+    // output vars: left columns straight off the left row; right
+    // columns guarded by the match (SMJ's genBuildSideVars shape)
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRightIsNull")
+      val value = ctx.freshName("asofRightVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val cd =
+        code"""boolean $isNull = true;
+           |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched) {
+           |  $isNull = $held.isNullAt($i);
+           |  if (!$isNull) {
+           |    $value = ${CodeGenerator.getValue(held, a.dataType, i.toString)};
+           |  }
+           |}""".stripMargin
+      ExprCode(cd, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.map(_.code).mkString("\n")}
+       |  ${lTsEv.code}
+       |  boolean $matched = false;
+       |  if (!($lUnmatchable)) {
+       |    boolean $scanning = true;
+       |    while ($scanning) {
+       |      if ($rightRow == null) {
+       |        if (!$rightInput.hasNext()) break;
+       |        $rightRow = (InternalRow) $rightInput.next();
+       |      }
+       |      InternalRow $rr = $rightRow;
+       |      ${rKeyEv.map(_.code).mkString("\n")}
+       |      ${rTsEv.code}
+       |      if ($rUnmatchable) { $rightRow = null; continue; }
+       |      int $kc = 0;
+       |      $kcChain
+       |      if ($kc < 0) {
+       |        // right key sorts before every remaining left key:
+       |        // consume without holding
+       |        $rightRow = null;
+       |      } else if ($kc == 0) {
+       |        int $tc = $tsCmp;
+       |        if ($tc $tsOp 0) { $held = $rr.copy(); $rightRow = null; }
+       |        else $scanning = false;
+       |      } else {
+       |        $scanning = false;
+       |      }
+       |    }
+       |    if ($held != null) {
+       |      InternalRow $hr = $held;
+       |      ${hKeyEv.map(_.code).mkString("\n")}
+       |      int $mc = 0;
+       |      $mcChain
+       |      $matched = ($mc == 0);
+       |    }
+       |  }
+       |  $numOutput.add(1);
+       |  if ($matched) $numMatched.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
 

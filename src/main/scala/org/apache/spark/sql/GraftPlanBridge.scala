@@ -29,4 +29,9 @@ object GraftPlanBridge {
       strict)
     CDataset.ofRows(l.sparkSession.asInstanceOf[CSparkSession], node)
   }
+
+  /** `AtomicType` is `private[sql]`; [[graft.plans.AsOfJoinExec]] gates
+    * its codegen path on it (the types `ctx.genComp` compares inline). */
+  def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.AtomicType]
 }

@@ -49,6 +49,38 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(qk#"), s"right not key-clustered:\n$p")
   }
 
+  test("whole-stage codegen: the merge loop compiles (fallback " +
+    "disabled) and the exec lands inside a codegen region") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+        .where($"px".isNotNull)
+      // collect with fallback OFF: a janino compile error in the
+      // generated merge loop propagates instead of silently reverting
+      // to the interpreted doExecute
+      // collect() (not count(), which clones a new execution) so THIS
+      // queryExecution's adaptive plan finalizes before the pin
+      assert(df.collect().length === 3)
+      val p = df.queryExecution.executedPlan.toString
+      assert(raw"\*\(\d+\) AsOfJoin".r.findFirstIn(p).isDefined,
+        s"as-of not in a WholeStageCodegen region:\n$p")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("codegen and interpreted paths agree (wholeStage off => " +
+    "doExecute merge)") {
+    def run() = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      .collect().map(_.toString).sorted.toSeq
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val df = AsOf.join(trades, quotes, "k", "qk", "ts", "qts")
+      assert(!df.queryExecution.executedPlan.toString.contains("*("))
+      assert(df.collect().map(_.toString).sorted.toSeq === withCg)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("null keys and null timestamps never match, on either side") {
     val l = Seq((Some("A"), Some(10L), 1), (None, Some(10L), 2),
       (Some("A"), None, 3)).toDF("k", "ts", "id")
