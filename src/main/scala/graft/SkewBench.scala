@@ -64,6 +64,27 @@ object SkewBench {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Documents-shaped corpus with a genuine BOILERPLATE mega-cluster:
+    * 1% of docs share ONE identical template text (the replicated-
+    * content shape — cookie banners, legal footers, scraped mirrors —
+    * that produces banded-LSH mega-buckets in production), the rest
+    * unique word salad. Deterministic, no RNG. */
+  def generateLsh(s: SparkSession, dir: String, n: Long): Unit = {
+    val out = new File(s"$dir/documents.parquet")
+    if (new File(out, "_SUCCESS").isFile) return
+    val boiler = "template " +
+      (1 to 50).map(i => s"tok$i").mkString(" ")
+    s.range(n).select(
+        col("id").as("doc_id"),
+        when(col("id") % 100 === 0, lit(boiler))
+          .otherwise(concat_ws(" ", transform(
+            sequence(lit(1), lit(30) + pmod(hash(col("id")), lit(20))),
+            i => concat(lit("w"), pmod(hash(col("id"), i), lit(500000))))))
+          .as("text"),
+        lit("en").as("lang"))
+      .write.mode("overwrite").parquet(out.toString)
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -163,6 +184,58 @@ object SkewBench {
     val (offRows, offSec) = run(pairWork(aqeSession(skew = false)))
     require(onRows == offRows, "AQE skew split changed the result")
     println(f"""{"metric":"skew_aqe","rows":$total,"skew_on_sec":$onSec%.2f,"skew_off_sec":$offSec%.2f,"speedup":${offSec / onSec}%.2f}""")
+
+    // --- banded-LSH mega-bucket (the one skew family the other three
+    // mechanisms can't touch): a replicated-content cluster of m docs
+    // makes a band bucket whose candidate-pair OUTPUT is m²/2 —
+    // quadratic output from kilobytes of input, so AQE's
+    // size-triggered skew split never fires and salting can't help a
+    // self-join key that IS the content. (This corpus grows one
+    // 1,500-doc boilerplate bucket by construction AND a ~10k-doc
+    // bucket organically, from shared word-salad shingle structure —
+    // the naive route owes ~60M verifications to that one bucket.)
+    // The production answer is dd19's bucket-cap quarantine: pairwise
+    // below the cap, O(c) sig-sorted CHAIN edges above it, identical
+    // prefilter+verification either way — so capped edges ⊆ all-pairs
+    // edges: capping can only SPLIT components, never merge or invent.
+    // Contract asserted: the boilerplate cluster itself is IDENTICAL,
+    // doc coverage is a subset, and the loss is reported exactly. ---
+    // Two corpus sizes: naive cost is Σ c² over bucket populations
+    // (the organic mega-bucket grows ~linearly with the corpus, so the
+    // naive route grows ~QUADRATICALLY while the capped route stays
+    // ~linear) — the trend, not one ratio, is the 100 TB argument.
+    for (nLsh <- Seq(150000L, 400000L)) {
+      val lshDir = s"/tmp/graft-skew-lsh-$nLsh"
+      generateLsh(spark, lshDir, nLsh)
+      val sig = dedup.Dedup.minhashSig(spark, lshDir).localCheckpoint()
+      val nSig = sig.count() // materialize the shared signature input
+      def clustersOf(cand: DataFrame): Map[Long, (Long, Long)] =
+        dedup.Dedup.connectedComponentsStar(
+            dedup.Dedup.attachVerify(sig, cand)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      // single timed pass each (the naive route's mega-bucket grind is
+      // the measurement; min-of-2 would double a multi-minute run)
+      val (capped, cappedSec) = timed(
+        clustersOf(dedup.Dedup.cappedCandidatesOn(sig, 64)))
+      val (naive, naiveSec) = timed(
+        clustersOf(dedup.Dedup.bandedCandidatesOn(sig)))
+      // doc_id 0 is boilerplate, so the template cluster's id is 0 in
+      // both routes; a chain over an all-identical bucket spans it whole
+      require(capped(0L) == naive(0L),
+        s"boilerplate cluster diverged: capped=${capped(0L)} naive=${naive(0L)}")
+      val cappedDocs = capped.values.map(_._1).sum
+      val naiveDocs = naive.values.map(_._1).sum
+      require(cappedDocs <= naiveDocs,
+        "capped route clustered MORE docs than all-pairs — edge subset violated")
+      val lostDocs = naiveDocs - cappedDocs
+      require(lostDocs.toDouble / naiveDocs <= 0.01,
+        s"cap lost $lostDocs of $naiveDocs clustered docs (>1%)")
+      println(f"""{"metric":"skew_lsh","rows":$nSig,"capped_sec":$cappedSec%.2f,"naive_sec":$naiveSec%.2f,"speedup":${naiveSec / cappedSec}%.2f,"clusters_capped":${capped.size},"clusters_naive":${naive.size},"docs_lost":$lostDocs,"docs_clustered":$naiveDocs,"note":"dd19 bucket-cap chain vs all-pairs; boilerplate cluster identical, capped edges a strict subset"}""")
+    }
 
     spark.stop()
   }

@@ -157,10 +157,15 @@ object Dedup {
   /** Banded candidates + exact-Jaccard verify: (id_a, id_b, n_common,
     * n_union, jaccard) for every candidate pair with jaccard ≥ 0.8.
     * Shared by dd03 (full detail), dd05 (score only) and dd07 (edges). */
-  private def verifiedPairsOn(sig: DataFrame): DataFrame = {
+  private def verifiedPairsOn(sig: DataFrame): DataFrame =
+    attachVerify(sig, bandedCandidatesOn(sig))
+
+  /** Exact-Jaccard verification over an arbitrary candidate pair set —
+    * shared by the standard banded route and dd19's capped route. */
+  private[graft] def attachVerify(sig: DataFrame, cand: DataFrame): DataFrame = {
     val sa = sig.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-    bandedCandidatesOn(sig).join(sa, "id_a").join(sb, "id_b")
+    cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("n_common",
         call_function("graft_sorted_intersect_count", col("sh_a"), col("sh_b")))
       // |A ∪ B| = |A| + |B| − |A ∩ B| for the distinct sets — skips a
@@ -283,7 +288,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashSig(s: SparkSession, d: String): DataFrame =
     withHashedShingles(s, docsAug(s, d))
       .select(col("doc_id"), col("hsh"))
       .withColumn("sig", call_function("graft_minhash32", col("hsh")))
@@ -359,7 +364,7 @@ object Dedup {
     * arrays only ever ship for prefilter survivors. The oracle applies
     * the identical banding + prefilter, so the (approximate) candidate
     * set is bit-reproducible. */
-  private def bandedCandidatesOn(sig: DataFrame): DataFrame = {
+  private[graft] def bandedCandidatesOn(sig: DataFrame): DataFrame = {
     val bands = withBandKeys(sig)
     val ba = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bkey"))
@@ -1415,9 +1420,190 @@ object Dedup {
       |ORDER BY id_i""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ----------------------------------------------------------- dd19/dd20
+  /** Band buckets larger than this are QUARANTINED from the pairwise
+    * candidate join. The skew this guards against is structural, not a
+    * partitioning accident: a mega-bucket (boilerplate template, empty
+    * docs, any heavily-replicated content) produces c·(c−1)/2 pairs
+    * from c rows — quadratic OUTPUT from sub-threshold INPUT bytes, so
+    * AQE's skew-join split (which triggers on shuffle-partition SIZE)
+    * never fires, and one task grinds millions of verifications. The
+    * real corpus has exactly this shape: the sf0.1 documents table's
+    * largest band bucket holds 1,291 docs — 833k candidate pairs from
+    * ONE bucket, growing ~quadratically with corpus scale (132 docs /
+    * 8.6k pairs at sf0.01). */
+  val LshBucketCap = 64
+
+  /** Band rows tagged with their bucket's population — one extra count
+    * aggregate on the band key, the same shuffle the candidate join
+    * pays anyway. */
+  private def bandsWithCounts(sig: DataFrame): DataFrame = {
+    val bands = withBandKeys(sig)
+    val counts = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+    bands.join(counts, Seq("band", "bkey"))
+  }
+
+  /** dd19's candidate stage: buckets ≤ cap go through the standard
+    * pairwise join; buckets > cap emit SORTED-NEIGHBOR CHAIN edges —
+    * members ordered by (signature, doc_id) within the bucket, each
+    * linked to its predecessor: O(c) edges instead of O(c²), and
+    * near-identical members sort adjacent, so a true duplicate run
+    * stays one connected component (for an all-identical boilerplate
+    * bucket the chain IS the clique's spanning path). The same
+    * ≥26-equal-slots prefilter applies on both routes, so the capped
+    * edge set is a strict SUBSET of the all-pairs edge set — capping
+    * can only SPLIT components, never merge or invent them; what can
+    * be lost is pair recall between non-adjacent near-dups inside a
+    * MIXED mega-bucket, which dd20 sizes and SkewBench measures
+    * (0.006% of clustered docs on its 150k-doc mixed corpus). */
+  private[graft] def cappedCandidatesOn(sig: DataFrame, cap: Int): DataFrame = {
+    val tagged = bandsWithCounts(sig)
+    val small = tagged.where(col("bsize") <= cap)
+    val sa = small.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bkey"))
+    val sb = small.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bkey"))
+    val smallPairs = sa.join(sb, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b") &&
+        call_function("graft_positional_eq_count",
+          col("sig_a"), col("sig_b")) >= 26)
+      .select(col("id_a"), col("id_b"))
+    // per-bucket window: one task sorts c rows — linear-ish where the
+    // pairwise route would hand that task c²/2 verifications
+    val w = Window.partitionBy(col("band"), col("bkey"))
+      .orderBy(col("sig"), col("doc_id"))
+    val chainPairs = tagged.where(col("bsize") > cap)
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .where(col("prev_id").isNotNull &&
+        call_function("graft_positional_eq_count",
+          col("sig"), col("prev_sig")) >= 26)
+      .select(least(col("prev_id"), col("doc_id")).as("id_a"),
+        greatest(col("prev_id"), col("doc_id")).as("id_b"))
+    smallPairs.unionByName(chainPairs).distinct()
+  }
+
+  /** dd19 — duplicate clusters via the CAPPED candidate route: dd07's
+    * output shape (cluster_id = min doc_id, n_docs, max_id) computed
+    * from quarantine-capped candidates + exact verify + the one CC
+    * engine. On a clean corpus the answer matches dd07 (mega-buckets
+    * there are degenerate-shingle collisions whose pairs fail the
+    * Jaccard gate either way); the cost difference is the point — the
+    * capped route never materializes a mega-bucket's quadratic pair
+    * set. SkewBench's `skew_lsh` scenario measures both routes on a
+    * corpus with a genuine boilerplate cluster and asserts cluster
+    * equality there too. */
+  def cappedClusters(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigCached(s, d)
+    val pairs = attachVerify(sig, cappedCandidatesOn(sig, LshBucketCap))
+      .select(col("id_a"), col("id_b"))
+    connectedComponentsStar(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val cappedClustersSql: String =
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      verifiedPairsCtes + "," +
+      s"""bcnt AS (
+         |  SELECT band, bkey, COUNT(*) AS bsize
+         |  FROM bands GROUP BY band, bkey),
+         |smallp AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+         |    AND a.doc_id < c.doc_id
+         |  JOIN bcnt n ON n.band = a.band AND n.bkey = a.bkey
+         |  WHERE n.bsize <= ${LshBucketCap}
+         |    AND list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
+         |           THEN 1 ELSE 0 END)) >= 26),
+         |chains AS (
+         |  SELECT b.doc_id, b.sig,
+         |    LAG(b.doc_id) OVER w AS prev_id,
+         |    LAG(b.sig) OVER w AS prev_sig
+         |  FROM bands b
+         |  JOIN bcnt n ON n.band = b.band AND n.bkey = b.bkey
+         |  WHERE n.bsize > ${LshBucketCap}
+         |  WINDOW w AS (PARTITION BY b.band, b.bkey ORDER BY b.sig, b.doc_id)),
+         |chainp AS (
+         |  SELECT DISTINCT LEAST(prev_id, doc_id) AS id_a,
+         |    GREATEST(prev_id, doc_id) AS id_b
+         |  FROM chains
+         |  WHERE prev_id IS NOT NULL
+         |    AND list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN sig[CAST(i AS INT)] = prev_sig[CAST(i AS INT)]
+         |           THEN 1 ELSE 0 END)) >= 26),
+         |candc AS (SELECT * FROM smallp UNION SELECT * FROM chainp),
+         |verc AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+         |      / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
+         |  FROM candc JOIN hs sa ON sa.doc_id = id_a
+         |  JOIN hs sb ON sb.doc_id = id_b),
+         |cpairs AS (SELECT id_a, id_b FROM verc WHERE jaccard >= 0.8),
+         |cedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cpairs
+         |  UNION ALL SELECT id_b, id_a FROM cpairs),
+         |cwalk(id, label) AS (
+         |  SELECT src, src FROM cedges
+         |  UNION
+         |  SELECT e.dst, w.label FROM cwalk w JOIN cedges e ON e.src = w.id),
+         |ccomp AS (SELECT id, MIN(label) AS cluster_id FROM cwalk GROUP BY id)
+         |SELECT cluster_id, COUNT(*) AS n_docs, MAX(id) AS max_id
+         |FROM ccomp GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
+
+  /** dd20 — the QUARANTINE AUDIT dd19's trade rests on: per band, the
+    * bucket population profile and exactly what the cap did — how many
+    * buckets/docs were quarantined, how many pairwise candidates the
+    * cap AVOIDED (Σ c·(c−1)/2 over big buckets — the quadratic work
+    * that would have landed on single tasks) and how many chain edges
+    * replaced them (Σ (c−1) — the linear substitute). The monitoring
+    * twin of dd17's cohesion audit: dd17 watches false MERGES,
+    * dd20 watches what capping might MISS and what it saved. */
+  def lshBucketAudit(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigCached(s, d)
+    val counts = withBandKeys(sig).groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+    val big = col("bsize") > LshBucketCap
+    counts.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bsize")).as("max_bucket"),
+        sum(when(big, 1L).otherwise(0L)).as("n_big"),
+        sum(when(big, col("bsize")).otherwise(0L)).as("docs_quarantined"),
+        sum(when(big, expr("bsize * (bsize - 1) div 2"))
+          .otherwise(0L)).as("pairs_avoided"),
+        sum(when(big, col("bsize") - 1).otherwise(0L)).as("chain_edges"))
+      .orderBy(col("band"))
+  }
+
+  val lshBucketAuditSql: String = docsAugCte + "," + verifiedPairsCtes + "," +
+    s"""bsz AS (
+       |  SELECT band, bkey, COUNT(*) AS bsize
+       |  FROM bands GROUP BY band, bkey)
+       |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets,
+       |  MAX(bsize) AS max_bucket,
+       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_big,
+       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap} THEN bsize ELSE 0 END)
+       |    AS BIGINT) AS docs_quarantined,
+       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap}
+       |      THEN bsize * (bsize - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS pairs_avoided,
+       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap} THEN bsize - 1
+       |      ELSE 0 END) AS BIGINT) AS chain_edges
+       |FROM bsz GROUP BY band
+       |ORDER BY band""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd01_exact_groups" -> (exactGroups _),
     "dd02_exact_dedup" -> (exactDedup _),
+    "dd19_capped_clusters" -> (cappedClusters _),
+    "dd20_lsh_bucket_audit" -> (lshBucketAudit _),
     "dd03_ngram_jaccard" -> (ngramJaccard _),
     "dd04_simhash_buckets" -> (simhashBuckets _),
     "dd05_minhash_lsh" -> (minhashLsh _),
@@ -1438,6 +1624,8 @@ object Dedup {
   val oracles: Seq[(String, String)] = Seq(
     "dd01_exact_groups" -> exactGroupsSql,
     "dd02_exact_dedup" -> exactDedupSql,
+    "dd19_capped_clusters" -> cappedClustersSql,
+    "dd20_lsh_bucket_audit" -> lshBucketAuditSql,
     "dd03_ngram_jaccard" -> ngramJaccardSql,
     "dd04_simhash_buckets" -> simhashBucketsSql,
     "dd05_minhash_lsh" -> minhashLshSql,

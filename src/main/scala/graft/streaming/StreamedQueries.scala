@@ -522,13 +522,45 @@ object StreamedQueries {
       |  USING (ticker)
       |ORDER BY t.ticker""".stripMargin
 
+  // ----------------------------------------------------------------- st07
+  /** st07 — the PRODUCTION per-minute message-rate monitor
+    * ([[LiveBook.messageRatePerMinute]]: watermarked 1-minute tumbling
+    * count over the wire frame — B7's streaming twin) under the
+    * driver's oracle via the st03/st04 closed-window replay; with it,
+    * every streaming topology in the production surface
+    * (StreamPipeline + AsOfStream + LiveBook) is oracle-gated. Oracle
+    * = the batch floor-to-minute GROUP BY count. */
+  def streamRate(s: SparkSession, d: String): DataFrame = {
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"),
+        struct(col("ticker").as("market_ticker"),
+          col("ts_ms").as("ts")).as("msg"))
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      struct(lit("ZFLUSH").as("market_ticker"),
+        lit(flushTsFor(s, d, 60L * 1000)).as("ts")).as("msg"))
+    replayClosed(s, msgs, flush)(
+        LiveBook.messageRatePerMinute(_, lateness = s"$WmDays days"))
+      .where(col("ticker") =!= "ZFLUSH") // its window never closes
+      .select(col("ticker"), unix_millis(col("window_start")).as("minute_start"),
+        col("n_msgs"))
+      .orderBy(col("ticker"), col("minute_start"))
+  }
+
+  val streamRateSql: String = Derive.cte +
+    """SELECT ticker, (ts_ms // 60000) * 60000 AS minute_start,
+      |  COUNT(*) AS n_msgs
+      |FROM ob_deltas
+      |GROUP BY ticker, (ts_ms // 60000) * 60000
+      |ORDER BY ticker, minute_start""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
     "st03_stream_sessions" -> (streamSessions _),
     "st04_stream_candles" -> (streamCandles _),
     "st05_stream_asof" -> (streamAsOf _),
-    "st06_stream_book" -> (streamBook _))
+    "st06_stream_book" -> (streamBook _),
+    "st07_stream_rate" -> (streamRate _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -536,5 +568,6 @@ object StreamedQueries {
     "st03_stream_sessions" -> streamSessionsSql,
     "st04_stream_candles" -> streamCandlesSql,
     "st05_stream_asof" -> streamAsOfSql,
-    "st06_stream_book" -> streamBookSql)
+    "st06_stream_book" -> streamBookSql,
+    "st07_stream_rate" -> streamRateSql)
 }
