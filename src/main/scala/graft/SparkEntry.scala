@@ -32,6 +32,7 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       streaming.StreamedQueries.queries ++
       operators.Salting.queries ++
+      operators.Sampling.queries ++
       operators.Pruning.queries ++
       operators.Bucketed.queries ++
       operators.Reuse.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       multimodal.Multimodal.oracles ++
       streaming.StreamedQueries.oracles ++
       operators.Salting.oracles ++
+      operators.Sampling.oracles ++
       operators.Pruning.oracles ++
       operators.Bucketed.oracles ++
       operators.Reuse.oracles ++

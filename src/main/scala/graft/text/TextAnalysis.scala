@@ -1871,6 +1871,55 @@ object TextAnalysis {
       |ORDER BY source_a, source_b""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ---------------------------------------------------------------- txt33
+  /** txt33 — TEMPERATURE-MIXING planner: the per-language sampling
+    * shares a training run draws from when upweighting low-resource
+    * strata — weight each language by its corpus size raised to a
+    * temperature α and normalize (the multilingual-training recipe:
+    * α = 1 reproduces natural frequencies, α → 0 approaches uniform).
+    * α is fixed at 1/2 DELIBERATELY: w = √chars is an IEEE-exact
+    * operation, bit-identical in every engine, where a pow(x, 0.7)
+    * would differ across libms in the last ulp and poison the hash
+    * gate (the same class of trap as the ln-sum quantization dd/txt
+    * already document). Each √ is quantized once to DECIMAL(28,12) so
+    * the normalizing SUM is exact-decimal — order-independent and
+    * engine-identical — and the final share is one double division of
+    * identically-derived values. Output: per-lang corpus mass, weight,
+    * mixture share, and the document budget a 10k-doc run would
+    * allocate (floor of share × budget). One |langs|-row aggregate —
+    * the planner costs a count, the SAMPLE it parameterizes is op12's
+    * narrow hash filter. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val byLang = graft.Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w", sqrt(col("n_chars").cast("double")).cast(dec))
+    val total = byLang.agg(sum(col("w")).as("tw"))
+    byLang.crossJoin(total)
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("w").cast("double").as("weight"),
+        (col("w").cast("double") / col("tw").cast("double")).as("share"),
+        floor(col("w").cast("double") / col("tw").cast("double") * 10000)
+          .cast("long").as("docs_at_10k"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH by_lang AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(SQRT(CAST(SUM(n_chars) AS DOUBLE)) AS DECIMAL(28,12)) AS w
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT SUM(w) AS tw FROM by_lang)
+      |SELECT lang, n_docs, n_chars,
+      |  CAST(w AS DOUBLE) AS weight,
+      |  CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+      |  CAST(FLOOR(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * 10000)
+      |    AS BIGINT) AS docs_at_10k
+      |FROM by_lang CROSS JOIN tot
+      |ORDER BY lang""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -1903,7 +1952,8 @@ object TextAnalysis {
     "txt29_bpe_pretokens" -> (bpePretokens _),
     "txt30_source_drift" -> (sourceDrift _),
     "txt31_heaps_fit" -> (heapsFit _),
-    "txt32_kmv_overlap" -> (kmvOverlap _))
+    "txt32_kmv_overlap" -> (kmvOverlap _),
+    "txt33_temperature_mix" -> (temperatureMix _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1937,5 +1987,6 @@ object TextAnalysis {
     "txt29_bpe_pretokens" -> bpePretokensSql,
     "txt30_source_drift" -> sourceDriftSql,
     "txt31_heaps_fit" -> heapsFitSql,
-    "txt32_kmv_overlap" -> kmvOverlapSql)
+    "txt32_kmv_overlap" -> kmvOverlapSql,
+    "txt33_temperature_mix" -> temperatureMixSql)
 }

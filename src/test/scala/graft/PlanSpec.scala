@@ -706,4 +706,21 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined,
       s"sim22 ranks through a per-query window:\n$p")
   }
+
+  test("op12: the sample is a broadcast-rate narrow filter — the " +
+    "corpus side never shuffles and the scan is column-pruned") {
+    val df = SparkEntry.queries("op12_stratified_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates not broadcast back:\n$p")
+    // only the |langs|-row rate aggregate may exchange (plus the
+    // presentation sort's range exchange above the join); the
+    // documents side below the join must be scan → filter → project
+    val below = p.split("BroadcastHashJoin").last
+    assert(!below.split("BroadcastExchange").head.contains("Exchange"),
+      s"corpus side of the sample shuffles:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"sample scan reads more than (doc_id, lang):\n$p")
+  }
 }
