@@ -274,11 +274,16 @@ object StreamedQueries {
         try {
           chunked.where(col("__chunk") === i).drop("__chunk")
             .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          // a degenerate (near-empty) corpus can leave a chunk with no
+          // part file at all — skip it; the remaining chunks still
+          // replay in order
           val part = Files.list(stage).filter(p =>
-            p.getFileName.toString.startsWith("part-")).findFirst.get
-          val dst = in.resolve(f"chunk-$i%02d.parquet")
-          Files.move(part, dst)
-          dst.toFile.setLastModified(base + i * 60000L)
+            p.getFileName.toString.startsWith("part-")).findFirst
+          if (part.isPresent) {
+            val dst = in.resolve(f"chunk-$i%02d.parquet")
+            Files.move(part.get, dst)
+            dst.toFile.setLastModified(base + i * 60000L)
+          }
         } finally rmTree(stage)
       }
       val name = s"graft_replayo_${qid.incrementAndGet()}"

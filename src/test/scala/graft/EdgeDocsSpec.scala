@@ -108,7 +108,9 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("q58") || n.startsWith("q61") ||
         n.startsWith("q63") || n.startsWith("q65") ||
         n.startsWith("st02") || n.startsWith("st03") ||
-        n.startsWith("st04")) // the deltas-backed streaming replays
+        n.startsWith("st04") || n.startsWith("st05") ||
+        n.startsWith("st06") ||
+        n.startsWith("st07")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
