@@ -106,16 +106,21 @@ object StreamedQueries {
     // to the driver — cells ≈ √n rows, the same broadcast size class
     // every batch consumer of this codebook uses
     val c = n.agg(ceil(sqrt(count(lit(1)))).cast("long")).head.getLong(0)
-    val cents = n.where(col("vec_id") < c)
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
+    // one broadcast handle per executor, not ⌈√n⌉ centroid rows
+    // re-serialized into every task closure — at 10⁹ vectors the
+    // codebook is ~32k×64 doubles ≈ 16 MB, broadcast-class not
+    // closure-class (round-10 verdict item 4)
+    val cents = s.sparkContext.broadcast(
+      n.where(col("vec_id") < c)
+        .select(col("vec_id"), col("e"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1))
     val emissions = replay(s, n.select(col("vec_id"), col("e"), col("nrm"))) {
       stream =>
         StreamIvf.runOn(s,
           stream.as[(Long, Array[Double], Double)].map { case (_, e, nrm) =>
-            StreamIvf.CellVec(StreamIvf.assign(e, nrm, cents),
+            StreamIvf.CellVec(StreamIvf.assign(e, nrm, cents.value),
               e.map(StreamIvf.micros6))
           }).toDF()
     }
@@ -223,8 +228,16 @@ object StreamedQueries {
   private def replayClosed(s: SparkSession, msgs: DataFrame,
       flushMsg: DataFrame)(
       topology: DataFrame => DataFrame): DataFrame = {
+    // session_window / window-agg / (flat)mapGroupsWithState state is
+    // fine on the in-memory HDFS-backed provider — only
+    // transformWithState (st01/st02's replay) requires RocksDB. Set
+    // explicitly (not inherited): the provider conf is session-sticky,
+    // so whichever replay ran first would otherwise pick the provider
+    // for all of them. Measured perf-neutral at fixture scale (the
+    // micro-batch plan/commit lifecycle dominates, not store opens);
+    // the point is determinism, not speed.
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     val in = Files.createTempDirectory("graft-replayc-in")
     val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
     try {
@@ -259,8 +272,9 @@ object StreamedQueries {
   private def replayOrdered(s: SparkSession, msgs: DataFrame,
       order: org.apache.spark.sql.Column)(
       topology: DataFrame => DataFrame): DataFrame = {
+    // same provider note as replayClosed: no transformWithState here
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     val in = Files.createTempDirectory("graft-replayo-in")
     val ckpt = Files.createTempDirectory("graft-replayo-ckpt")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
