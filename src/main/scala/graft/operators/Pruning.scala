@@ -136,11 +136,75 @@ object Pruning {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- op13
+  /** Z-ORDER file pruning (op13): the read side of
+    * [[Compaction.compactZOrdered]], registered so the 2-D layout's
+    * whole point — a filter on the SECOND clustering dimension prunes
+    * files, which single-key clustering structurally cannot do — is
+    * under the oracle, not just CompactionSpec. The fixture is a
+    * z-ordered (user_id, ts_ms) copy of events, ~1k rows/file (≥10
+    * files at sf0.01); the query band-filters ts_ms (the second
+    * interleave argument) to the middle fifth of its domain, so the
+    * scan's pushed range predicate can only be answered cheaply if
+    * the per-file ts_ms [min,max] actually cluster — a plain or
+    * user_id-sorted layout leaves every file's ts span ≈ the whole
+    * domain. CompactionZOrderPruneSpec pins the file-count reduction
+    * on this exact fixture+predicate; the oracle recomputes from the
+    * base table.
+    *
+    * Band bounds are integer arithmetic on the base table's min/max
+    * epoch-millis ((3·mn+2·mx) div 5 … (2·mn+3·mx) div 5) — exact and
+    * engine-identical, never a float quantile. */
+  def zorderScan(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderFixture(s, d)
+    val r = Tables.events(s, d)
+      .agg(min(col("ts_ms")), max(col("ts_ms"))).head
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = ((3 * mn + 2 * mx) / 5, (2 * mn + 3 * mx) / 5)
+    s.read.parquet(dir.toString)
+      .where(col("ts_ms") >= lo && col("ts_ms") <= hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Writes (once per corpus content-fingerprint) the z-ordered events
+    * copy op13 reads; shared with the pruning spec so the pinned
+    * file-count reduction is measured on the registered fixture. */
+  def zorderFixture(s: SparkSession, d: String): java.nio.file.Path = {
+    val fp = graft.Seams.corpusFingerprint(d)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-zord-$fp")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+      Compaction.compactZOrdered(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "ts_ms", "event_type", "value"),
+        col("user_id"), col("ts_ms"), targetRows = 1000L)
+        .write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  val zorderScanSql: String =
+    """WITH b AS (
+      |  SELECT MIN(epoch_ms(ts)) AS mn, MAX(epoch_ms(ts)) AS mx
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events, b
+      |WHERE epoch_ms(ts) >= (3 * b.mn + 2 * b.mx) // 5
+      |  AND epoch_ms(ts) <= (2 * b.mn + 3 * b.mx) // 5
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "op03_partition_pruned" -> (partitionPruned _),
-    "op06_dpp_join" -> (dppJoin _))
+    "op06_dpp_join" -> (dppJoin _),
+    "op13_zorder_scan" -> (zorderScan _))
 
   val oracles: Seq[(String, String)] = Seq(
     "op03_partition_pruned" -> partitionPrunedSql,
-    "op06_dpp_join" -> dppJoinSql)
+    "op06_dpp_join" -> dppJoinSql,
+    "op13_zorder_scan" -> zorderScanSql)
 }

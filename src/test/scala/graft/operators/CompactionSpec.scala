@@ -132,4 +132,33 @@ class CompactionSpec extends AnyFunSuite {
       s"scan escaped the partition directory: ${filesRead.take(3).toSeq}")
     assert(read.count() === ev.where(col("day") === probe).count())
   }
+
+  test("op13 fixture: the registered ts_ms band prunes files on the " +
+    "SECOND z dimension (pushed filter + min/max file-count reduction)") {
+    // the exact fixture + predicate the registry entry runs, so the
+    // pinned reduction is the registered query's, not a lookalike's
+    val zdir = Pruning.zorderFixture(spark, dir).toString
+    val r = Tables.events(spark, dir)
+      .agg(min(col("ts_ms")), max(col("ts_ms"))).head
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = ((3 * mn + 2 * mx) / 5, (2 * mn + 3 * mx) / 5)
+    val ranges = spark.read.parquet(zdir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ts_ms").as("tlo"), max("ts_ms").as("thi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length >= 8, s"too few files (${ranges.length}) to pin pruning")
+    // the band is 1/5 of the ts domain; a z-ordered estate must exclude
+    // a real fraction of files on it, where a user_id-sorted layout
+    // would intersect ~100%
+    val hit = ranges.count { case (tlo, thi) => tlo <= hi && thi >= lo }
+    assert(hit <= ranges.length * 3 / 4,
+      s"ts_ms band intersects $hit/${ranges.length} files — no 2-D pruning")
+    // and the range predicate reaches the parquet scan
+    val read = spark.read.parquet(zdir)
+      .where(col("ts_ms") >= lo && col("ts_ms") <= hi)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(ts_ms") &&
+      scan.contains("PushedFilters"),
+      s"ts_ms range not pushed to the scan:\n$scan")
+  }
 }
