@@ -159,7 +159,10 @@ object Pruning {
     val dir = zorderFixture(s, d)
     val r = Tables.events(s, d)
       .agg(min(col("ts_ms")), max(col("ts_ms"))).head
-    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    // an EMPTY events corpus has NULL bounds — band over an empty
+    // domain selects nothing, matching the oracle's empty result
+    val (mn, mx) =
+      if (r.isNullAt(0)) (1L, 0L) else (r.getLong(0), r.getLong(1))
     val (lo, hi) = ((3 * mn + 2 * mx) / 5, (2 * mn + 3 * mx) / 5)
     s.read.parquet(dir.toString)
       .where(col("ts_ms") >= lo && col("ts_ms") <= hi)
