@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoins {
 
-  def yesNoPairs(messages: DataFrame): DataFrame = {
+  def yesNoPairs(messages: DataFrame, watermark: String = "1 minute",
+      bandSec: Int = 5): DataFrame = {
     def side(tag: String) = messages
       .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
       .select(col("msg.market_ticker").as(s"${tag}_ticker"),
@@ -22,11 +23,11 @@ object StreamJoins {
         col("msg.price").as(s"${tag}_price"),
         col("msg.delta").as(s"${tag}_delta"),
         col("seq").as(s"${tag}_seq"))
-      .withWatermark(s"${tag}_time", "1 minute")
+      .withWatermark(s"${tag}_time", watermark)
     side("yes").join(side("no"),
       col("yes_ticker") === col("no_ticker") &&
-        col("no_time") >= col("yes_time") - expr("INTERVAL 5 SECONDS") &&
-        col("no_time") <= col("yes_time") + expr("INTERVAL 5 SECONDS"))
+        col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
+        col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"))
       .select(col("yes_ticker").as("ticker"),
         col("yes_seq"), col("no_seq"),
         col("yes_price"), col("no_price"),
@@ -48,7 +49,8 @@ object StreamJoins {
     * time, then emitted-with-nulls and evicted. Emission latency for
     * unmatched rows is therefore watermark delay + band — the price of
     * proving a negative on an unbounded stream. */
-  def yesNoPairsOuter(messages: DataFrame): DataFrame = {
+  def yesNoPairsOuter(messages: DataFrame, watermark: String = "1 minute",
+      bandSec: Int = 5): DataFrame = {
     def side(tag: String) = messages
       .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
       .select(col("msg.market_ticker").as(s"${tag}_ticker"),
@@ -56,11 +58,11 @@ object StreamJoins {
         col("msg.price").as(s"${tag}_price"),
         col("msg.delta").as(s"${tag}_delta"),
         col("seq").as(s"${tag}_seq"))
-      .withWatermark(s"${tag}_time", "1 minute")
+      .withWatermark(s"${tag}_time", watermark)
     side("yes").join(side("no"),
       col("yes_ticker") === col("no_ticker") &&
-        col("no_time") >= col("yes_time") - expr("INTERVAL 5 SECONDS") &&
-        col("no_time") <= col("yes_time") + expr("INTERVAL 5 SECONDS"),
+        col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
+        col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"),
       "leftOuter")
       .select(col("yes_ticker").as("ticker"),
         col("yes_seq"), col("no_seq"),

@@ -572,6 +572,99 @@ object StreamedQueries {
       |GROUP BY ticker, (ts_ms // 60000) * 60000
       |ORDER BY ticker, minute_start""".stripMargin
 
+  // ----------------------------------------------------------------- st08
+  /** Wire frame both interval-join entries replay: the delta feed with
+    * side/price/delta in the message struct and the exchange seq on the
+    * frame (st05's shape plus delta). */
+  private def pairMsgs(s: SparkSession, d: String): DataFrame =
+    Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"), col("seq"),
+        struct(col("ticker").as("market_ticker"), col("side"),
+          col("ts_ms").as("ts"), col("price"), col("delta")).as("msg"))
+
+  private val PairBandSec = 60
+
+  /** st08 — the stream-stream INTERVAL join ([[StreamJoins.yesNoPairs]]:
+    * both sides watermarked, join state evicted once the ±band window
+    * passes — bounded memory on an unbounded two-sided flow) under the
+    * driver's oracle. Inner matches emit the moment the second side
+    * arrives, in ANY arrival order (each row probes the other side's
+    * buffered state), so the unordered closed-window replay is exact:
+    * the corpus-spanning watermark keeps state from evicting mid-replay
+    * and every cross-chunk pair still forms. The flush row is a
+    * far-future yes-side delta on an unused ticker — it matches
+    * nothing, and an inner join emits only matches, so it needs no
+    * output filter (kept anyway for symmetry with st09). Band widened
+    * from the suite's ±5 s to ±60 s so the gate has real cross-side
+    * density at sf0.01 (108 pairs; 6.9k at sf0.1). Oracle = the batch
+    * self-join band spelling. */
+  def streamPairs(s: SparkSession, d: String): DataFrame = {
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      lit(1L).as("seq"),
+      struct(lit("ZFLUSH").as("market_ticker"), lit("yes").as("side"),
+        lit(flushTsFor(s, d, PairBandSec * 1000L)).as("ts"),
+        lit(1).as("price"), lit(0).as("delta")).as("msg"))
+    replayClosed(s, pairMsgs(s, d), flush)(
+        StreamJoins.yesNoPairs(_, watermark = s"$WmDays days",
+          bandSec = PairBandSec))
+      .where(col("ticker") =!= "ZFLUSH")
+      .select(col("ticker"), col("yes_seq"), col("no_seq"),
+        col("yes_price"), col("no_price"),
+        col("yes_delta"), col("no_delta"))
+      .orderBy(col("ticker"), col("yes_seq"), col("no_seq"))
+  }
+
+  val streamPairsSql: String = Derive.cte +
+    s"""SELECT y.ticker, y.seq AS yes_seq, n.seq AS no_seq,
+       |  y.price AS yes_price, n.price AS no_price,
+       |  y.delta AS yes_delta, n.delta AS no_delta
+       |FROM ob_deltas y JOIN ob_deltas n
+       |  ON y.ticker = n.ticker AND n.side = 'no'
+       |  AND n.ts_ms >= y.ts_ms - ${PairBandSec * 1000}
+       |  AND n.ts_ms <= y.ts_ms + ${PairBandSec * 1000}
+       |WHERE y.side = 'yes'
+       |ORDER BY y.ticker, yes_seq, no_seq""".stripMargin
+
+  // ----------------------------------------------------------------- st09
+  /** st09 — the LEFT-OUTER interval join's eviction-driven NEGATIVES
+    * ([[StreamJoins.yesNoPairsOuter]]): yes-side probes that provably
+    * got no no-side answer within the band, emitted-with-nulls only
+    * once the watermark passes their join window — the semantics an
+    * inner join can't give (proving a negative on an unbounded
+    * stream). The replay's flush must advance BOTH inputs' watermarks
+    * (the global watermark is their min), so it is TWO far-future
+    * rows, one per side, 10× the band apart so they don't pair with
+    * each other; the yes-side flush row's own null emission is the one
+    * output-filtered row. Oracle = the batch left-join band spelling
+    * restricted to unmatched probes. */
+  def streamUnmatched(s: SparkSession, d: String): DataFrame = {
+    val base = flushTsFor(s, d, PairBandSec * 1000L)
+    val flush = s.createDataFrame(Seq(
+        ("yes", base), ("no", base + 10L * PairBandSec * 1000)))
+      .toDF("fside", "fts")
+      .select(lit("orderbook_delta").as("type"), lit(1L).as("seq"),
+        struct(lit("ZFLUSH").as("market_ticker"),
+          col("fside").as("side"), col("fts").as("ts"),
+          lit(1).as("price"), lit(0).as("delta")).as("msg"))
+    replayClosed(s, pairMsgs(s, d), flush)(
+        StreamJoins.yesNoPairsOuter(_, watermark = s"$WmDays days",
+          bandSec = PairBandSec))
+      .where(col("no_seq").isNull && col("ticker") =!= "ZFLUSH")
+      .select(col("ticker"), col("yes_seq"),
+        col("yes_price"), col("yes_delta"))
+      .orderBy(col("ticker"), col("yes_seq"))
+  }
+
+  val streamUnmatchedSql: String = Derive.cte +
+    s"""SELECT y.ticker, y.seq AS yes_seq,
+       |  y.price AS yes_price, y.delta AS yes_delta
+       |FROM ob_deltas y LEFT JOIN ob_deltas n
+       |  ON y.ticker = n.ticker AND n.side = 'no'
+       |  AND n.ts_ms >= y.ts_ms - ${PairBandSec * 1000}
+       |  AND n.ts_ms <= y.ts_ms + ${PairBandSec * 1000}
+       |WHERE y.side = 'yes' AND n.seq IS NULL
+       |ORDER BY y.ticker, yes_seq""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -579,7 +672,9 @@ object StreamedQueries {
     "st04_stream_candles" -> (streamCandles _),
     "st05_stream_asof" -> (streamAsOf _),
     "st06_stream_book" -> (streamBook _),
-    "st07_stream_rate" -> (streamRate _))
+    "st07_stream_rate" -> (streamRate _),
+    "st08_stream_pairs" -> (streamPairs _),
+    "st09_stream_unmatched" -> (streamUnmatched _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -588,5 +683,7 @@ object StreamedQueries {
     "st04_stream_candles" -> streamCandlesSql,
     "st05_stream_asof" -> streamAsOfSql,
     "st06_stream_book" -> streamBookSql,
-    "st07_stream_rate" -> streamRateSql)
+    "st07_stream_rate" -> streamRateSql,
+    "st08_stream_pairs" -> streamPairsSql,
+    "st09_stream_unmatched" -> streamUnmatchedSql)
 }

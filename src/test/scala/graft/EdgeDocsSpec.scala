@@ -110,7 +110,9 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("st02") || n.startsWith("st03") ||
         n.startsWith("st04") || n.startsWith("st05") ||
         n.startsWith("st06") ||
-        n.startsWith("st07")) // the deltas-backed streaming replays
+        n.startsWith("st07") ||
+        n.startsWith("st08") ||
+        n.startsWith("st09")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
