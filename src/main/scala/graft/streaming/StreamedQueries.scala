@@ -32,6 +32,11 @@ object StreamedQueries {
 
   private val qid = new AtomicInteger(0)
 
+  private val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Recursive delete for the replay input/checkpoint dirs —
     * `deleteOnExit` cannot remove non-empty directories, so without
     * this every gated run would leak parquet replay dirs and RocksDB
@@ -50,8 +55,7 @@ object StreamedQueries {
     // transformWithState requires the RocksDB state store; scoped to
     // streaming state only, so setting it session-wide is inert for
     // every batch query in the registry
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
     val in = Files.createTempDirectory("graft-replay-in")
     val ckpt = Files.createTempDirectory("graft-replay-ckpt")
     // ≥3 part files → with maxFilesPerTrigger=1, ≥3 micro-batches:
@@ -236,8 +240,7 @@ object StreamedQueries {
     // for all of them. Measured perf-neutral at fixture scale (the
     // micro-batch plan/commit lifecycle dominates, not store opens);
     // the point is determinism, not speed.
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", HdfsProvider)
     val in = Files.createTempDirectory("graft-replayc-in")
     val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
     try {
@@ -271,10 +274,12 @@ object StreamedQueries {
     * harness cost, not operator cost. */
   private def replayOrdered(s: SparkSession, msgs: DataFrame,
       order: org.apache.spark.sql.Column)(
-      topology: DataFrame => DataFrame): DataFrame = {
-    // same provider note as replayClosed: no transformWithState here
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      topology: DataFrame => DataFrame,
+      provider: String = HdfsProvider,
+      outputMode: String = "append"): DataFrame = {
+    // same provider note as replayClosed — except st12, whose
+    // transformWithState topology passes the RocksDB provider in
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     val in = Files.createTempDirectory("graft-replayo-in")
     val ckpt = Files.createTempDirectory("graft-replayo-ckpt")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -305,7 +310,7 @@ object StreamedQueries {
           s.readStream.schema(msgs.schema)
             .option("maxFilesPerTrigger", 1).parquet(in.toString))
         .writeStream.format("memory").queryName(name)
-        .outputMode("append")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -665,6 +670,119 @@ object StreamedQueries {
        |WHERE y.side = 'yes' AND n.seq IS NULL
        |ORDER BY y.ticker, yes_seq""".stripMargin
 
+  // ----------------------------------------------------------------- st10
+  /** st10 — stream-STATIC broadcast enrichment
+    * ([[StreamJoins.enrichDeltas]]: the slow-changing ticker→series
+    * dimension A1's discovery produces, re-resolved and explicitly
+    * broadcast per micro-batch — stateless, no watermark, one
+    * broadcast-hash probe per row) under the driver's oracle. The dim
+    * deliberately omits one ticker so the LEFT join's
+    * never-drop-a-fact contract is what the hash gate checks (an inner
+    * join would silently pass on a fully-covered dim). Dim series =
+    * 'S' + (ticker number mod 4), engine-identical arithmetic. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Derive.deltas(s, d).select(col("ticker")).distinct()
+      .where(col("ticker") =!= "T7")
+      .withColumn("series", concat(lit("S"),
+        (substring(col("ticker"), 2, 10).cast("int") % 4).cast("string")))
+    replay(s, pairMsgs(s, d))(StreamJoins.enrichDeltas(_, dim))
+      .select(col("ticker"), col("seq"), col("side"),
+        col("price"), col("delta"),
+        coalesce(col("series"), lit("NONE")).as("series"))
+      .orderBy(col("ticker"), col("seq"))
+  }
+
+  val streamEnrichSql: String = Derive.cte +
+    """, dim AS (
+      |  SELECT DISTINCT ticker,
+      |    'S' || CAST(CAST(SUBSTR(ticker, 2, 10) AS INTEGER) % 4 AS VARCHAR)
+      |      AS series
+      |  FROM ob_deltas WHERE ticker <> 'T7')
+      |SELECT d.ticker, d.seq, d.side, d.price, d.delta,
+      |  COALESCE(m.series, 'NONE') AS series
+      |FROM ob_deltas d LEFT JOIN dim m USING (ticker)
+      |ORDER BY d.ticker, d.seq""".stripMargin
+
+  // ----------------------------------------------------------------- st11
+  /** st11 — the production at-least-once REPLAY DEDUP
+    * ([[StreamPipeline.dedupAcrossBatches]]:
+    * `dropDuplicatesWithinWatermark` on the "sid-seq" lineage id — the
+    * reference's insert-before-XDEL redelivery window,
+    * consumer.py:98-107, made explicit and bounded) under the driver's
+    * oracle. The feed is [[Derive.deltasWithDups]] — every 100th
+    * message delivered twice — scattered across 3 unordered
+    * micro-batches, so a redelivery routinely lands in a DIFFERENT
+    * batch than its original: exactly the cross-batch state the
+    * operator exists for. The oracle aggregates the CLEAN feed — any
+    * surviving duplicate (or over-eager drop) shifts the per-ticker
+    * counts and hash-fails. Dedup-state watermark delay spans the
+    * corpus (no mid-replay eviction), the same replay convention as
+    * st03's. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val feed = Derive.deltasWithDups(s, d)
+      .select(col("ticker"), col("side"), col("price"), col("delta"),
+        col("seq"), col("ts_ms").as("ingestion_ts"),
+        concat(col("ticker"), lit("-"), col("seq")).as("redis_stream_id"))
+    replay(s, feed)(
+        StreamPipeline.dedupAcrossBatches(_, delay = s"$WmDays days"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("delta").cast("long")).as("sum_delta"),
+        max(col("seq")).as("max_seq"))
+      .orderBy(col("ticker"))
+  }
+
+  val streamDedupSql: String = Derive.cte +
+    """SELECT ticker, COUNT(*) AS n_msgs,
+      |  CAST(SUM(CAST(delta AS BIGINT)) AS BIGINT) AS sum_delta,
+      |  MAX(seq) AS max_seq
+      |FROM ob_deltas
+      |GROUP BY ticker
+      |ORDER BY ticker""".stripMargin
+
+  // ----------------------------------------------------------------- st12
+  /** st12 — per-ticker running tick stats on the MODERN
+    * `transformWithState` API ([[TickerStats]]: named ValueState
+    * handle, TTL config, processor lifecycle — the successor API to
+    * st05/st06's flatMapGroupsWithState) under the driver's oracle.
+    * last_seq/last_price are arrival-order state (the fold keeps the
+    * LAST applied tick), so the replay is [[replayOrdered]] on
+    * event_id — the same production seq-ordered-feed contract as st06
+    * — and the state store is the RocksDB provider transformWithState
+    * requires. Final verdict per ticker = the emission at max n_msgs
+    * (strictly monotone per ticker). Oracle = batch per-ticker
+    * count/min/max plus the price at max seq. */
+  def streamTickerStats(s: SparkSession, d: String): DataFrame = {
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"), col("seq"),
+        col("event_id"),
+        struct(col("ticker").as("market_ticker"),
+          col("price")).as("msg"))
+    val emissions = replayOrdered(s, msgs, col("event_id"))(
+      TickerStats.run(s, _).toDF(),
+      provider = RocksProvider, outputMode = "update")
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("n_msgs").desc)
+    emissions
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("ticker"), col("n_msgs"), col("last_seq"),
+        col("last_price"), col("min_price"), col("max_price"))
+      .orderBy(col("ticker"))
+  }
+
+  val streamTickerStatsSql: String = Derive.cte +
+    """, lastp AS (
+      |  SELECT ticker, price FROM (
+      |    SELECT ticker, price,
+      |      ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY seq DESC) AS rn
+      |    FROM ob_deltas) WHERE rn = 1)
+      |SELECT d.ticker, COUNT(*) AS n_msgs, MAX(d.seq) AS last_seq,
+      |  MAX(l.price) AS last_price,
+      |  MIN(d.price) AS min_price, MAX(d.price) AS max_price
+      |FROM ob_deltas d JOIN lastp l USING (ticker)
+      |GROUP BY d.ticker
+      |ORDER BY d.ticker""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -674,7 +792,10 @@ object StreamedQueries {
     "st06_stream_book" -> (streamBook _),
     "st07_stream_rate" -> (streamRate _),
     "st08_stream_pairs" -> (streamPairs _),
-    "st09_stream_unmatched" -> (streamUnmatched _))
+    "st09_stream_unmatched" -> (streamUnmatched _),
+    "st10_stream_enrich" -> (streamEnrich _),
+    "st11_stream_dedup" -> (streamDedup _),
+    "st12_stream_tickerstats" -> (streamTickerStats _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -685,5 +806,8 @@ object StreamedQueries {
     "st06_stream_book" -> streamBookSql,
     "st07_stream_rate" -> streamRateSql,
     "st08_stream_pairs" -> streamPairsSql,
-    "st09_stream_unmatched" -> streamUnmatchedSql)
+    "st09_stream_unmatched" -> streamUnmatchedSql,
+    "st10_stream_enrich" -> streamEnrichSql,
+    "st11_stream_dedup" -> streamDedupSql,
+    "st12_stream_tickerstats" -> streamTickerStatsSql)
 }

@@ -112,7 +112,10 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("st06") ||
         n.startsWith("st07") ||
         n.startsWith("st08") ||
-        n.startsWith("st09")) // the deltas-backed streaming replays
+        n.startsWith("st09") ||
+        n.startsWith("st10") ||
+        n.startsWith("st11") ||
+        n.startsWith("st12")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
