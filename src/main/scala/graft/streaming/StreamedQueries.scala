@@ -243,6 +243,13 @@ object StreamedQueries {
     s.conf.set("spark.sql.streaming.stateStore.providerClass", HdfsProvider)
     val in = Files.createTempDirectory("graft-replayc-in")
     val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
+    // same state-store-partition scoping as `replay`/`replayOrdered`:
+    // the stream-stream joins (st08/st09) open FOUR stores per
+    // partition per micro-batch, so the session's 32 partitions cost
+    // ~512 store lifecycles per replay where 8 partitions cost ~128 —
+    // measured 19-20 s → single digits on the interval-join gates
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
       val old = System.currentTimeMillis() - 120000
@@ -259,7 +266,10 @@ object StreamedQueries {
         .start()
       q.awaitTermination()
       s.table(name)
-    } finally { rmTree(in); rmTree(ckpt) }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rmTree(in); rmTree(ckpt)
+    }
   }
 
   /** ORDER-PRESERVING replay for order-sensitive state machines
@@ -273,7 +283,8 @@ object StreamedQueries {
     * still crosses real batch boundaries. The global sort is replay
     * harness cost, not operator cost. */
   private def replayOrdered(s: SparkSession, msgs: DataFrame,
-      order: org.apache.spark.sql.Column)(
+      order: org.apache.spark.sql.Column,
+      flushMsg: Option[DataFrame] = None)(
       topology: DataFrame => DataFrame,
       provider: String = HdfsProvider,
       outputMode: String = "append"): DataFrame = {
@@ -285,17 +296,14 @@ object StreamedQueries {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val chunked = msgs.withColumn("__chunk",
-        ntile(3).over(Window.orderBy(order)))
       val base = System.currentTimeMillis() - 600000
-      (1 to 3).foreach { i =>
+      // a degenerate (near-empty) corpus can leave a chunk with no
+      // part file at all — skip it; the remaining chunks still
+      // replay in order
+      def stageChunk(rows: DataFrame, i: Int): Unit = {
         val stage = Files.createTempDirectory("graft-replayo-stage")
         try {
-          chunked.where(col("__chunk") === i).drop("__chunk")
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          // a degenerate (near-empty) corpus can leave a chunk with no
-          // part file at all — skip it; the remaining chunks still
-          // replay in order
+          rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
           val part = Files.list(stage).filter(p =>
             p.getFileName.toString.startsWith("part-")).findFirst
           if (part.isPresent) {
@@ -305,6 +313,15 @@ object StreamedQueries {
           }
         } finally rmTree(stage)
       }
+      val chunked = msgs.withColumn("__chunk",
+        ntile(3).over(Window.orderBy(order)))
+      (1 to 3).foreach { i =>
+        stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
+      }
+      // optional flush chunk, scheduled strictly last: event times past
+      // the corpus advance every leg's watermark so eviction-driven
+      // final emissions (outer-join negatives) fire before termination
+      flushMsg.foreach(f => stageChunk(f, 4))
       val name = s"graft_replayo_${qid.incrementAndGet()}"
       val q = topology(
           s.readStream.schema(msgs.schema)
@@ -324,14 +341,17 @@ object StreamedQueries {
 
   private val WmDays = 36500L
 
-  private def flushTsFor(s: SparkSession, d: String,
-      slackMs: Long): Long = {
-    // an EMPTY delta feed (degenerate corpora) has a NULL max — the
-    // flush still runs, it just closes nothing
+  /** Max event ts of the delta feed; 0 for an EMPTY (degenerate)
+    * corpus — the flush still runs, it just closes nothing. */
+  private def corpusMaxTs(s: SparkSession, d: String): Long = {
     val r = Derive.deltas(s, d).agg(max(col("ts_ms"))).head
-    (if (r.isNullAt(0)) 0L else r.getLong(0)) +
-      slackMs + WmDays * 24 * 3600 * 1000 + 3600 * 1000
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+
+  private def flushTsFor(s: SparkSession, d: String,
+      slackMs: Long): Long =
+    corpusMaxTs(s, d) +
+      slackMs + WmDays * 24 * 3600 * 1000 + 3600 * 1000
 
   def streamSessions(s: SparkSession, d: String): DataFrame = {
     val gapMs = 30L * 60 * 1000
