@@ -160,6 +160,13 @@ object Bench {
     // must not subtract from the headline number); failures are counted
     // separately so a partial record is visibly partial.
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The streaming replays (st*) carry a real micro-batch/checkpoint
+    // lifecycle floor (~2.5-4 s each) that would otherwise mask batch
+    // regressions inside the grand total as the family grows — report
+    // both sub-totals alongside the contract's grand total.
+    val streamTotal = results
+      .filter { case (n, v) => n.startsWith("st") && v >= 0 }.map(_._2).sum
+    val batchTotal = total - streamTotal
     val nFailed = results.count(_._2 < 0)
     val sfName = new java.io.File(sfDir).getName
     // Contention verdict: the probe's first run can carry residual JIT
@@ -199,10 +206,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val seamBuildTotal = num(seamBuilds.map(_._2).sum)
-    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build":$seamBuildJson,"seam_build_total":$seamBuildTotal,"sf":"$sfName"}"""
+    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"stream_total":${num(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build":$seamBuildJson,"seam_build_total":$seamBuildTotal,"sf":"$sfName"}"""
     // stdout twin: identical shape, shaved to survive the tail window
     // (coarser per-query precision, probe observations sidecar-only).
-    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build_total":$seamBuildTotal,"sf":"$sfName","full_record":"bench_last.json"}"""
+    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num2(batchTotal)},"stream_total":${num2(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build_total":$seamBuildTotal,"sf":"$sfName","full_record":"bench_last.json"}"""
     // The harness keeps only a bounded TAIL of the run's output; at 152
     // queries the record overflows it (BENCH_r08 `parsed: null` — the
     // tail starts mid-record because Spark's shutdown logging lands

@@ -163,7 +163,11 @@ object Pruning {
     // domain selects nothing, matching the oracle's empty result
     val (mn, mx) =
       if (r.isNullAt(0)) (1L, 0L) else (r.getLong(0), r.getLong(1))
-    val (lo, hi) = ((3 * mn + 2 * mx) / 5, (2 * mn + 3 * mx) / 5)
+    // floorDiv, not '/': the oracle spells '//' (floor division), and
+    // for pre-1970 corpora 3·mn+2·mx is negative — Scala '/' truncates
+    // toward zero and would land 1 ms above DuckDB's floor.
+    val (lo, hi) = (Math.floorDiv(3 * mn + 2 * mx, 5),
+      Math.floorDiv(2 * mn + 3 * mx, 5))
     s.read.parquet(dir.toString)
       .where(col("ts_ms") >= lo && col("ts_ms") <= hi)
       .groupBy(col("event_type"))

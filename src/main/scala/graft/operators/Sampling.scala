@@ -50,8 +50,15 @@ object Sampling {
       .select(col("lang"),
         least(lit(1.0), lit(BudgetPerLang) / col("n").cast("double"))
           .as("rate"))
+    // doc_id is reduced mod HashMod BEFORE the multiply: the raw
+    // product doc_id·2654435761 overflows signed 64-bit at
+    // doc_id ≈ 3.5e9 (Spark would wrap, DuckDB would error) — the
+    // reduced form is congruent mod HashMod, so the keep-set is
+    // unchanged, and (HashMod-1)·(2654435761 mod HashMod) ≈ 4.3e11
+    // stays exact in both engines at any doc_id.
     docs.join(broadcast(rates), "lang")
-      .where((col("doc_id") * 2654435761L + 99991L) % HashMod <
+      .where((col("doc_id") % HashMod * (2654435761L % HashMod)
+          + 99991L) % HashMod <
         floor(col("rate") * HashMod).cast("long"))
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
@@ -63,7 +70,8 @@ object Sampling {
        |  FROM documents GROUP BY lang)
        |SELECT d.lang, d.doc_id
        |FROM documents d JOIN rates r USING (lang)
-       |WHERE (d.doc_id * 2654435761 + 99991) % ${HashMod}
+       |WHERE (d.doc_id % ${HashMod} * (2654435761 % ${HashMod})
+       |    + 99991) % ${HashMod}
        |  < CAST(FLOOR(r.rate * ${HashMod}) AS BIGINT)
        |ORDER BY d.lang, d.doc_id""".stripMargin
 

@@ -11,28 +11,78 @@ import org.apache.spark.sql.functions._
   * once they can no longer match (bounded memory on an unbounded
   * stream); the ±5 s band keeps matched state per ticker tiny. Inner
   * matches emit as soon as both rows arrive — no end-of-window latency.
+  *
+  * STATE BOUND, production vs replay gates: with the production
+  * 1-minute default watermark, join state per side is only the rows
+  * younger than watermark delay + band (~65 s of feed) — constant in
+  * stream length, linear in feed rate. StreamJoinsSpec pins this with
+  * a per-batch `numRowsTotal` assertion: batches 10 minutes apart in
+  * event time evict instead of accumulating. The st08/st09
+  * correctness replays (StreamedQueries) deliberately pass a
+  * corpus-spanning `WmDays` watermark so arbitrary chunk order can't
+  * late-drop rows — DURING A GATE join state is therefore
+  * corpus-sized, not band-sized. That is replay-harness cost, linear
+  * in the gated corpus (fine at sf0.1), never the production bound.
   */
 object StreamJoins {
 
-  def yesNoPairs(messages: DataFrame, watermark: String = "1 minute",
-      bandSec: Int = 5): DataFrame = {
-    def side(tag: String) = messages
+  /** One side of the interval join, with its time-bucket join key.
+    *
+    * PROBE-SCAN BOUND: Spark's symmetric hash join keys state on the
+    * EQUALITY conjuncts and linear-scans the keyed bucket for the
+    * range conjuncts. Keyed on ticker alone, a probe scans the whole
+    * same-ticker history still in state — O(per-ticker state) per
+    * row, quadratic over a backfill replay whose watermark spans the
+    * corpus (measured: the st08/st09 gates at sf0.1 spend ~15 s each
+    * on exactly this). Adding `floor(event_ms / band)` to the key and
+    * exploding the NO side into its 3 adjacent buckets makes a probe
+    * scan only rows within ±2 bands of its own event time —
+    * O(band density) regardless of how much older state the
+    * watermark is keeping alive. Each true pair still matches exactly
+    * once (of the 3 no-copies, only the one whose bucket equals the
+    * yes row's bucket can satisfy the key), so inner AND left-outer
+    * emissions are unchanged; the price is 3× no-side state rows.
+    * Production (1-minute watermark) sees band-sized state either
+    * way — this bounds the REPLAY/backfill case, where watermark ≫
+    * band. */
+  private def side(messages: DataFrame, tag: String, watermark: String,
+      bandSec: Int): DataFrame = {
+    val bandMs = bandSec * 1000L
+    val base = messages
       .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
       .select(col("msg.market_ticker").as(s"${tag}_ticker"),
         timestamp_millis(col("msg.ts")).as(s"${tag}_time"),
         col("msg.price").as(s"${tag}_price"),
         col("msg.delta").as(s"${tag}_delta"),
         col("seq").as(s"${tag}_seq"))
-      .withWatermark(s"${tag}_time", watermark)
-    side("yes").join(side("no"),
-      col("yes_ticker") === col("no_ticker") &&
-        col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
-        col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"))
+    // floor of the exact-ms double division: |ms| ≤ ~5e12 (replay
+    // flush included) is exact in double, and at band ≥ 1 s the
+    // quotient's 1-ulp rounding can't cross an integer (nearest
+    // fractional part is 1/band ≫ k·2⁻⁵²) — so this IS floor
+    // division, pre-1970 negatives included, where integer '/'
+    // would truncate toward zero
+    val bucket =
+      floor(unix_millis(col(s"${tag}_time")) / bandMs.toDouble).cast("long")
+    val withBucket =
+      if (tag == "no")
+        base.withColumn(s"${tag}_bucket",
+          explode(array(bucket - 1, bucket, bucket + 1)))
+      else base.withColumn(s"${tag}_bucket", bucket)
+    withBucket.withWatermark(s"${tag}_time", watermark)
+  }
+
+  def yesNoPairs(messages: DataFrame, watermark: String = "1 minute",
+      bandSec: Int = 5): DataFrame =
+    side(messages, "yes", watermark, bandSec)
+      .join(side(messages, "no", watermark, bandSec),
+        col("yes_ticker") === col("no_ticker") &&
+          col("yes_bucket") === col("no_bucket") &&
+          col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
+          col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"))
       .select(col("yes_ticker").as("ticker"),
         col("yes_seq"), col("no_seq"),
         col("yes_price"), col("no_price"),
         col("yes_delta"), col("no_delta"))
-  }
 
   /** LEFT-OUTER stream-stream interval join: every yes-side delta
     * emits — paired rows as soon as both sides arrive (inner
@@ -50,25 +100,18 @@ object StreamJoins {
     * unmatched rows is therefore watermark delay + band — the price of
     * proving a negative on an unbounded stream. */
   def yesNoPairsOuter(messages: DataFrame, watermark: String = "1 minute",
-      bandSec: Int = 5): DataFrame = {
-    def side(tag: String) = messages
-      .where(col("type") === "orderbook_delta" && col("msg.side") === tag)
-      .select(col("msg.market_ticker").as(s"${tag}_ticker"),
-        timestamp_millis(col("msg.ts")).as(s"${tag}_time"),
-        col("msg.price").as(s"${tag}_price"),
-        col("msg.delta").as(s"${tag}_delta"),
-        col("seq").as(s"${tag}_seq"))
-      .withWatermark(s"${tag}_time", watermark)
-    side("yes").join(side("no"),
-      col("yes_ticker") === col("no_ticker") &&
-        col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
-        col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"),
-      "leftOuter")
+      bandSec: Int = 5): DataFrame =
+    side(messages, "yes", watermark, bandSec)
+      .join(side(messages, "no", watermark, bandSec),
+        col("yes_ticker") === col("no_ticker") &&
+          col("yes_bucket") === col("no_bucket") &&
+          col("no_time") >= col("yes_time") - expr(s"INTERVAL $bandSec SECONDS") &&
+          col("no_time") <= col("yes_time") + expr(s"INTERVAL $bandSec SECONDS"),
+        "leftOuter")
       .select(col("yes_ticker").as("ticker"),
         col("yes_seq"), col("no_seq"),
         col("yes_price"), col("no_price"),
         col("yes_delta"), col("no_delta"))
-  }
 
   /** Stream-STATIC enrichment: attach a slow-changing dimension (the
     * ticker → series map A1's discovery produces) to the delta stream.

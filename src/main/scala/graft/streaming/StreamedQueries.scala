@@ -230,7 +230,7 @@ object StreamedQueries {
     * once. The corpus-spanning watermark the callers pass makes the
     * arbitrary chunk order a non-event. */
   private def replayClosed(s: SparkSession, msgs: DataFrame,
-      flushMsg: DataFrame)(
+      flushMsg: DataFrame, chunks: Int = 3, storeParts: Int = 8)(
       topology: DataFrame => DataFrame): DataFrame = {
     // session_window / window-agg / (flat)mapGroupsWithState state is
     // fine on the in-memory HDFS-backed provider — only
@@ -246,12 +246,22 @@ object StreamedQueries {
     // same state-store-partition scoping as `replay`/`replayOrdered`:
     // the stream-stream joins (st08/st09) open FOUR stores per
     // partition per micro-batch, so the session's 32 partitions cost
-    // ~512 store lifecycles per replay where 8 partitions cost ~128 —
-    // measured 19-20 s → single digits on the interval-join gates
+    // ~512 store lifecycles per replay where 8 cost ~128. That
+    // scoping took the interval-join gates 19-20 s → ~15-16 s at
+    // sf0.1 — NOT the single digits first claimed: measured round 12,
+    // store lifecycles were no longer the bottleneck (4 partitions ×
+    // fewer chunks made it SLOWER — 23-25 s — by starving the join of
+    // parallelism). The real floor was the probe scan over
+    // corpus-sized same-ticker state, fixed where it belongs: the
+    // time-bucketed join key in StreamJoins.side (15-16 s → 5-6 s at
+    // sf0.1, measured min-of-2). chunks=2 for st08/st09 trims the
+    // remaining batch count; cross-batch pairing is still exercised —
+    // rows scatter over 2 unordered chunks and the flush closes the
+    // windows.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", storeParts.toString)
     try {
-      msgs.repartition(3).write.mode("overwrite").parquet(in.toString)
+      msgs.repartition(chunks).write.mode("overwrite").parquet(in.toString)
       val old = System.currentTimeMillis() - 120000
       Files.list(in).forEach(p => { p.toFile.setLastModified(old); () })
       flushMsg.coalesce(1).write.mode("append").parquet(in.toString)
@@ -629,7 +639,7 @@ object StreamedQueries {
       struct(lit("ZFLUSH").as("market_ticker"), lit("yes").as("side"),
         lit(flushTsFor(s, d, PairBandSec * 1000L)).as("ts"),
         lit(1).as("price"), lit(0).as("delta")).as("msg"))
-    replayClosed(s, pairMsgs(s, d), flush)(
+    replayClosed(s, pairMsgs(s, d), flush, chunks = 2, storeParts = 8)(
         StreamJoins.yesNoPairs(_, watermark = s"$WmDays days",
           bandSec = PairBandSec))
       .where(col("ticker") =!= "ZFLUSH")
@@ -671,7 +681,7 @@ object StreamedQueries {
         struct(lit("ZFLUSH").as("market_ticker"),
           col("fside").as("side"), col("fts").as("ts"),
           lit(1).as("price"), lit(0).as("delta")).as("msg"))
-    replayClosed(s, pairMsgs(s, d), flush)(
+    replayClosed(s, pairMsgs(s, d), flush, chunks = 2, storeParts = 8)(
         StreamJoins.yesNoPairsOuter(_, watermark = s"$WmDays days",
           bandSec = PairBandSec))
       .where(col("no_seq").isNull && col("ticker") =!= "ZFLUSH")

@@ -208,6 +208,14 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
           // on the reference's wire that means "everything", silently
           // duplicating the whole feed into those partitions. Reject at
           // plan time instead of producing duplicate streams.
+          // …and an EMPTY tickers option means "the full feed": with
+          // N>1 shards every shard would subscribe to everything,
+          // duplicating the whole feed N×. Full-feed mode is
+          // single-shard only.
+          require(tickers.nonEmpty || endpoints.size == 1,
+            s"${endpoints.size} shards with no tickers — every shard " +
+              "would subscribe to the full feed, duplicating it " +
+              s"${endpoints.size}×; full-feed mode needs exactly 1 shard")
           require(tickers.isEmpty || endpoints.size <= tickers.size,
             s"${endpoints.size} shards but only ${tickers.size} tickers — " +
               "a shard with no tickers would subscribe to the full feed; " +

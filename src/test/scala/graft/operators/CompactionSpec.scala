@@ -141,7 +141,8 @@ class CompactionSpec extends AnyFunSuite {
     val r = Tables.events(spark, dir)
       .agg(min(col("ts_ms")), max(col("ts_ms"))).head
     val (mn, mx) = (r.getLong(0), r.getLong(1))
-    val (lo, hi) = ((3 * mn + 2 * mx) / 5, (2 * mn + 3 * mx) / 5)
+    val (lo, hi) = (Math.floorDiv(3 * mn + 2 * mx, 5),
+      Math.floorDiv(2 * mn + 3 * mx, 5))
     val ranges = spark.read.parquet(zdir)
       .groupBy(input_file_name().as("f"))
       .agg(min("ts_ms").as("tlo"), max("ts_ms").as("thi"))

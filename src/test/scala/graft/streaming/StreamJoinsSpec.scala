@@ -100,6 +100,52 @@ class StreamJoinsSpec extends AnyFunSuite {
     assert(streamed.exists(_._3 >= 0L))
   }
 
+  test("interval-join state is watermark-bounded: batches 10 min apart " +
+    "evict under the production 1-minute watermark instead of accumulating") {
+    val in = Files.createTempDirectory("graft-ssjs-in")
+    val ck = Files.createTempDirectory("graft-ssjs-ck")
+    def stamp(p: java.nio.file.Path, i: Int): Unit =
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    def delta(side: String, seq: Long, ts: Long) =
+      Fixtures.envelopeJson(Right(Fixtures.Delta(1L, seq, "KXTEST-Y",
+        ts, s"$ts-$seq", side, 42, 3)))
+    val perBatch = 20
+    (0 until 3).foreach { b =>
+      val t0 = Fixtures.baseTs + b * 600000L // batches 10 min apart
+      val lines = (0 until perBatch / 2).flatMap { j =>
+        Seq(delta("yes", b * 100L + j, t0 + j * 100L),
+          delta("no", b * 100L + 50 + j, t0 + j * 100L + 50L))
+      }
+      stamp(Files.write(in.resolve(f"part-$b%02d.ndjson"), lines.asJava), b)
+    }
+    val q = StreamJoins.yesNoPairs( // production default: 1-minute watermark
+        StreamPipeline.readMessages(spark, in.toString, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("ssj_state_bound")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    assert(stateRows.nonEmpty)
+    // every row passes THROUGH join state (a batch contributes
+    // perBatch/2 yes rows + 3·perBatch/2 no-side bucket copies =
+    // 2·perBatch state rows), but the watermark evicts each
+    // 10-minutes-older batch as the next one commits — state never
+    // holds the whole corpus (the production bound is watermark
+    // delay + band of feed, constant in stream length; the st08/st09
+    // gates' corpus-spanning WmDays watermark is the deliberate
+    // replay-harness exception, see StreamJoins scaladoc)
+    val perBatchState = 2L * perBatch
+    assert(stateRows.max <= 2L * perBatchState,
+      s"join state grew past two batches' worth: $stateRows")
+    assert(stateRows.max < 3L * perBatchState,
+      s"join state held the whole corpus: $stateRows")
+  }
+
   test("stream-static enrichment broadcasts the dim, keeps unknown " +
     "tickers, and matches its batch twin") {
     import spark.implicits._
