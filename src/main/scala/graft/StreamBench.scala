@@ -81,59 +81,6 @@ object StreamBench {
     spark.stop()
   }
 
-  /** One scripted RFC 6455 replay connection: handshake, read the
-    * masked subscribe frame, write every line as a text frame, close.
-    * The server role of the same [[graft.streaming.WsWire]] codec the
-    * client speaks (frames unmasked server→client, masked frames
-    * REQUIRED client→server). */
-  private def wsReplayServer(lines: Seq[String]): java.net.ServerSocket = {
-    import java.nio.charset.StandardCharsets.UTF_8
-    import graft.streaming.WsWire
-    val server = new java.net.ServerSocket(0)
-    val t = new Thread(() => {
-      try {
-        val sock = server.accept()
-        val in = new java.io.DataInputStream(sock.getInputStream)
-        val out = sock.getOutputStream
-        def line(): String = {
-          val sb = new StringBuilder
-          var b = in.read()
-          while (b != -1 && b != '\n') {
-            if (b != '\r') sb.append(b.toChar); b = in.read()
-          }
-          sb.toString
-        }
-        line() // GET
-        var h = line()
-        var key: String = null
-        while (h.nonEmpty) {
-          val i = h.indexOf(':')
-          if (i > 0 && h.substring(0, i).trim
-              .equalsIgnoreCase("Sec-WebSocket-Key"))
-            key = h.substring(i + 1).trim
-          h = line()
-        }
-        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
-          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-          s"Sec-WebSocket-Accept: ${WsWire.acceptKey(key)}\r\n\r\n")
-          .getBytes(UTF_8))
-        out.flush()
-        WsWire.readFrame(in, expectMasked = true) // subscribe
-        lines.foreach(l =>
-          WsWire.writeFrame(out, WsWire.Opcode.Text, l.getBytes(UTF_8), None))
-        WsWire.writeFrame(out, WsWire.Opcode.Close,
-          Array[Byte](0x03, 0xe8.toByte), None)
-        try WsWire.readFrame(in, expectMasked = true) catch {
-          case _: java.io.IOException => ()
-        }
-        sock.close()
-      } catch { case _: Throwable => () }
-    })
-    t.setDaemon(true)
-    t.start()
-    server
-  }
-
   /** Live-wire ingest: the SAME unified pipeline fed from the
     * graft-socket WS transport — real RFC 6455 frames end-to-end —
     * with `shards` connections (one input partition each). Each shard
@@ -160,7 +107,7 @@ object StreamBench {
     val wantDeltas = shardTickers.zip(shardLines).map { case (ts, _) =>
       Fixtures.genMessages(ts, perTicker).collect { case Right(_) => 1 }.size
     }.sum
-    val servers = shardLines.map(wsReplayServer)
+    val servers = shardLines.map(graft.streaming.WsReplay.server)
     val out = Files.createTempDirectory(s"graft-sbench-wire$shards")
     try {
       val endpoints = servers.map(s => s"localhost:${s.getLocalPort}")

@@ -813,6 +813,130 @@ object StreamedQueries {
       |GROUP BY d.ticker
       |ORDER BY d.ticker""".stripMargin
 
+  // ----------------------------------------------------------------- st13
+  /** st13 — the LIVE WIRE PATH end-to-end under the driver's oracle
+    * (round-11 verdict item 2: the one production path whose output
+    * was bench-measured but never hash-checked). The delta feed is
+    * served as real RFC 6455 WebSocket frames by [[WsReplay]] (the
+    * server role of the same WsWire codec), consumed by the actual
+    * `graft-socket` source over 2 sharded connections — HTTP Upgrade,
+    * MASKED subscribe frame, per-connection monotone seq with the A3
+    * fail-stop validator hot on every line — then decoded, routed,
+    * normalized and replay-deduped by the PRODUCTION unified pipeline
+    * ([[StreamPipeline.runUnifiedFrom]]: decode → route → flatten →
+    * dedup → checkpointed parquet append), and finally aggregated per
+    * (ticker, side). Oracle = the same aggregate over the batch
+    * ob_deltas CTE: any frame loss, mis-route, double-delivery, or
+    * decimal mis-cast on the wire path shifts the counts/sums and
+    * hash-fails.
+    *
+    * Harness mechanics, all driver-side by nature (the replay server
+    * PLAYS THE EXCHANGE, which production never materializes):
+    *  - feed lines are collected to the driver to script the two
+    *    server connections — corpus-sized at gate SFs, never a
+    *    production shape;
+    *  - each connection gets its own sid and a renumbered 1..m seq in
+    *    deterministic (ticker, seq) order, because the live validator
+    *    checks ONE monotone per-CONNECTION seq
+    *    (kalshi_ws_client.py:129-146) while the fixture numbers per
+    *    ticker;
+    *  - tickers are assigned to shards round-robin over the sorted
+    *    distinct list — the same assignment the source itself makes —
+    *    so each server feeds exactly the tickers its connection
+    *    subscribes to;
+    *  - the final aggregate (tickers × 2 rows) is collected and
+    *    re-created as a local DataFrame so the parquet out-dir can be
+    *    deleted before returning. */
+  def streamWire(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ticker",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("side",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_msgs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_delta",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_price",
+        org.apache.spark.sql.types.DoubleType)))
+    val feed = Derive.deltas(s, d)
+      .select(col("ticker"), col("side"), col("price"), col("delta"),
+        col("ts_ms"), col("seq"))
+      .orderBy(col("ticker"), col("seq"))
+      .collect()
+    if (feed.isEmpty) // degenerate corpus: nothing to serve or gate
+      return s.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
+        outSchema)
+    val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
+    val nShards = math.min(2, tickers.size)
+    val shardLines = (0 until nShards).map { sh =>
+      val mine = tickers.zipWithIndex
+        .filter(_._2 % nShards == sh).map(_._1).toSet
+      feed.iterator.filter(r => mine(r.getString(0))).zipWithIndex.map {
+        case (r, i) =>
+          val pd = java.math.BigDecimal.valueOf(r.getInt(2).toLong, 2)
+            .toPlainString
+          s"""{"type":"orderbook_delta","sid":${9000 + sh},""" +
+            s""""seq":${i + 1},"msg":{""" +
+            s""""market_ticker":${WireSocket.jsonString(r.getString(0))},""" +
+            s""""side":"${r.getString(1)}","price_dollars":$pd,""" +
+            s""""delta":${r.getInt(3)},"ts":${r.getLong(4)}}}"""
+      }.toSeq
+    }
+    val servers = shardLines.map(WsReplay.server)
+    val out = Files.createTempDirectory("graft-st13-out")
+    try {
+      val df = s.readStream.format("graft-socket")
+        .option("shards",
+          servers.map(sv => s"localhost:${sv.getLocalPort}").mkString(","))
+        .option("tickers", tickers.mkString(","))
+        .option("channels", "orderbook_delta")
+        .option("transport", "ws")
+        .load()
+      val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
+        out.toString, Trigger.ProcessingTime(0L))
+      val want = feed.length.toLong
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < want && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = try s.read.parquet(s"$out/orderbook_deltas").count()
+          catch { case _: Throwable => 0L }
+        if (n < want) Thread.sleep(50)
+      }
+      q.stop()
+      require(n >= want, s"st13 wire replay timed out: $n/$want rows")
+      val agg = s.read.parquet(s"$out/orderbook_deltas")
+        .groupBy(col("ticker"), col("side"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(col("delta").cast("long")).as("sum_delta"),
+          sum(col("price_dollars")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy(col("ticker"), col("side"))
+        .collect().toSeq
+      s.createDataFrame(agg.asJava, outSchema)
+        .orderBy(col("ticker"), col("side"))
+    } finally {
+      servers.foreach(_.close())
+      rmTree(out)
+    }
+  }
+
+  /** The cents→dollars quantization is exact on both sides: every
+    * price/100 value has an exact DECIMAL(_,4) representation and the
+    * doubles in play round-trip at scale 4 uniquely, so the decimal
+    * sums agree term-by-term. */
+  val streamWireSql: String = Derive.cte +
+    """SELECT ticker, side, COUNT(*) AS n_msgs,
+      |  CAST(SUM(CAST(delta AS BIGINT)) AS BIGINT) AS sum_delta,
+      |  CAST(SUM(CAST(price / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM ob_deltas
+      |GROUP BY ticker, side
+      |ORDER BY ticker, side""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -825,7 +949,8 @@ object StreamedQueries {
     "st09_stream_unmatched" -> (streamUnmatched _),
     "st10_stream_enrich" -> (streamEnrich _),
     "st11_stream_dedup" -> (streamDedup _),
-    "st12_stream_tickerstats" -> (streamTickerStats _))
+    "st12_stream_tickerstats" -> (streamTickerStats _),
+    "st13_stream_wire" -> (streamWire _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -839,5 +964,6 @@ object StreamedQueries {
     "st09_stream_unmatched" -> streamUnmatchedSql,
     "st10_stream_enrich" -> streamEnrichSql,
     "st11_stream_dedup" -> streamDedupSql,
-    "st12_stream_tickerstats" -> streamTickerStatsSql)
+    "st12_stream_tickerstats" -> streamTickerStatsSql,
+    "st13_stream_wire" -> streamWireSql)
 }

@@ -115,7 +115,8 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("st09") ||
         n.startsWith("st10") ||
         n.startsWith("st11") ||
-        n.startsWith("st12")) // the deltas-backed streaming replays
+        n.startsWith("st12") ||
+        n.startsWith("st13")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
