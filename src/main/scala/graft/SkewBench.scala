@@ -102,9 +102,14 @@ object SkewBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    // optional family filter after n: agg / join / aqe / lsh / asof
+    val fams = args.drop(1).toSet
+    def want(f: String): Boolean = fams.isEmpty || fams.contains(f)
     val dir = s"/tmp/graft-skew-$n"
     val spark = GraftSession.local()
-    generate(spark, dir, n)
+    if (want("agg") || want("join") || want("aqe"))
+      generate(spark, dir, n)
+    if (want("agg") || want("join") || want("aqe")) {
     val docs = spark.read.parquet(dir)
     val total = docs.count()
     val hot = docs.where(col("lang") === "en").count()
@@ -184,6 +189,7 @@ object SkewBench {
     val (offRows, offSec) = run(pairWork(aqeSession(skew = false)))
     require(onRows == offRows, "AQE skew split changed the result")
     println(f"""{"metric":"skew_aqe","rows":$total,"skew_on_sec":$onSec%.2f,"skew_off_sec":$offSec%.2f,"speedup":${offSec / onSec}%.2f}""")
+    }
 
     // --- banded-LSH mega-bucket (the one skew family the other three
     // mechanisms can't touch): a replicated-content cluster of m docs
@@ -204,7 +210,7 @@ object SkewBench {
     // (the organic mega-bucket grows ~linearly with the corpus, so the
     // naive route grows ~QUADRATICALLY while the capped route stays
     // ~linear) — the trend, not one ratio, is the 100 TB argument.
-    for (nLsh <- Seq(150000L, 400000L)) {
+    for (nLsh <- Seq(150000L, 400000L) if want("lsh")) {
       val lshDir = s"/tmp/graft-skew-lsh-$nLsh"
       generateLsh(spark, lshDir, nLsh)
       val sig = dedup.Dedup.minhashSig(spark, lshDir).localCheckpoint()
@@ -235,6 +241,51 @@ object SkewBench {
       require(lostDocs.toDouble / naiveDocs <= 0.01,
         s"cap lost $lostDocs of $naiveDocs clustered docs (>1%)")
       println(f"""{"metric":"skew_lsh","rows":$nSig,"capped_sec":$cappedSec%.2f,"naive_sec":$naiveSec%.2f,"speedup":${naiveSec / cappedSec}%.2f,"clusters_capped":${capped.size},"clusters_naive":${naive.size},"docs_lost":$lostDocs,"docs_clustered":$naiveDocs,"note":"dd19 bucket-cap chain vs all-pairs; boilerplate cluster identical, capped edges a strict subset"}""")
+    }
+
+    // --- native as-of merge loop: whole-stage codegen ON vs OFF at a
+    // scale where the MERGE dominates. The sf0.1 registry gates are the
+    // wrong instrument for this A/B: their inputs are ~10^5 rows, so
+    // the janino compile + region setup cost outweighs the loop and
+    // codegen OFF measures 10-25% FASTER there (round-12 measurement,
+    // BASELINE.md). Here the merge walks millions of rows per
+    // partition, which is where the fused loop earns its keep. Result
+    // parity asserted; the ON plan is asserted to actually contain a
+    // codegen'd AsOfJoin region (the conf could silently fall back).
+    if (want("asof")) {
+      def asofWork(sess: SparkSession): DataFrame = {
+        val quotes = sess.range(n).select(
+          concat(lit("T"), pmod(col("id"), lit(64))).as("q_ticker"),
+          col("id").as("q_ts"),
+          pmod(col("id"), lit(9973)).as("price"))
+        val anchors = sess.range(n / 10).select(
+          concat(lit("T"), pmod(col("id"), lit(64))).as("ticker"),
+          (col("id") * 7 + 3).as("ts"))
+        plans.AsOf.join(anchors, quotes, "ticker", "q_ticker", "ts", "q_ts")
+          .groupBy(col("ticker"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price")).cast("long").as("sum_price"),
+            max(col("q_ts")).as("max_qts"))
+      }
+      def cgSession(on: Boolean): SparkSession = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.codegen.wholeStage", on.toString)
+        ss.conf.set("spark.sql.codegen.fallback", "false")
+        ss
+      }
+      val onSess = cgSession(on = true)
+      val onDf = asofWork(onSess)
+      val (cgRows, cgSec) = run(onDf)
+      // pin that the ON run really took the codegen path — inspected
+      // on the SAME queryExecution the collect ran (AQE finalizes the
+      // executed plan only then; a fresh df would show the pre-AQE one)
+      val plan = onDf.queryExecution.executedPlan.toString
+      require("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+        s"as-of codegen did not engage:\n$plan")
+      val (interpRows, interpSec) = run(asofWork(cgSession(on = false)))
+      require(cgRows == interpRows,
+        "codegen'd as-of diverged from the interpreted path")
+      println(f"""{"metric":"asof_codegen","quotes":$n,"anchors":${n / 10},"codegen_sec":$cgSec%.2f,"interpreted_sec":$interpSec%.2f,"speedup":${interpSec / cgSec}%.2f}""")
     }
 
     spark.stop()
