@@ -224,23 +224,31 @@ object SkewBench {
           .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
           .toMap
       // single timed pass each (the naive route's mega-bucket grind is
-      // the measurement; min-of-2 would double a multi-minute run)
-      val (capped, cappedSec) = timed(
-        clustersOf(dedup.Dedup.cappedCandidatesOn(sig, 64)))
+      // the measurement; min-of-2 would double a multi-minute run).
+      // The chain-window sweep measures dd19's recall knob: w=1 is the
+      // round-11 design (14 docs lost at 493k), w=2 is the production
+      // default, w=3 the headroom point — cost must stay O(w·c).
       val (naive, naiveSec) = timed(
         clustersOf(dedup.Dedup.bandedCandidatesOn(sig)))
-      // doc_id 0 is boilerplate, so the template cluster's id is 0 in
-      // both routes; a chain over an all-identical bucket spans it whole
-      require(capped(0L) == naive(0L),
-        s"boilerplate cluster diverged: capped=${capped(0L)} naive=${naive(0L)}")
-      val cappedDocs = capped.values.map(_._1).sum
       val naiveDocs = naive.values.map(_._1).sum
-      require(cappedDocs <= naiveDocs,
-        "capped route clustered MORE docs than all-pairs — edge subset violated")
-      val lostDocs = naiveDocs - cappedDocs
-      require(lostDocs.toDouble / naiveDocs <= 0.01,
-        s"cap lost $lostDocs of $naiveDocs clustered docs (>1%)")
-      println(f"""{"metric":"skew_lsh","rows":$nSig,"capped_sec":$cappedSec%.2f,"naive_sec":$naiveSec%.2f,"speedup":${naiveSec / cappedSec}%.2f,"clusters_capped":${capped.size},"clusters_naive":${naive.size},"docs_lost":$lostDocs,"docs_clustered":$naiveDocs,"note":"dd19 bucket-cap chain vs all-pairs; boilerplate cluster identical, capped edges a strict subset"}""")
+      for (w <- Seq(1, 2, 3, 8)) {
+        val (capped, cappedSec) = timed(
+          clustersOf(dedup.Dedup.cappedCandidatesOn(sig, 64, w)))
+        // doc_id 0 is boilerplate, so the template cluster's id is 0
+        // in both routes; a chain over an all-identical bucket spans
+        // it whole at any w
+        require(capped(0L) == naive(0L),
+          s"boilerplate cluster diverged at w=$w: " +
+            s"capped=${capped(0L)} naive=${naive(0L)}")
+        val cappedDocs = capped.values.map(_._1).sum
+        require(cappedDocs <= naiveDocs,
+          s"capped route (w=$w) clustered MORE docs than all-pairs — " +
+            "edge subset violated")
+        val lostDocs = naiveDocs - cappedDocs
+        require(lostDocs.toDouble / naiveDocs <= 0.01,
+          s"cap (w=$w) lost $lostDocs of $naiveDocs clustered docs (>1%)")
+        println(f"""{"metric":"skew_lsh","rows":$nSig,"chain_window":$w,"capped_sec":$cappedSec%.2f,"naive_sec":$naiveSec%.2f,"speedup":${naiveSec / cappedSec}%.2f,"clusters_capped":${capped.size},"clusters_naive":${naive.size},"docs_lost":$lostDocs,"docs_clustered":$naiveDocs,"note":"dd19 bucket-cap chain vs all-pairs; boilerplate cluster identical, capped edges a strict subset"}""")
+      }
     }
 
     // --- native as-of merge loop: whole-stage codegen ON vs OFF at a

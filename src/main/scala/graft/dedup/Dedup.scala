@@ -1434,6 +1434,17 @@ object Dedup {
     * 8.6k pairs at sf0.01). */
   val LshBucketCap = 64
 
+  /** Default sorted-neighborhood chain window for over-cap buckets:
+    * each member links to its previous w sort-neighbors in EACH of the
+    * two sort passes (forward / reversed signature). Measured on
+    * SkewBench's 493k-doc corpus (BASELINE.md round 12): the round-11
+    * single-pass w=1 design lost 14 of 184,918 clustered docs and
+    * widening w alone never closed it (8 lost even at w=8 — the
+    * missed pairs interleave too deep in one ordering); two passes at
+    * w=3 recover ALL of them (0 lost, cost flat at ~3× over
+    * all-pairs). Session override: `spark.graft.lshChainWindow`. */
+  val LshChainWindow = 3
+
   /** Band rows tagged with their bucket's population — one extra count
     * aggregate on the band key, the same shuffle the candidate join
     * pays anyway. */
@@ -1455,9 +1466,26 @@ object Dedup {
     * edge set is a strict SUBSET of the all-pairs edge set — capping
     * can only SPLIT components, never merge or invent them; what can
     * be lost is pair recall between non-adjacent near-dups inside a
-    * MIXED mega-bucket, which dd20 sizes and SkewBench measures
-    * (0.006% of clustered docs on its 150k-doc mixed corpus). */
-  private[graft] def cappedCandidatesOn(sig: DataFrame, cap: Int): DataFrame = {
+    * MIXED mega-bucket, which dd20 sizes and SkewBench measures.
+    *
+    * RECALL KNOB (round-11 verdict item 7): the chain links each
+    * member to its previous `window` sort-neighbors (i-1 .. i-w), not
+    * just i-1 — O(w·c) edges, still never O(c²). At w=1 SkewBench's
+    * 493k-doc corpus lost 14 of 184,918 clustered docs (pairs whose
+    * only collision bucket is over-cap and which interleave with
+    * foreign members in sort order); the `skew_lsh` family measures
+    * the loss-vs-cost curve per w and BASELINE.md records it. Default
+    * [[LshChainWindow]] = 2, overridable per session via
+    * `spark.graft.lshChainWindow` (SkewBench's sweep); the dd19
+    * oracle SQL stacks the same w lags, so the registry gate pins the
+    * default's exact edge set. All lags share one window spec → one
+    * per-bucket sort regardless of w. */
+  private[graft] def cappedCandidatesOn(sig: DataFrame, cap: Int,
+      window: Int = -1): DataFrame = {
+    val win =
+      if (window > 0) window
+      else sig.sparkSession.conf
+        .get("spark.graft.lshChainWindow", LshChainWindow.toString).toInt
     val tagged = bandsWithCounts(sig)
     val small = tagged.where(col("bsize") <= cap)
     val sa = small.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
@@ -1470,18 +1498,35 @@ object Dedup {
           col("sig_a"), col("sig_b")) >= 26)
       .select(col("id_a"), col("id_b"))
     // per-bucket window: one task sorts c rows — linear-ish where the
-    // pairwise route would hand that task c²/2 verifications
-    val w = Window.partitionBy(col("band"), col("bkey"))
-      .orderBy(col("sig"), col("doc_id"))
-    val chainPairs = tagged.where(col("bsize") > cap)
-      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
-      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
-      .where(col("prev_id").isNotNull &&
-        call_function("graft_positional_eq_count",
-          col("sig"), col("prev_sig")) >= 26)
-      .select(least(col("prev_id"), col("doc_id")).as("id_a"),
-        greatest(col("prev_id"), col("doc_id")).as("id_b"))
-    smallPairs.unionByName(chainPairs).distinct()
+    // pairwise route would hand that task c²/2 verifications; the w
+    // lag pairs of one pass all ride the SAME sort. TWO sort passes
+    // (multi-pass sorted neighborhood): forward signature order and
+    // REVERSED-signature order — a mixed bucket arranges its members
+    // differently under the two projections, so a true pair whose
+    // members interleave with foreign docs in one order is usually
+    // adjacent in the other (measured: forward-only lost 14 clustered
+    // docs at 493k however large w got — 8 even at w=8 — while two
+    // passes at w=3 recover every one, BASELINE.md round 12).
+    // Still O(w·c) edges and two O(c log c) bucket sorts, never c².
+    val chainPasses = Seq(col("sig"), reverse(col("sig"))).map { ord =>
+      val w = Window.partitionBy(col("band"), col("bkey"))
+        .orderBy(ord, col("doc_id"))
+      val lagged = tagged.where(col("bsize") > cap)
+        .select(col("doc_id") +: col("sig") +: (1 to win).flatMap(k => Seq(
+          lag(col("doc_id"), k).over(w).as(s"pid_$k"),
+          lag(col("sig"), k).over(w).as(s"psig_$k"))): _*)
+      lagged
+        .select(col("doc_id"), col("sig"),
+          explode(array((1 to win).map(k =>
+            struct(col(s"pid_$k").as("pid"),
+              col(s"psig_$k").as("psig"))): _*)).as("p"))
+        .where(col("p.pid").isNotNull &&
+          call_function("graft_positional_eq_count",
+            col("sig"), col("p.psig")) >= 26)
+        .select(least(col("p.pid"), col("doc_id")).as("id_a"),
+          greatest(col("p.pid"), col("doc_id")).as("id_b"))
+    }
+    (smallPairs +: chainPasses).reduce(_.unionByName(_)).distinct()
   }
 
   /** dd19 — duplicate clusters via the CAPPED candidate route: dd07's
@@ -1521,18 +1566,29 @@ object Dedup {
          |    AND list_sum(list_transform(range(1, 33), i ->
          |      CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
          |           THEN 1 ELSE 0 END)) >= 26),
-         |chains AS (
-         |  SELECT b.doc_id, b.sig,
-         |    LAG(b.doc_id) OVER w AS prev_id,
-         |    LAG(b.sig) OVER w AS prev_sig
-         |  FROM bands b
-         |  JOIN bcnt n ON n.band = b.band AND n.bkey = b.bkey
-         |  WHERE n.bsize > ${LshBucketCap}
-         |  WINDOW w AS (PARTITION BY b.band, b.bkey ORDER BY b.sig, b.doc_id)),
+         |${Seq("b.sig" -> "fwd", "list_reverse(b.sig)" -> "rev").map {
+             case (ord, tag) =>
+               s"""chains_$tag AS (
+                  |  SELECT b.doc_id, b.sig,
+                  |${(1 to LshChainWindow).map(k =>
+                      s"    LAG(b.doc_id, $k) OVER w_$tag AS prev_id_$k,\n" +
+                      s"    LAG(b.sig, $k) OVER w_$tag AS prev_sig_$k")
+                      .mkString(",\n")}
+                  |  FROM bands b
+                  |  JOIN bcnt n ON n.band = b.band AND n.bkey = b.bkey
+                  |  WHERE n.bsize > ${LshBucketCap}
+                  |  WINDOW w_$tag AS (PARTITION BY b.band, b.bkey
+                  |    ORDER BY $ord, b.doc_id))""".stripMargin
+           }.mkString(",\n")},
+         |chainl AS (
+         |${(for (tag <- Seq("fwd", "rev"); k <- 1 to LshChainWindow) yield
+             s"  SELECT doc_id, sig, prev_id_$k AS prev_id, " +
+             s"prev_sig_$k AS prev_sig FROM chains_$tag")
+             .mkString("\n  UNION ALL\n")}),
          |chainp AS (
          |  SELECT DISTINCT LEAST(prev_id, doc_id) AS id_a,
          |    GREATEST(prev_id, doc_id) AS id_b
-         |  FROM chains
+         |  FROM chainl
          |  WHERE prev_id IS NOT NULL
          |    AND list_sum(list_transform(range(1, 33), i ->
          |      CASE WHEN sig[CAST(i AS INT)] = prev_sig[CAST(i AS INT)]
@@ -1562,7 +1618,10 @@ object Dedup {
     * buckets/docs were quarantined, how many pairwise candidates the
     * cap AVOIDED (Σ c·(c−1)/2 over big buckets — the quadratic work
     * that would have landed on single tasks) and how many chain edges
-    * replaced them (Σ (c−1) — the linear substitute). The monitoring
+    * replaced them (Σ 2·(w·c − w(w+1)/2) at chain window w =
+    * [[LshChainWindow]] — the linear substitute, counted as the two
+    * sort passes EMIT them; an all-identical bucket's two passes
+    * produce the same edges and dedup to half). The monitoring
     * twin of dd17's cohesion audit: dd17 watches false MERGES,
     * dd20 watches what capping might MISS and what it saved. */
   def lshBucketAudit(s: SparkSession, d: String): DataFrame = {
@@ -1577,7 +1636,9 @@ object Dedup {
         sum(when(big, col("bsize")).otherwise(0L)).as("docs_quarantined"),
         sum(when(big, expr("bsize * (bsize - 1) div 2"))
           .otherwise(0L)).as("pairs_avoided"),
-        sum(when(big, col("bsize") - 1).otherwise(0L)).as("chain_edges"))
+        sum(when(big, (col("bsize") * LshChainWindow -
+            LshChainWindow * (LshChainWindow + 1) / 2) * 2)
+          .otherwise(0L)).as("chain_edges"))
       .orderBy(col("band"))
   }
 
@@ -1594,7 +1655,9 @@ object Dedup {
        |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap}
        |      THEN bsize * (bsize - 1) // 2 ELSE 0 END) AS BIGINT)
        |    AS pairs_avoided,
-       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap} THEN bsize - 1
+       |  CAST(SUM(CASE WHEN bsize > ${LshBucketCap}
+       |      THEN (bsize * ${LshChainWindow}
+       |        - ${LshChainWindow * (LshChainWindow + 1) / 2}) * 2
        |      ELSE 0 END) AS BIGINT) AS chain_edges
        |FROM bsz GROUP BY band
        |ORDER BY band""".stripMargin

@@ -63,9 +63,37 @@ class BucketCapSpec extends AnyFunSuite {
     val m = Boiler + 12 + 8
     assert(naive >= m * (m - 1) / 2,
       s"expected a clique-sized candidate set, got $naive")
-    assert(capped < 3 * m, s"capped candidates not linear: $capped")
+    // linear bound: ≤ w edges per member per sort pass (2 passes,
+    // mostly deduped on an all-identical bucket) + the small-bucket
+    // pairs — far under the m²/2 ≈ 5000 clique either way
+    assert(capped < 2 * (Dedup.LshChainWindow + 1) * m,
+      s"capped candidates not linear: $capped")
     assert(clustersOf(Dedup.cappedCandidatesOn(sig, Cap)) ===
       clustersOf(Dedup.bandedCandidatesOn(sig)))
+  }
+
+  test("the chain-window recall knob: per-w edge sets grow " +
+    "monotonically, stay subsets of all-pairs, and stay O(w*c)") {
+    val sig = Dedup.minhashSig(spark, dir)
+    def edges(w: Int): Set[(Long, Long)] =
+      Dedup.cappedCandidatesOn(sig, Cap, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byW = (1 to 3).map(edges)
+    val all = Dedup.bandedCandidatesOn(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linking i..i-w contains every i..i-(w-1) link, and every chain
+    // link joins two members of one bucket under the same prefilter —
+    // so the sets nest, and capping still can only SPLIT components
+    byW.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "chain edges not monotone in w") }
+    assert(byW.last.subsetOf(all),
+      "chain edges escaped the all-pairs candidate set")
+    // cost bound: each +1 of w adds at most one edge per quarantined
+    // row PER BAND (4 here) PER SORT PASS (2) — linear in bucket
+    // population, never the m^2/2 clique
+    val m = Boiler + 12 + 8
+    byW.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.size - a.size <= 8 * m, "per-w edge growth not O(w*c)") }
   }
 
   test("dd20 audit arithmetic matches the bucket census") {
@@ -80,7 +108,9 @@ class BucketCapSpec extends AnyFunSuite {
       .where(col("count") > Dedup.LshBucketCap)
       .groupBy(col("band"))
       .agg(sum(expr("count * (count - 1) div 2")).as("avoided"),
-        sum(col("count") - 1).as("stars"))
+        sum((col("count") * Dedup.LshChainWindow -
+          Dedup.LshChainWindow * (Dedup.LshChainWindow + 1) / 2) * 2)
+          .as("stars"))
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
     val audit = Dedup.lshBucketAudit(spark, dir)
       .collect().map(r => (r.getLong(0).toInt,
