@@ -937,6 +937,102 @@ object StreamedQueries {
       |GROUP BY ticker, side
       |ORDER BY ticker, side""".stripMargin
 
+  // ----------------------------------------------------------------- st14
+  /** st14 — the RECONNECT fold under the driver's oracle: the feed is
+    * served in TWO connection epochs by [[WsReplay.epochServer]] (the
+    * server cleanly closes mid-corpus; the `graft-socket` client's
+    * `maxReconnects=1` budget folds the reference's restart —
+    * re-connect, re-subscribe, fresh per-connection seq
+    * (kalshi_ws_client.py:141-146) — INTO the stream, emitting a
+    * `graft_resubscribed` marker the router dead-letters), then the
+    * production unified pipeline as in st13. The oracle is the SAME
+    * batch aggregate as st13: a row dropped across the epoch seam, a
+    * marker mis-routed into the fact lane, or a lineage collision
+    * between epochs all hash-fail.
+    *
+    * Epoch mechanics: each epoch renumbers seq 1..m (the validator
+    * checks per-CONNECTION monotonicity and resets with the epoch,
+    * like the reference client's restart) and carries its OWN sid —
+    * a re-subscription is a new session, and reusing the sid would
+    * collide the "sid-seq" lineage ids of DIFFERENT logical messages
+    * across epochs, so the replay-dedup would silently drop half of
+    * epoch 2 (the exact bug class st11 guards in the buffer). */
+  def streamReconnect(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ticker",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("side",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_msgs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_delta",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_price",
+        org.apache.spark.sql.types.DoubleType)))
+    val feed = Derive.deltas(s, d)
+      .select(col("ticker"), col("side"), col("price"), col("delta"),
+        col("ts_ms"), col("seq"))
+      .orderBy(col("ticker"), col("seq"))
+      .collect()
+    if (feed.isEmpty)
+      return s.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
+        outSchema)
+    val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
+    val epochs = Seq(feed.take(feed.length / 2), feed.drop(feed.length / 2))
+      .zipWithIndex.map { case (rows, ep) =>
+        rows.zipWithIndex.map { case (r, i) =>
+          val pd = java.math.BigDecimal.valueOf(r.getInt(2).toLong, 2)
+            .toPlainString
+          s"""{"type":"orderbook_delta","sid":${9100 + ep},""" +
+            s""""seq":${i + 1},"msg":{""" +
+            s""""market_ticker":${WireSocket.jsonString(r.getString(0))},""" +
+            s""""side":"${r.getString(1)}","price_dollars":$pd,""" +
+            s""""delta":${r.getInt(3)},"ts":${r.getLong(4)}}}"""
+        }.toSeq
+      }
+    val server = WsReplay.epochServer(epochs)
+    val out = Files.createTempDirectory("graft-st14-out")
+    try {
+      val df = s.readStream.format("graft-socket")
+        .option("host", "localhost")
+        .option("port", server.getLocalPort.toString)
+        .option("tickers", tickers.mkString(","))
+        .option("channels", "orderbook_delta")
+        .option("transport", "ws")
+        .option("maxReconnects", "1")
+        .option("reconnectBackoffMs", "50")
+        .load()
+      val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
+        out.toString, Trigger.ProcessingTime(0L))
+      val want = feed.length.toLong
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < want && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = try s.read.parquet(s"$out/orderbook_deltas").count()
+          catch { case _: Throwable => 0L }
+        if (n < want) Thread.sleep(50)
+      }
+      q.stop()
+      require(n >= want, s"st14 reconnect replay timed out: $n/$want rows")
+      val agg = s.read.parquet(s"$out/orderbook_deltas")
+        .groupBy(col("ticker"), col("side"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(col("delta").cast("long")).as("sum_delta"),
+          sum(col("price_dollars")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_price"))
+        .orderBy(col("ticker"), col("side"))
+        .collect().toSeq
+      s.createDataFrame(agg.asJava, outSchema)
+        .orderBy(col("ticker"), col("side"))
+    } finally {
+      server.close()
+      rmTree(out)
+    }
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -950,7 +1046,8 @@ object StreamedQueries {
     "st10_stream_enrich" -> (streamEnrich _),
     "st11_stream_dedup" -> (streamDedup _),
     "st12_stream_tickerstats" -> (streamTickerStats _),
-    "st13_stream_wire" -> (streamWire _))
+    "st13_stream_wire" -> (streamWire _),
+    "st14_stream_reconnect" -> (streamReconnect _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -965,5 +1062,6 @@ object StreamedQueries {
     "st10_stream_enrich" -> streamEnrichSql,
     "st11_stream_dedup" -> streamDedupSql,
     "st12_stream_tickerstats" -> streamTickerStatsSql,
-    "st13_stream_wire" -> streamWireSql)
+    "st13_stream_wire" -> streamWireSql,
+    "st14_stream_reconnect" -> streamWireSql)
 }

@@ -18,9 +18,19 @@ import java.nio.charset.StandardCharsets.UTF_8
 object WsReplay {
 
   /** Serve `lines` to the first accepted connection, then close. */
-  def server(lines: Seq[String]): java.net.ServerSocket = {
+  def server(lines: Seq[String]): java.net.ServerSocket =
+    epochServer(Seq(lines))
+
+  /** Serve `epochs(i)` to the i-th ACCEPTED connection, closing after
+    * each — the disconnect/reconnect feed shape: a client with a
+    * reconnect budget sees epoch 0, a clean close, re-subscribes, and
+    * gets epoch 1 on its second connection (st14's gate; the
+    * reference's restart = re-subscribe + re-snapshot folded into the
+    * stream). */
+  def epochServer(epochs: Seq[Seq[String]]): java.net.ServerSocket = {
     val server = new java.net.ServerSocket(0)
     val t = new Thread(() => {
+      epochs.foreach { lines =>
       try {
         val sock = server.accept()
         val in = new java.io.DataInputStream(sock.getInputStream)
@@ -58,6 +68,7 @@ object WsReplay {
         }
         sock.close()
       } catch { case _: Throwable => () }
+      }
     })
     t.setDaemon(true)
     t.start()

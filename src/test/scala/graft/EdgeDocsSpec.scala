@@ -116,7 +116,8 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("st10") ||
         n.startsWith("st11") ||
         n.startsWith("st12") ||
-        n.startsWith("st13")) // the deltas-backed streaming replays
+        n.startsWith("st13") ||
+        n.startsWith("st14")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =
