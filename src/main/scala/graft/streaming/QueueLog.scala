@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -163,7 +163,21 @@ private[streaming] class QueueLogTable(options: CaseInsensitiveStringMap)
   * each batch at the OFFSET level — never by dropping planned
   * partitions, which would silently lose the unserved remainder. */
 private[streaming] class QueueLogStream(dir: String, maxSegs: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Exclusive end segment captured when `Trigger.AvailableNow` starts.
+    * Without this trait Spark freezes the run's end at the FIRST
+    * `latestOffset` answer — which `maxSegmentsPerTrigger` caps, so an
+    * AvailableNow backfill would drain exactly one capped batch and
+    * stop (round-12 st15 bug). With it, the run drains cap-bounded
+    * batches UP TO the log's true end at start, then terminates —
+    * bounded batches and run-to-completion, both. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(QueueLog.segments(dir).lastOption.map(_._1 + 1).getOrElse(0L))
 
   /** A fresh consumer starts at the earliest RETAINED segment (Redis
     * XRANGE semantics on a trimmed stream), not at id 0. */
@@ -192,6 +206,7 @@ private[streaming] class QueueLogStream(dir: String, maxSegs: Long)
       case _ => maxSegsInt
     }
     val pending = QueueLog.segments(dir).filter(_._1 >= s.seg)
+      .filter(seg => availableNowEnd.forall(seg._1 < _))
     val capped = if (cap == Int.MaxValue) pending else pending.take(cap)
     capped.lastOption.map { case (last, _) => QueueOffset(last + 1, 0L) }
       .getOrElse(s)

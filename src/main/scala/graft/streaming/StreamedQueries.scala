@@ -847,42 +847,95 @@ object StreamedQueries {
     *  - the final aggregate (tickers × 2 rows) is collected and
     *    re-created as a local DataFrame so the parquet out-dir can be
     *    deleted before returning. */
-  def streamWire(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ticker",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("side",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_msgs",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_delta",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_price",
-        org.apache.spark.sql.types.DoubleType)))
-    val feed = Derive.deltas(s, d)
+  private val wireOutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ticker",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("side",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_msgs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_delta",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_price",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** The delta feed in deterministic (ticker, seq) order — the rows
+    * the wire-gate harnesses (st13/st14/st15) script their servers /
+    * segment logs from. Driver-side by nature: the replay server
+    * plays the EXCHANGE, which production never materializes. */
+  private def wireFeed(s: SparkSession, d: String)
+      : Array[org.apache.spark.sql.Row] =
+    Derive.deltas(s, d)
       .select(col("ticker"), col("side"), col("price"), col("delta"),
         col("ts_ms"), col("seq"))
       .orderBy(col("ticker"), col("seq"))
       .collect()
-    if (feed.isEmpty) // degenerate corpus: nothing to serve or gate
-      return s.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
-        outSchema)
+
+  /** One wire envelope line; `seq` must be the CONNECTION's monotone
+    * counter and `sid` unique per connection/epoch (the "sid-seq"
+    * lineage id must never collide across feeds). */
+  private def wireLine(r: org.apache.spark.sql.Row, sid: Int,
+      seq: Long): String = {
+    val pd = java.math.BigDecimal.valueOf(r.getInt(2).toLong, 2)
+      .toPlainString
+    s"""{"type":"orderbook_delta","sid":$sid,"seq":$seq,"msg":{""" +
+      s""""market_ticker":${WireSocket.jsonString(r.getString(0))},""" +
+      s""""side":"${r.getString(1)}","price_dollars":$pd,""" +
+      s""""delta":${r.getInt(3)},"ts":${r.getLong(4)}}}"""
+  }
+
+  /** The (ticker, side) aggregate over the pipeline's delta output,
+    * collected and re-created locally so the parquet out-dir can be
+    * deleted before returning (tickers × 2 rows). */
+  private def wireAgg(s: SparkSession, out: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val agg = s.read.parquet(s"$out/orderbook_deltas")
+      .groupBy(col("ticker"), col("side"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(col("delta").cast("long")).as("sum_delta"),
+        sum(col("price_dollars")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("ticker"), col("side"))
+      .collect().toSeq
+    s.createDataFrame(agg.asJava, wireOutSchema)
+      .orderBy(col("ticker"), col("side"))
+  }
+
+  private def emptyWireResult(s: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
+      wireOutSchema)
+  }
+
+  /** Poll the live-socket pipeline until all `want` rows are durable,
+    * then stop it (a socket source has no natural end-of-feed, unlike
+    * the AvailableNow-capable durable-log source st15 reads). */
+  private def drainWire(s: SparkSession, q: org.apache.spark.sql
+      .streaming.StreamingQuery, out: java.nio.file.Path, want: Long,
+      tag: String): Unit = {
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    var n = 0L
+    while (n < want && System.nanoTime() < deadline) {
+      q.processAllAvailable()
+      n = try s.read.parquet(s"$out/orderbook_deltas").count()
+        catch { case _: Throwable => 0L }
+      if (n < want) Thread.sleep(50)
+    }
+    q.stop()
+    require(n >= want, s"$tag wire replay timed out: $n/$want rows")
+  }
+
+  def streamWire(s: SparkSession, d: String): DataFrame = {
+    val feed = wireFeed(s, d)
+    if (feed.isEmpty) return emptyWireResult(s)
     val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
     val nShards = math.min(2, tickers.size)
     val shardLines = (0 until nShards).map { sh =>
       val mine = tickers.zipWithIndex
         .filter(_._2 % nShards == sh).map(_._1).toSet
-      feed.iterator.filter(r => mine(r.getString(0))).zipWithIndex.map {
-        case (r, i) =>
-          val pd = java.math.BigDecimal.valueOf(r.getInt(2).toLong, 2)
-            .toPlainString
-          s"""{"type":"orderbook_delta","sid":${9000 + sh},""" +
-            s""""seq":${i + 1},"msg":{""" +
-            s""""market_ticker":${WireSocket.jsonString(r.getString(0))},""" +
-            s""""side":"${r.getString(1)}","price_dollars":$pd,""" +
-            s""""delta":${r.getInt(3)},"ts":${r.getLong(4)}}}"""
-      }.toSeq
+      feed.iterator.filter(r => mine(r.getString(0))).zipWithIndex
+        .map { case (r, i) => wireLine(r, 9000 + sh, i + 1L) }.toSeq
     }
     val servers = shardLines.map(WsReplay.server)
     val out = Files.createTempDirectory("graft-st13-out")
@@ -896,28 +949,8 @@ object StreamedQueries {
         .load()
       val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
         out.toString, Trigger.ProcessingTime(0L))
-      val want = feed.length.toLong
-      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      var n = 0L
-      while (n < want && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        n = try s.read.parquet(s"$out/orderbook_deltas").count()
-          catch { case _: Throwable => 0L }
-        if (n < want) Thread.sleep(50)
-      }
-      q.stop()
-      require(n >= want, s"st13 wire replay timed out: $n/$want rows")
-      val agg = s.read.parquet(s"$out/orderbook_deltas")
-        .groupBy(col("ticker"), col("side"))
-        .agg(count(lit(1)).as("n_msgs"),
-          sum(col("delta").cast("long")).as("sum_delta"),
-          sum(col("price_dollars")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-            .cast("double").as("sum_price"))
-        .orderBy(col("ticker"), col("side"))
-        .collect().toSeq
-      s.createDataFrame(agg.asJava, outSchema)
-        .orderBy(col("ticker"), col("side"))
+      drainWire(s, q, out, feed.length.toLong, "st13")
+      wireAgg(s, out)
     } finally {
       servers.foreach(_.close())
       rmTree(out)
@@ -958,38 +991,13 @@ object StreamedQueries {
     * across epochs, so the replay-dedup would silently drop half of
     * epoch 2 (the exact bug class st11 guards in the buffer). */
   def streamReconnect(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ticker",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("side",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_msgs",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_delta",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_price",
-        org.apache.spark.sql.types.DoubleType)))
-    val feed = Derive.deltas(s, d)
-      .select(col("ticker"), col("side"), col("price"), col("delta"),
-        col("ts_ms"), col("seq"))
-      .orderBy(col("ticker"), col("seq"))
-      .collect()
-    if (feed.isEmpty)
-      return s.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
-        outSchema)
+    val feed = wireFeed(s, d)
+    if (feed.isEmpty) return emptyWireResult(s)
     val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
     val epochs = Seq(feed.take(feed.length / 2), feed.drop(feed.length / 2))
       .zipWithIndex.map { case (rows, ep) =>
-        rows.zipWithIndex.map { case (r, i) =>
-          val pd = java.math.BigDecimal.valueOf(r.getInt(2).toLong, 2)
-            .toPlainString
-          s"""{"type":"orderbook_delta","sid":${9100 + ep},""" +
-            s""""seq":${i + 1},"msg":{""" +
-            s""""market_ticker":${WireSocket.jsonString(r.getString(0))},""" +
-            s""""side":"${r.getString(1)}","price_dollars":$pd,""" +
-            s""""delta":${r.getInt(3)},"ts":${r.getLong(4)}}}"""
-        }.toSeq
+        rows.zipWithIndex
+          .map { case (r, i) => wireLine(r, 9100 + ep, i + 1L) }.toSeq
       }
     val server = WsReplay.epochServer(epochs)
     val out = Files.createTempDirectory("graft-st14-out")
@@ -1005,30 +1013,46 @@ object StreamedQueries {
         .load()
       val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
         out.toString, Trigger.ProcessingTime(0L))
-      val want = feed.length.toLong
-      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      var n = 0L
-      while (n < want && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        n = try s.read.parquet(s"$out/orderbook_deltas").count()
-          catch { case _: Throwable => 0L }
-        if (n < want) Thread.sleep(50)
-      }
-      q.stop()
-      require(n >= want, s"st14 reconnect replay timed out: $n/$want rows")
-      val agg = s.read.parquet(s"$out/orderbook_deltas")
-        .groupBy(col("ticker"), col("side"))
-        .agg(count(lit(1)).as("n_msgs"),
-          sum(col("delta").cast("long")).as("sum_delta"),
-          sum(col("price_dollars")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-            .cast("double").as("sum_price"))
-        .orderBy(col("ticker"), col("side"))
-        .collect().toSeq
-      s.createDataFrame(agg.asJava, outSchema)
-        .orderBy(col("ticker"), col("side"))
+      drainWire(s, q, out, feed.length.toLong, "st14")
+      wireAgg(s, out)
     } finally {
       server.close()
+      rmTree(out)
+    }
+  }
+
+  // ----------------------------------------------------------------- st15
+  /** st15 — the DURABLE-LOG source end-to-end under the driver's
+    * oracle: the same wire envelopes appended to a graft-queue segment
+    * log ([[QueueLog]] — the reference's Redis buffer role: A7 append /
+    * A8 batched offset scan), consumed by the `graft-queue` DataSource
+    * V2 micro-batch source (`maxSegmentsPerTrigger=1`, so the replay
+    * crosses real micro-batch boundaries segment by segment) through
+    * the SAME production pipeline and aggregate as st13. Unlike the
+    * socket gates, a durable log has a provable end-of-feed, so this
+    * runs under `Trigger.AvailableNow` with no polling. With
+    * st13/st14/st15 every production INGRESS (live socket, reconnect
+    * fold, buffered log) is oracle-gated end-to-end, not just
+    * suite-pinned. */
+  def streamQueue(s: SparkSession, d: String): DataFrame = {
+    val feed = wireFeed(s, d)
+    if (feed.isEmpty) return emptyWireResult(s)
+    val lines = feed.zipWithIndex
+      .map { case (r, i) => wireLine(r, 9200, i + 1L) }.toSeq
+    val qdir = Files.createTempDirectory("graft-st15-queue")
+    val out = Files.createTempDirectory("graft-st15-out")
+    try {
+      // ≥3 segments → ≥3 micro-batches at maxSegmentsPerTrigger=1
+      val per = math.max(1, lines.size / 3)
+      lines.grouped(per).foreach(g => QueueLog.append(qdir.toString, g))
+      StreamPipeline.runUnifiedFrom(
+          new Connectors.QueueMessageSource(qdir.toString,
+            maxSegmentsPerTrigger = 1L).messages(s),
+          out.toString)
+        .awaitTermination()
+      wireAgg(s, out)
+    } finally {
+      rmTree(qdir)
       rmTree(out)
     }
   }
@@ -1047,7 +1071,8 @@ object StreamedQueries {
     "st11_stream_dedup" -> (streamDedup _),
     "st12_stream_tickerstats" -> (streamTickerStats _),
     "st13_stream_wire" -> (streamWire _),
-    "st14_stream_reconnect" -> (streamReconnect _))
+    "st14_stream_reconnect" -> (streamReconnect _),
+    "st15_stream_queue" -> (streamQueue _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1063,5 +1088,6 @@ object StreamedQueries {
     "st11_stream_dedup" -> streamDedupSql,
     "st12_stream_tickerstats" -> streamTickerStatsSql,
     "st13_stream_wire" -> streamWireSql,
-    "st14_stream_reconnect" -> streamWireSql)
+    "st14_stream_reconnect" -> streamWireSql,
+    "st15_stream_queue" -> streamWireSql)
 }

@@ -117,7 +117,8 @@ class EdgeDocsSpec extends AnyFunSuite {
         n.startsWith("st11") ||
         n.startsWith("st12") ||
         n.startsWith("st13") ||
-        n.startsWith("st14")) // the deltas-backed streaming replays
+        n.startsWith("st14") ||
+        n.startsWith("st15")) // the deltas-backed streaming replays
     assert(names.nonEmpty)
     names.foreach { n =>
       val rows =

@@ -124,6 +124,29 @@ class QueueLogSpec extends AnyFunSuite {
     assert(rows === 5)
   }
 
+  test("Trigger.AvailableNow + maxSegmentsPerTrigger drains the WHOLE " +
+    "log in capped batches, then terminates (round-12 st15 regression)") {
+    val dir = tmp("qlog-avnow")
+    val lines = (0 until 9).map(i =>
+      s"""{"type":"t","sid":1,"seq":${i + 1},"msg":{"n":$i}}""")
+    lines.grouped(3).foreach(g => QueueLog.append(dir, g.toSeq))
+    val q = spark.readStream.format("graft-queue")
+      .option("path", dir).option("maxSegmentsPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("qlog_avnow")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("qlog-avnow-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // without SupportsTriggerAvailableNow, the run's end froze at the
+    // FIRST latestOffset answer — one capped batch, 3 of 9 rows
+    assert(spark.table("qlog_avnow").count() === 9L)
+    // and the cap really bounded each batch: 3 segments → 3 batches
+    val committed = q.recentProgress.count(_.numInputRows > 0)
+    assert(committed === 3, s"expected 3 capped batches, saw $committed")
+  }
+
   /** Drain one planned partition through the real executor-side reader. */
   private def readPartition(p: QueueSegmentPartition): Seq[String] = {
     val r = QueueSegmentReaderFactory.createReader(p)
