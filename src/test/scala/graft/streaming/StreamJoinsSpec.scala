@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +99,54 @@ class StreamJoinsSpec extends AnyFunSuite {
     assert(streamed.contains(("KXTEST-A", 100L, -1L)))
     // and matched pairs still emitted with inner semantics
     assert(streamed.exists(_._3 >= 0L))
+  }
+
+  test("bucketed interval-join boundary semantics: exact ±band matches, " +
+    "band+1ms does not, pre-1970 floor buckets link across negatives") {
+    import spark.implicits._
+    // rows chosen to sit EXACTLY on the edges the time-bucketed
+    // equi-key could get wrong: the ±band boundary itself (inclusive),
+    // 1 ms past it (exclusive), bucket-aligned timestamps, and
+    // pre-1970 epochs where a truncating (non-floor) bucket division
+    // would shift the no-side copies one bucket over and silently
+    // drop boundary pairs
+    val rows = Seq(
+      ("yes", 1L, 0L), // on a bucket boundary
+      ("no", 101L, 5000L), // +band edge -> match
+      ("no", 102L, -5000L), // -band edge -> match (crosses epoch 0)
+      ("no", 103L, 5001L), // +band+1ms -> no match
+      ("no", 104L, -5001L), // no match
+      ("yes", 2L, -7500L), // pre-1970, mid-bucket
+      ("no", 105L, -2500L), // diff +5000 -> match
+      ("no", 106L, -12500L), // diff -5000 -> match
+      ("no", 107L, -12501L), // no match
+      ("yes", 3L, 100000L)) // no no-side row in band: outer-only probe
+    val msgs = rows.toDF("side", "seq", "ts")
+      .select(lit("orderbook_delta").as("type"), col("seq"),
+        struct(lit("KXB").as("market_ticker"), col("side"),
+          col("ts"), lit(1).as("price"), lit(1).as("delta")).as("msg"))
+    val got = StreamJoins.yesNoPairs(msgs) // default ±5 s band
+      .select(col("yes_seq"), col("no_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over the same rows
+    val want = (for {
+      (ys, yseq, yts) <- rows if ys == "yes"
+      (ns, nseq, nts) <- rows if ns == "no"
+      if math.abs(nts - yts) <= 5000L
+    } yield (yseq, nseq)).toSet
+    assert(got === want)
+    // the two yes probes sit 7.5 s apart, so their bands overlap and
+    // several no rows match BOTH — the cross-matches are the point
+    // (a bucket-key bug that only preserved each row's own-bucket
+    // neighbors would drop them)
+    assert(want === Set((1L, 101L), (1L, 102L), (1L, 105L),
+      (2L, 102L), (2L, 104L), (2L, 105L), (2L, 106L)))
+    // and the left-outer twin keeps matched pairs AND emits the
+    // band-isolated yes probe exactly once with a null no side
+    val outer = StreamJoins.yesNoPairsOuter(msgs)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(outer === want + ((3L, -1L)))
   }
 
   test("interval-join state is watermark-bounded: batches 10 min apart " +
