@@ -1662,7 +1662,125 @@ object Dedup {
        |FROM bsz GROUP BY band
        |ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- dd21
+  /** dd21 — CROSS-DOCUMENT repeated-substring detection by WINNOWED
+    * fingerprints: the span-level dedup signal of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (ExactSubstr), re-expressed Spark-first. Doc-level Jaccard
+    * (dd03/dd05) misses a paragraph copied into an otherwise-unique
+    * page, and txt11's repetition ratio is WITHIN-doc only — this is
+    * the operator that finds the copied paragraph ACROSS docs.
+    *
+    * Method (Schleimer et al. winnowing, word granularity): hash each
+    * word (31-polyhash mod 1000003 — engine-identical explicit
+    * arithmetic, never Spark `hash()`); slide a K=5-word gram hash;
+    * take the min gram hash over every W=4 consecutive grams. The
+    * winnowing guarantee: any shared word run of ≥ K+W−1 = 8 words
+    * yields a shared fingerprint REGARDLESS of its offset in either
+    * doc (a strided sampler has no such guarantee), at ~2/(W+1)
+    * selection density. Docs shorter than 8 words contribute no
+    * fingerprints, by convention. Output per doc: fingerprint count
+    * and how many of them appear in ≥2 distinct docs.
+    *
+    * Scale shape: ROWS + window functions, not per-doc arrays — words
+    * posexplode to (doc_id, pos, word_hash) rows, the gram hash is
+    * `lead(wh, 1..4)` arithmetic and the fingerprint a 4-row frame
+    * minimum over one doc-keyed sort (both windows share the
+    * partitioning, so it is ONE shuffle); then one fp-keyed count,
+    * one fp-keyed join back, one doc-keyed aggregate — all uniform
+    * hash keys, nothing quadratic, fingerprint volume a fixed
+    * ~2/(W+1) fraction of word count. The row form matters twice at
+    * scale: a multi-MB doc streams through window execs instead of
+    * materializing per-doc arrays, and chained array HOFs would
+    * collapse into one Project whose later stages re-inline the
+    * earlier lambdas multiplicatively (the first draft of this
+    * operator did exactly that — ~25-125 re-evaluations of the
+    * word-hash pass per row, measured minutes-not-seconds at
+    * sf0.01). Hash collisions can only MERGE fingerprints the same
+    * way in both engines, so the gate is collision-robust. */
+  def winnowSubstrings(s: SparkSession, d: String): DataFrame = {
+    val P = 1000003L
+    val base = docsAug(s, d)
+    val words = base
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
+      .withColumn("wh", expr(
+        s"""aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+           |  (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % $P)"""
+          .stripMargin))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gram hash over (wh_i .. wh_{i+4}): null past the end via lead's
+    // default (null poisons the sum), which drops the <5-word tail
+    val g = words
+      .withColumn("g",
+        (col("wh") * 923521L + lag(col("wh"), -1).over(byPos) * 29791L +
+          lag(col("wh"), -2).over(byPos) * 961L +
+          lag(col("wh"), -3).over(byPos) * 31L +
+          lag(col("wh"), -4).over(byPos)) % P)
+      .where(col("g").isNotNull)
+    // winnow: min gram hash over each 4-gram window; Spark's least()
+    // SKIPS nulls, so the 4th-gram existence is checked explicitly
+    val f = g
+      .withColumn("g1", lag(col("g"), -1).over(byPos))
+      .withColumn("g2", lag(col("g"), -2).over(byPos))
+      .withColumn("g3", lag(col("g"), -3).over(byPos))
+      .where(col("g3").isNotNull)
+      .select(col("doc_id"),
+        least(col("g"), col("g1"), col("g2"), col("g3")).as("fp"))
+      .distinct()
+    val shared = f.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs")) // fps are per-doc distinct
+    val perDoc = f.join(shared, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowSubstringsSql: String = docsAugCte + s""",
+    |ww1 AS (
+    |  SELECT doc_id,
+    |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+    |  FROM docs_aug),
+    |ww2 AS (
+    |  SELECT doc_id, list_transform(ws, w ->
+    |    list_reduce(
+    |      list_prepend(CAST(0 AS BIGINT),
+    |        list_transform(range(1, length(w) + 1), i ->
+    |          CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+    |      (acc, c) -> (acc * 31 + c) % 1000003)) AS whs
+    |  FROM ww1),
+    |wg AS (
+    |  SELECT doc_id,
+    |    CASE WHEN len(whs) < 5 THEN list_slice(whs, 1, 0)
+    |    ELSE list_transform(range(1, len(whs) - 3), i ->
+    |      (whs[i] * 923521 + whs[i + 1] * 29791 + whs[i + 2] * 961 +
+    |       whs[i + 3] * 31 + whs[i + 4]) % 1000003) END AS gs
+    |  FROM ww2),
+    |wf AS (
+    |  SELECT doc_id,
+    |    CASE WHEN len(gs) < 4 THEN list_slice(gs, 1, 0)
+    |    ELSE list_distinct(list_transform(range(1, len(gs) - 2), i ->
+    |      least(gs[i], gs[i + 1], gs[i + 2], gs[i + 3]))) END AS fps
+    |  FROM wg),
+    |we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+    |wsh AS (SELECT fp, COUNT(*) AS n_docs FROM we GROUP BY fp),
+    |wpd AS (
+    |  SELECT we.doc_id, COUNT(*) AS n_fp,
+    |    SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+    |  FROM we JOIN wsh s USING (fp) GROUP BY we.doc_id)
+    |SELECT d.doc_id,
+    |  CAST(COALESCE(p.n_fp, 0) AS BIGINT) AS n_fp,
+    |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared
+    |FROM docs_aug d LEFT JOIN wpd p USING (doc_id)
+    |ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd21_winnow_substrings" -> (winnowSubstrings _),
     "dd01_exact_groups" -> (exactGroups _),
     "dd02_exact_dedup" -> (exactDedup _),
     "dd19_capped_clusters" -> (cappedClusters _),
@@ -1685,6 +1803,7 @@ object Dedup {
     "dd18_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "dd21_winnow_substrings" -> winnowSubstringsSql,
     "dd01_exact_groups" -> exactGroupsSql,
     "dd02_exact_dedup" -> exactDedupSql,
     "dd19_capped_clusters" -> cappedClustersSql,
