@@ -117,6 +117,7 @@ object SkewBench {
       f"(${hot * 100.0 / total}%.1f%%)")
 
     // --- CONTROL: algebraic aggs are skew-immune via map-side partials
+    if (want("agg")) {
     val tokens = docs.select(col("lang"), col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
     val (saltedRows, saltedSec) = run(
@@ -131,9 +132,11 @@ object SkewBench {
     require(saltedRows == plainRows,
       "salted aggregation diverged from the plain GROUP BY")
     println(f"""{"metric":"skew_agg_algebraic","rows":$total,"hot_frac":${hot.toDouble / total}%.2f,"salted_sec":$saltedSec%.2f,"plain_sec":$plainSec%.2f,"note":"control: partials make algebraic aggs skew-immune"}""")
+    }
 
     // --- op02 mechanism: salted fact⋈dim join, PAYLOAD-BEARING fact
     // side (the hot reducer must sort+stream ~60% of corpus bytes) ---
+    if (want("join")) {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val fact = s2.read.parquet(dir)
@@ -149,10 +152,12 @@ object SkewBench {
     val (pjRows, pjSec) = run(post(fact.join(dim2, Seq("lang"))))
     require(sjRows == pjRows, "salted join diverged from the plain join")
     println(f"""{"metric":"skew_join","rows":$total,"salted_sec":$sjSec%.2f,"plain_sec":$pjSec%.2f,"speedup":${pjSec / sjSec}%.2f}""")
+    }
 
     // --- op05 mechanism: AQE OptimizeSkewedJoin ON vs OFF on a
     // lang-keyed fact⋈fact pair aggregate (both sides raw scans, x8
     // fan-out; hot partition >> advisory, so the rule must split) ---
+    if (want("aqe")) {
     def pairWork(sess: SparkSession): DataFrame = {
       val a = sess.read.parquet(dir)
         .select(col("lang"), col("source"), col("n_chars"))
@@ -190,6 +195,7 @@ object SkewBench {
     require(onRows == offRows, "AQE skew split changed the result")
     println(f"""{"metric":"skew_aqe","rows":$total,"skew_on_sec":$onSec%.2f,"skew_off_sec":$offSec%.2f,"speedup":${offSec / onSec}%.2f}""")
     }
+    }
 
     // --- banded-LSH mega-bucket (the one skew family the other three
     // mechanisms can't touch): a replicated-content cluster of m docs
@@ -225,9 +231,11 @@ object SkewBench {
           .toMap
       // single timed pass each (the naive route's mega-bucket grind is
       // the measurement; min-of-2 would double a multi-minute run).
-      // The chain-window sweep measures dd19's recall knob: w=1 is the
-      // round-11 design (14 docs lost at 493k), w=2 is the production
-      // default, w=3 the headroom point — cost must stay O(w·c).
+      // The chain-window sweep measures dd19's recall knob (two sort
+      // passes since round 12): w=1 is the round-11 single-pass
+      // design's window, w=3 is the production default (0 docs lost
+      // at both scales), w=8 the headroom point — cost must stay
+      // O(w·c) across the sweep.
       val (naive, naiveSec) = timed(
         clustersOf(dedup.Dedup.bandedCandidatesOn(sig)))
       val naiveDocs = naive.values.map(_._1).sum

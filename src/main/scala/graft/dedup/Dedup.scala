@@ -1475,11 +1475,12 @@ object Dedup {
     * only collision bucket is over-cap and which interleave with
     * foreign members in sort order); the `skew_lsh` family measures
     * the loss-vs-cost curve per w and BASELINE.md records it. Default
-    * [[LshChainWindow]] = 2, overridable per session via
-    * `spark.graft.lshChainWindow` (SkewBench's sweep); the dd19
-    * oracle SQL stacks the same w lags, so the registry gate pins the
-    * default's exact edge set. All lags share one window spec → one
-    * per-bucket sort regardless of w. */
+    * [[LshChainWindow]] = 3 (zero docs lost at both SkewBench
+    * scales), overridable per session via `spark.graft.lshChainWindow`
+    * — a SWEEP knob: the dd19 oracle SQL stacks the DEFAULT's w lags,
+    * so an overridden session diverges from the registry gate by
+    * construction. All lags share one window spec → one per-bucket
+    * sort regardless of w. */
   private[graft] def cappedCandidatesOn(sig: DataFrame, cap: Int,
       window: Int = -1): DataFrame = {
     val win =
@@ -1626,6 +1627,12 @@ object Dedup {
     * dd20 watches what capping might MISS and what it saved. */
   def lshBucketAudit(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSigCached(s, d)
+    // the audit's edge arithmetic must describe what cappedCandidatesOn
+    // would actually emit in THIS session, so it resolves the same
+    // conf override (the registry oracle bakes the default in, like
+    // dd19's — an overridden session is a sweep, not a gate)
+    val w = s.conf
+      .get("spark.graft.lshChainWindow", LshChainWindow.toString).toInt
     val counts = withBandKeys(sig).groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsize"))
     val big = col("bsize") > LshBucketCap
@@ -1636,8 +1643,7 @@ object Dedup {
         sum(when(big, col("bsize")).otherwise(0L)).as("docs_quarantined"),
         sum(when(big, expr("bsize * (bsize - 1) div 2"))
           .otherwise(0L)).as("pairs_avoided"),
-        sum(when(big, (col("bsize") * LshChainWindow -
-            LshChainWindow * (LshChainWindow + 1) / 2) * 2)
+        sum(when(big, (col("bsize") * w - w * (w + 1) / 2) * 2)
           .otherwise(0L)).as("chain_edges"))
       .orderBy(col("band"))
   }

@@ -223,12 +223,13 @@ object StreamedQueries {
     * diff ≥ gap (window ends are exclusive), so the oracle spells
     * `>=` — q16's batch convention is strictly-greater, which would
     * diverge on an exact-boundary event. */
-  /** Shared APPEND-mode replay for the watermarked window topologies
-    * (st03/st04): replay `msgs` in ≥4 micro-batches with `flushMsg`
-    * scheduled LAST (newest mtime — the file source orders by it), so
-    * the final batch's watermark closes every real window exactly
-    * once. The corpus-spanning watermark the callers pass makes the
-    * arbitrary chunk order a non-event. */
+  /** Shared APPEND-mode replay for the watermarked window topologies:
+    * replay `msgs` in `chunks`+1 micro-batches (chunks data files +
+    * the flush, default 4 total; st08/st09 pass chunks=2 → 3) with
+    * `flushMsg` scheduled LAST (newest mtime — the file source orders
+    * by it), so the final batch's watermark closes every real window
+    * exactly once. The corpus-spanning watermark the callers pass
+    * makes the arbitrary chunk order a non-event. */
   private def replayClosed(s: SparkSession, msgs: DataFrame,
       flushMsg: DataFrame, chunks: Int = 3, storeParts: Int = 8)(
       topology: DataFrame => DataFrame): DataFrame = {

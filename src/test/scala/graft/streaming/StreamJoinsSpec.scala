@@ -191,8 +191,6 @@ class StreamJoinsSpec extends AnyFunSuite {
     val perBatchState = 2L * perBatch
     assert(stateRows.max <= 2L * perBatchState,
       s"join state grew past two batches' worth: $stateRows")
-    assert(stateRows.max < 3L * perBatchState,
-      s"join state held the whole corpus: $stateRows")
   }
 
   test("stream-static enrichment broadcasts the dim, keeps unknown " +
