@@ -1513,6 +1513,63 @@ object Advanced {
       |GROUP BY o.o_orderpriority
       |ORDER BY o.o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** q67 — K-ANONYMITY / L-DIVERSITY privacy audit over a 3-level
+    * generalization ladder, the release gate a training-data pipeline
+    * runs before shipping user-adjacent records: treating
+    * (nation, account-balance band) as the quasi-identifier and market
+    * segment as the sensitive attribute, report — per generalization
+    * level (band=100 → band=1000 → balance suppressed) — how many
+    * equivalence classes exist, how many violate k<4, how many records
+    * sit in violating classes, and the worst-case k and l. The operator
+    * answers "how much must we coarsen before re-identification risk
+    * clears the bar".
+    *
+    * Scale: each level is ONE hash aggregate on the quasi-id key
+    * followed by a cells-count rollup — map-side partials bound the
+    * shuffle by distinct QI tuples, and only class COUNTS travel, never
+    * records. The band arithmetic (floor(bal/width)) is IEEE-identical
+    * across engines; all outputs are integers. */
+  def q67KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    def level(lv: Int, qiBand: Option[Int]): DataFrame = {
+      val qi: Seq[Column] = col("c_nationkey") +: qiBand.toSeq.map(w =>
+        floor(col("c_acctbal") / w).cast("long").as("band"))
+      cust.groupBy(qi: _*)
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .agg(lit(lv).as("level"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("k") < 4, 1L).otherwise(0L)).as("violating"),
+          sum(when(col("k") < 4, col("k")).otherwise(0L))
+            .as("records_at_risk"),
+          min(col("k")).as("min_k"),
+          min(col("l")).as("min_l"))
+    }
+    level(1, Some(100)).union(level(2, Some(1000))).union(level(3, None))
+      .orderBy(col("level"))
+  }
+
+  private def kAnonLevelSql(lv: Int, qi: String): String =
+    s"""SELECT $lv AS level, COUNT(*) AS n_classes,
+       |  CAST(SUM(CASE WHEN k < 4 THEN 1 ELSE 0 END) AS BIGINT) AS violating,
+       |  CAST(SUM(CASE WHEN k < 4 THEN k ELSE 0 END) AS BIGINT)
+       |    AS records_at_risk,
+       |  MIN(k) AS min_k, MIN(l) AS min_l
+       |FROM (
+       |  SELECT COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+       |  FROM customer GROUP BY $qi) t""".stripMargin
+
+  val q67Sql: String =
+    kAnonLevelSql(1,
+      "c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT)") +
+      "\nUNION ALL\n" +
+    kAnonLevelSql(2,
+      "c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)") +
+      "\nUNION ALL\n" +
+    kAnonLevelSql(3, "c_nationkey") +
+    "\nORDER BY level"
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1549,7 +1606,8 @@ object Advanced {
     "q63_bitmap_distinct" -> (q63BitmapDistinct _),
     "q64_listagg" -> (q64Listagg _),
     "q65_percentile_disc" -> (q65PercentileDisc _),
-    "q66_hint_join" -> (q66HintJoin _))
+    "q66_hint_join" -> (q66HintJoin _),
+    "q67_k_anonymity" -> (q67KAnonymity _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1586,5 +1644,6 @@ object Advanced {
     "q63_bitmap_distinct" -> q63Sql,
     "q64_listagg" -> q64Sql,
     "q65_percentile_disc" -> q65Sql,
-    "q66_hint_join" -> q66Sql)
+    "q66_hint_join" -> q66Sql,
+    "q67_k_anonymity" -> q67Sql)
 }

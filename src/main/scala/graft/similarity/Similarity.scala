@@ -1663,6 +1663,293 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim23
+  /** Binary (sign-bit) quantization ANN — 1 bit per dimension, 32×
+    * smaller than fp32: each vector packs into ONE 64-bit word
+    * (sig = Σ 2^i over dims with e[i] > 0), the candidate scan ranks by
+    * Hamming distance `bit_count(sig_q ^ sig_c)` — a two-instruction
+    * integer kernel (XOR + POPCNT, both inside whole-stage codegen) —
+    * and only the ≤ m shortlist re-ranks in exact fp64 cosine.
+    *
+    * Scale story: at 10^10 64-dim vectors the sign bitmap is 80 GB
+    * where fp32 is 2.5 TB — the first-stage scan is memory-resident on
+    * a modest cluster and bandwidth-bound, not compute-bound. Both
+    * ranking stages are bounded-heap aggregates ([[topKPerQuery]] —
+    * map-side partial top-m, no window sort of the scored set), the
+    * full-precision arrays are joined back ONLY onto the 5×m surviving
+    * shortlist rows, and every score is integer (stage 1) or a
+    * deterministic sequential fold (stage 2), so cross-engine
+    * determinism is total. */
+  def binaryHamming(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    // sign-bit packing: row-wise integer fold, engine-exact. Bit 63 via
+    // shiftleft's Java wrap (1L<<63 = Long.MinValue) — the oracle spells
+    // the same two's-complement value with an explicit literal.
+    val packed = n.withColumn("sig", expr(
+      """aggregate(sequence(0, cast(size(e) as int) - 1),
+        |  cast(0 as bigint),
+        |  (acc, i) -> acc + (CASE WHEN element_at(e, i + 1) > 0D
+        |    THEN shiftleft(cast(1 as bigint), i)
+        |    ELSE cast(0 as bigint) END))""".stripMargin))
+    val c = packed.select(col("vec_id").as("neighbor_id"),
+      col("sig").as("sig_c"))
+    val scanned = broadcast(packed.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sig").as("sig_q")))
+      .join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(sig_q ^ sig_c) as int)"))
+    val shortlist = topKPerQuery(scanned, 12, -col("hamming"),
+        col("neighbor_id"), Seq("neighbor_id", "hamming"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val qv = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val rescored = broadcast(shortlist)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(rescored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "hamming", "cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val binaryHammingSql: String = normedCte + "," +
+    """packed AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN e[CAST(i AS INT) + 1] > 0 THEN
+      |      CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |           ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+      |    ELSE 0 END) AS BIGINT) AS sig
+      |  FROM n, UNNEST(range(len(e))) AS t(i)
+      |  GROUP BY vec_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id, hamming FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      CAST(bit_count(xor(q.sig, c.sig)) AS INT) AS hamming,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY bit_count(xor(q.sig, c.sig)) ASC, c.vec_id) AS rn
+      |    FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rn <= 12)
+      |SELECT query_id, neighbor_id, hamming, cosine, rnk FROM (
+      |  SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+      |    list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sh.query_id
+      |      ORDER BY list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) DESC,
+      |               sh.neighbor_id) AS INTEGER) AS rnk
+      |  FROM short sh
+      |  JOIN n qn ON qn.vec_id = sh.query_id
+      |  JOIN n cn ON cn.vec_id = sh.neighbor_id) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim24
+  /** Multi-iteration Lloyd k-means — the IVF codebook TRAINING loop
+    * (sim10 is a single step; this is the loop production actually
+    * runs, to a fixed 3 iterations). All arithmetic is integer-exact:
+    * vectors are int8-quantized with sim05's global scale, assignment
+    * is integer L2 ([[graft.functions.IntL2Sq]], codegen'd), and the
+    * centroid update is floor(sum/count) per dimension — so every
+    * iteration's state is bit-identical across engines and partial
+    * aggregation is lossless.
+    *
+    * Scale shape per iteration: ONE broadcast of the k×dim centroid
+    * table (bytes, not rows), one map-side argmin aggregate keyed
+    * vec_id (the assignment shuffle carries one slim row per vector),
+    * and one hash aggregate keyed (cell, dim) for the update — ≤ k·dim
+    * rows after map-side partials, independent of corpus size. The
+    * centroid frame is localCheckpoint'ed between iterations so the
+    * lineage does not compound (at cluster scale this seam would be a
+    * parquet/Delta write); vectors are never driver-collected. Output:
+    * per-iteration convergence telemetry (members + integer SSE per
+    * cell) — the numbers an operator watches to decide the codebook is
+    * trained. */
+  def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
+    val iters = 3
+    val n = normed(s, d).select(col("vec_id"), col("e"))
+    val mx = n.agg(max(expr(
+      "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val q = n.join(broadcast(mx))
+      .select(col("vec_id"),
+        expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    var cent = q.where(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("q").as("cq"))
+    val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to iters) {
+      val asg = q.crossJoin(broadcast(cent))
+        .withColumn("l2", call_function("graft_int_l2sq", col("q"), col("cq")))
+        .groupBy(col("vec_id"), col("q"))
+        .agg(min(struct(col("l2").as("l2"), col("pid").as("pid"))).as("w"))
+        .select(col("vec_id"), col("q"),
+          col("w").getField("l2").as("l2"), col("w").getField("pid").as("cell"))
+      stats += asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), sum(col("l2")).as("sse"))
+        .select(lit(it).as("iter"), col("cell"), col("n_members"), col("sse"))
+      if (it < iters)
+        // floor(sum/count) per dim: sums are ≤ |corpus|·127 ≪ 2^53, so
+        // the double division is exact and floor matches the oracle on
+        // negative components (no truncation-vs-floor skew).
+        cent = asg.select(col("cell"), posexplode(col("q")))
+          .select(col("cell"), (col("pos") + 1).as("dim"), col("col").as("v"))
+          .groupBy(col("cell"), col("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+            .cast(IntegerType).as("nv"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, nv))), p -> p.nv)")
+            .as("cq"))
+          .select(col("cell").as("pid"), col("cq"))
+          .localCheckpoint()
+    }
+    stats.reduce(_ union _).orderBy(col("iter"), col("cell"))
+  }
+
+  /** Oracle mirror of one Lloyd round: assignment (window-ranked argmin
+    * over integer L2), per-cell stats, floor-mean centroid update. */
+  private def lloydRoundCte(i: Int): String = {
+    val (prev, a, st, up, next) =
+      (s"cent${i - 1}", s"asg$i", s"stat$i", s"upd$i", s"cent$i")
+    s"""$a AS (
+       |  SELECT vec_id, q, l2, pid AS cell FROM (
+       |    SELECT v.vec_id, v.q, c.pid,
+       |      CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+       |        i -> CAST(v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)] AS BIGINT)
+       |             * (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS BIGINT) AS l2,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(v.q) + 1),
+       |          i -> CAST(v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)] AS BIGINT)
+       |               * (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) ASC,
+       |        c.pid) AS rn
+       |    FROM q v CROSS JOIN $prev c) t
+       |  WHERE rn = 1),
+       |$st AS (
+       |  SELECT $i AS iter, cell, COUNT(*) AS n_members,
+       |    CAST(SUM(l2) AS BIGINT) AS sse
+       |  FROM $a GROUP BY cell),
+       |$up AS (
+       |  SELECT cell, CAST(t.i AS INT) AS dim,
+       |    CAST(floor(CAST(SUM(q[CAST(t.i AS INT)]) AS DOUBLE) / COUNT(*)) AS INT) AS nv
+       |  FROM $a, UNNEST(range(1, len(q) + 1)) AS t(i)
+       |  GROUP BY cell, CAST(t.i AS INT)),
+       |$next AS (
+       |  SELECT cell AS pid, list(nv ORDER BY dim) AS cq
+       |  FROM $up GROUP BY cell)""".stripMargin
+  }
+
+  val kmeansLloydSql: String = normedCte + "," +
+    """mx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM n),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
+      |  FROM n, mx),
+      |cent0 AS (SELECT vec_id AS pid, q AS cq FROM q WHERE vec_id < 8),
+      |""".stripMargin +
+    (1 to 3).map(lloydRoundCte).mkString(",\n") + "\n" +
+    """SELECT iter, cell, n_members, sse FROM (
+      |  SELECT * FROM stat1 UNION ALL
+      |  SELECT * FROM stat2 UNION ALL
+      |  SELECT * FROM stat3) u
+      |ORDER BY iter, cell""".stripMargin
+
+  // --------------------------------------------------------------- sim25
+  /** PageRank over the sim08 kNN graph — graph-centrality curation:
+    * rank each corpus vector by how often the similarity graph's random
+    * surfer visits it, i.e. "how prototypical is this document of its
+    * neighborhood" (the selection signal for coreset/representative
+    * sampling, the inverse of sim09's redundancy signal). 3 power
+    * iterations, damping 0.85, dangling mass dropped (documented — a
+    * ranking, not a probability).
+    *
+    * Scale shape per iteration: contributions are one equi-join of the
+    * rank table against the bounded-degree edge list (fan-out ≤ k=2)
+    * and one hash aggregate keyed dst — map-side partials bound the
+    * shuffle by nodes, never by edges² — then a left join back to the
+    * vertex set. The rank table is localCheckpoint'ed per iteration
+    * (at cluster scale this seam is a table write, exactly like
+    * production PageRank); the edge build itself is sim08's
+    * cell-blocked O(n^1.5) construction, checkpointed ONCE. Final
+    * top-20 is TakeOrderedAndProject (orderBy+limit), not a global
+    * window sort.
+    *
+    * Determinism: pure integer fixed-point (rank scale 10^12, damping
+    * as ×85 div 100) — every quantity nonnegative, so truncating `div`
+    * (Spark) and flooring `//` (DuckDB) agree exactly. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val edges = knnGraph(s, d)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val nodes = n.select(col("vec_id"))
+    val ncnt = nodes.agg(count(lit(1)).as("nn"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes.crossJoin(broadcast(ncnt))
+      .selectExpr("vec_id", "cast(1000000000000 as bigint) div nn as r")
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = r.join(outdeg, r("vec_id") === outdeg("src"))
+        .selectExpr("src", "r div deg as c")
+      val sumIn = contrib.join(edges, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      r = nodes.crossJoin(broadcast(ncnt))
+        .join(sumIn, nodes("vec_id") === sumIn("dst"), "left")
+        .selectExpr("vec_id",
+          """cast(15000000000000 as bigint) div (100 * nn)
+            |  + (85 * coalesce(m, cast(0 as bigint))) div 100 as r"""
+            .stripMargin)
+        .localCheckpoint()
+    }
+    val top = r.orderBy(col("r").desc, col("vec_id")).limit(20)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("vec_id")))
+          .cast(IntegerType))
+      .select(col("vec_id"), col("r").as("rank_s"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle mirror of one power iteration (pr$i from pr${i-1}). */
+  private def prRoundCte(i: Int): String =
+    s"""pr$i AS (
+       |  SELECT nd.vec_id,
+       |    CAST(15000000000000 // (100 * nc.nn)
+       |      + (85 * COALESCE(si.m, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes nd CROSS JOIN ncnt nc
+       |  LEFT JOIN (
+       |    SELECT e.dst, CAST(SUM(p.r // od.deg) AS BIGINT) AS m
+       |    FROM pr${i - 1} p
+       |    JOIN outdeg od ON od.src = p.vec_id
+       |    JOIN edges e ON e.src = p.vec_id
+       |    GROUP BY e.dst) si ON si.dst = nd.vec_id)""".stripMargin
+
+  val pageRankSql: String = normedCte + "," + centCte + "," + assignedCte + ",\n" +
+    """edges AS (
+      |  SELECT query_id AS src, neighbor_id AS dst FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM assigned q JOIN assigned c
+      |      ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
+      |  WHERE rnk <= 2),
+      |nodes AS (SELECT vec_id FROM n),
+      |ncnt AS (SELECT COUNT(*) AS nn FROM nodes),
+      |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |pr0 AS (
+      |  SELECT vec_id, CAST(1000000000000 // nn AS BIGINT) AS r
+      |  FROM nodes CROSS JOIN ncnt),
+      |""".stripMargin +
+    (1 to 3).map(prRoundCte).mkString(",\n") + "\n" +
+    """SELECT vec_id, rank_s, rnk FROM (
+      |  SELECT vec_id, r AS rank_s,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, vec_id) AS INTEGER) AS rnk
+      |  FROM pr3) t
+      |WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1685,7 +1972,10 @@ object Similarity {
     "sim19_embed_decontaminate" -> (embedDecontaminate _),
     "sim20_cell_balance" -> (cellBalance _),
     "sim21_ivfpq" -> (ivfPq _),
-    "sim22_graph_ann" -> (graphAnn _))
+    "sim22_graph_ann" -> (graphAnn _),
+    "sim23_binary_hamming" -> (binaryHamming _),
+    "sim24_kmeans_lloyd" -> (kmeansLloyd _),
+    "sim25_pagerank" -> (pageRank _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -1709,5 +1999,8 @@ object Similarity {
     "sim19_embed_decontaminate" -> embedDecontaminateSql,
     "sim20_cell_balance" -> cellBalanceSql,
     "sim21_ivfpq" -> ivfPqSql,
-    "sim22_graph_ann" -> graphAnnSql)
+    "sim22_graph_ann" -> graphAnnSql,
+    "sim23_binary_hamming" -> binaryHammingSql,
+    "sim24_kmeans_lloyd" -> kmeansLloydSql,
+    "sim25_pagerank" -> pageRankSql)
 }

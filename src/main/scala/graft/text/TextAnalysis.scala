@@ -1920,6 +1920,89 @@ object TextAnalysis {
       |FROM by_lang CROSS JOIN tot
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Linear-probe TRAINING by batch gradient descent — the learning
+    * half of txt16 (which scores with FIXED weights): fit
+    * y ≈ a + b·x (x = n_chars/10, y = whitespace token count) for 3
+    * full-batch GD steps and report the weight/loss trajectory. This is
+    * the distributed-training shape of every quality-classifier probe
+    * fit over a corpus: per step, ONE scan computes the gradient as two
+    * algebraic SUMs (map-side partials compress each partition to one
+    * row — the shuffle is partitions×1 rows regardless of corpus size),
+    * the 1-row weight state broadcasts back, and nothing is ever
+    * driver-collected.
+    *
+    * Determinism: all fixed-point integer arithmetic — weights at scale
+    * 10^6, learning rate 1/1000 as a floor-division, and every floor
+    * division spelled `(v - pmod(v, m)) div m` (Spark) ≡
+    * `(v - ((v % m) + m) % m) // m` (DuckDB) so negative gradients
+    * floor identically in both engines (`div`/`//` alone disagree on
+    * negatives: truncate vs floor). Sums stay ≪ 2^63: |err_s| ≤ ~10^8,
+    * Σ err_s·x ≤ corpus·10^10. Loss is the pre-step mean squared error
+    * in milli-units (err floored to whole-y units first, so the square
+    * can't overflow). lr = 1/1000 < 2/λmax(X'X/n) (λmax ≈ E[x²] ≈ 950
+    * on this corpus), so the quadratic loss is non-increasing — pinned
+    * in GdProbeSpec. */
+  def linearProbeGd(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000L // weight fixed-point scale
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
+    val feat = Tables.documents(s, d).selectExpr(
+      "cast(n_chars as bigint) div 10 as x", // nonneg: div == floor
+      "cast(size(split(text, ' ')) as bigint) as y")
+    var w = s.range(1).selectExpr(
+      "cast(0 as bigint) as a_s", "cast(0 as bigint) as b_s")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to 3) {
+      steps += feat.crossJoin(broadcast(w))
+        .withColumn("err_s",
+          col("a_s") + col("b_s") * col("x") - col("y") * lit(S))
+        .withColumn("ed", expr(fdiv("err_s", S.toString)))
+        .groupBy(col("a_s"), col("b_s"))
+        .agg(sum(col("err_s")).as("se"),
+          sum(col("err_s") * col("x")).as("sex"),
+          sum(col("ed") * col("ed")).as("see"),
+          count(lit(1)).as("n"))
+        .selectExpr(
+          s"cast($it as int) as iter",
+          s"a_s - (${fdiv(fdiv("se", "n"), "1000")}) as a_s",
+          s"b_s - (${fdiv(fdiv("sex", "n"), "1000")}) as b_s",
+          s"${fdiv("see * 1000", "n")} as loss_milli")
+      w = steps.last.select(col("a_s"), col("b_s"))
+    }
+    steps.reduce(_ union _).orderBy(col("iter"))
+  }
+
+  /** Oracle mirror of one GD step (CTE it$k reads weights from
+    * it${k-1}); fd() is the negative-safe floor division. */
+  private def gdStepCte(k: Int): String = {
+    def fd(a: String, b: String) = s"(($a) - ((($a) % $b) + $b) % $b) // $b"
+    s"""it$k AS (
+       |  SELECT $k AS iter,
+       |    CAST(a0 - (${fd(fd("SUM(err_s)", "COUNT(*)"), "1000")}) AS BIGINT) AS a_s,
+       |    CAST(b0 - (${fd(fd("SUM(err_s * x)", "COUNT(*)"), "1000")}) AS BIGINT) AS b_s,
+       |    CAST(${fd("SUM(ed * ed) * 1000", "COUNT(*)")} AS BIGINT) AS loss_milli
+       |  FROM (
+       |    SELECT w.a_s AS a0, w.b_s AS b0, f.x, f.y,
+       |      w.a_s + w.b_s * f.x - f.y * 1000000 AS err_s,
+       |      ${fd("w.a_s + w.b_s * f.x - f.y * 1000000", "1000000")} AS ed
+       |    FROM feat f CROSS JOIN it${k - 1} w) t
+       |  GROUP BY a0, b0)""".stripMargin
+  }
+
+  val linearProbeGdSql: String =
+    """WITH feat AS (
+      |  SELECT CAST(n_chars AS BIGINT) // 10 AS x,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |  FROM documents),
+      |it0 AS (SELECT CAST(0 AS BIGINT) AS a_s, CAST(0 AS BIGINT) AS b_s),
+      |""".stripMargin +
+    (1 to 3).map(gdStepCte).mkString(",\n") + "\n" +
+    """SELECT iter, a_s, b_s, loss_milli FROM (
+      |  SELECT * FROM it1 UNION ALL
+      |  SELECT * FROM it2 UNION ALL
+      |  SELECT * FROM it3) u
+      |ORDER BY iter""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -1953,7 +2036,8 @@ object TextAnalysis {
     "txt30_source_drift" -> (sourceDrift _),
     "txt31_heaps_fit" -> (heapsFit _),
     "txt32_kmv_overlap" -> (kmvOverlap _),
-    "txt33_temperature_mix" -> (temperatureMix _))
+    "txt33_temperature_mix" -> (temperatureMix _),
+    "txt34_linear_probe" -> (linearProbeGd _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -1988,5 +2072,6 @@ object TextAnalysis {
     "txt30_source_drift" -> sourceDriftSql,
     "txt31_heaps_fit" -> heapsFitSql,
     "txt32_kmv_overlap" -> kmvOverlapSql,
-    "txt33_temperature_mix" -> temperatureMixSql)
+    "txt33_temperature_mix" -> temperatureMixSql,
+    "txt34_linear_probe" -> linearProbeGdSql)
 }
