@@ -205,13 +205,112 @@ object Maintenance {
       |ORDER BY o_custkey""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ---------------------------------------------------------------- q68
+  /** q68 — DATA-QUALITY AUDIT scorecard (the expectations gate every
+    * pipeline runs before publishing a table): seven declared
+    * constraints over lineitem/orders — composite-key uniqueness,
+    * referential integrity, two range rules, a null rule, a value
+    * domain, a positivity rule — each reported as one row
+    * (check, n_checked, n_failed, status). Thresholds are set so the
+    * fixture exercises BOTH verdicts (qty ≤ 40 and discount ≤ 0.05
+    * genuinely fail on TPC-H-shaped data; the structural checks pass) —
+    * the gate pins real violation counts, not a vacuous all-zeros.
+    *
+    * Scale: all per-table rules fold into ONE aggregate scan per table
+    * (the failure counts are conditional sums sharing a single pass —
+    * materialized as an explode of the 1-row aggregate, so adding a
+    * rule never adds a scan); the FK rule is one LEFT ANTI join on the
+    * order key — broadcast- or shuffle-hash-joinable, the only
+    * non-map-side check. Scorecard rows are O(rules), so the audit's
+    * output is constant-size at any corpus scale. */
+  def q68DqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val liChecks = li.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("npk"),
+        sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("f_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("f_disc"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("f_null"))
+      .select(explode(array(
+        struct(lit("lineitem_pk_unique").as("check"),
+          col("n").as("n_checked"), (col("n") - col("npk")).as("n_failed")),
+        struct(lit("lineitem_qty_le_40").as("check"),
+          col("n").as("n_checked"), col("f_qty").as("n_failed")),
+        struct(lit("lineitem_disc_le_005").as("check"),
+          col("n").as("n_checked"), col("f_disc").as("n_failed")),
+        struct(lit("lineitem_shipdate_notnull").as("check"),
+          col("n").as("n_checked"), col("f_null").as("n_failed")))).as("c"))
+    val ordChecks = ord.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("f_dom"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("f_pos"))
+      .select(explode(array(
+        struct(lit("orders_status_in_O_F").as("check"),
+          col("n").as("n_checked"), col("f_dom").as("n_failed")),
+        struct(lit("orders_price_positive").as("check"),
+          col("n").as("n_checked"), col("f_pos").as("n_failed")))).as("c"))
+    val fk = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(li.agg(count(lit(1)).as("n")))
+      .select(struct(lit("lineitem_fk_orders").as("check"),
+        col("n").as("n_checked"), col("orphans").as("n_failed")).as("c"))
+    liChecks.union(ordChecks).union(fk)
+      .select(col("c.check").as("check"), col("c.n_checked"),
+        col("c.n_failed"),
+        when(col("c.n_failed") === 0, "pass").otherwise("fail").as("status"))
+      .orderBy(col("check"))
+  }
+
+  val q68Sql: String =
+    """WITH li AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS npk,
+      |    CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_qty,
+      |    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_disc,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_null
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_dom,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_pos
+      |  FROM orders),
+      |fk AS (
+      |  SELECT (SELECT COUNT(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey))
+      |    AS orphans,
+      |    (SELECT COUNT(*) FROM lineitem) AS n),
+      |rows_ AS (
+      |  SELECT 'lineitem_pk_unique' AS check_, n AS n_checked,
+      |    n - npk AS n_failed FROM li
+      |  UNION ALL SELECT 'lineitem_qty_le_40', n, f_qty FROM li
+      |  UNION ALL SELECT 'lineitem_disc_le_005', n, f_disc FROM li
+      |  UNION ALL SELECT 'lineitem_shipdate_notnull', n, f_null FROM li
+      |  UNION ALL SELECT 'orders_status_in_O_F', n, f_dom FROM ord
+      |  UNION ALL SELECT 'orders_price_positive', n, f_pos FROM ord
+      |  UNION ALL SELECT 'lineitem_fk_orders', n, orphans FROM fk)
+      |SELECT check_ AS "check", CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_failed AS BIGINT) AS n_failed,
+      |  CASE WHEN n_failed = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM rows_
+      |ORDER BY "check"""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_merge_upsert" -> (q29MergeUpsert _),
     "q30_scd2_history" -> (q30Scd2History _),
-    "q31_incremental_agg" -> (q31IncrementalAgg _))
+    "q31_incremental_agg" -> (q31IncrementalAgg _),
+    "q68_dq_audit" -> (q68DqAudit _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q29_merge_upsert" -> q29Sql,
     "q30_scd2_history" -> q30Sql,
-    "q31_incremental_agg" -> q31Sql)
+    "q31_incremental_agg" -> q31Sql,
+    "q68_dq_audit" -> q68Sql)
 }

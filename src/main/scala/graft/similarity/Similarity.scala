@@ -1780,12 +1780,19 @@ object Similarity {
       .select(col("vec_id").as("pid"), col("q").as("cq"))
     val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (it <- 1 to iters) {
+      // the assignment is consumed TWICE (stats + centroid update), so
+      // IT is the iteration seam: one localCheckpoint here means the
+      // corpus×k argmin runs exactly once per iteration (checkpointing
+      // the centroid frame instead recomputes it — measured ~2x the
+      // wall). At cluster scale this seam is the per-iteration
+      // assignment table write every production Lloyd loop makes.
       val asg = q.crossJoin(broadcast(cent))
         .withColumn("l2", call_function("graft_int_l2sq", col("q"), col("cq")))
         .groupBy(col("vec_id"), col("q"))
         .agg(min(struct(col("l2").as("l2"), col("pid").as("pid"))).as("w"))
         .select(col("vec_id"), col("q"),
           col("w").getField("l2").as("l2"), col("w").getField("pid").as("cell"))
+        .localCheckpoint()
       stats += asg.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"), sum(col("l2")).as("sse"))
         .select(lit(it).as("iter"), col("cell"), col("n_members"), col("sse"))
@@ -1802,7 +1809,6 @@ object Similarity {
           .agg(expr("transform(sort_array(collect_list(struct(dim, nv))), p -> p.nv)")
             .as("cq"))
           .select(col("cell").as("pid"), col("cq"))
-          .localCheckpoint()
     }
     stats.reduce(_ union _).orderBy(col("iter"), col("cell"))
   }
@@ -1887,9 +1893,14 @@ object Similarity {
     val nodes = n.select(col("vec_id"))
     val ncnt = nodes.agg(count(lit(1)).as("nn"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the 3 power iterations stay LAZY over the checkpointed edge list:
+    // at gate scale the whole 3-hop join/agg chain executes as one DAG
+    // (no per-iteration materialization jobs — measured faster than
+    // checkpointing each rank table here). At cluster scale, with
+    // billions of nodes and tens of iterations, the rank table becomes
+    // a per-iteration table-write seam exactly like the dd postings.
     var r = nodes.crossJoin(broadcast(ncnt))
       .selectExpr("vec_id", "cast(1000000000000 as bigint) div nn as r")
-      .localCheckpoint()
     for (_ <- 1 to 3) {
       val contrib = r.join(outdeg, r("vec_id") === outdeg("src"))
         .selectExpr("src", "r div deg as c")
@@ -1901,7 +1912,6 @@ object Similarity {
           """cast(15000000000000 as bigint) div (100 * nn)
             |  + (85 * coalesce(m, cast(0 as bigint))) div 100 as r"""
             .stripMargin)
-        .localCheckpoint()
     }
     val top = r.orderBy(col("r").desc, col("vec_id")).limit(20)
     top.withColumn("rnk",

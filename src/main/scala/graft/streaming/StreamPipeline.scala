@@ -245,6 +245,42 @@ object StreamPipeline {
         col("n_ticks"))
   }
 
+  /** Streaming per-window LEADERBOARD — top-k tickers by message count
+    * per event-time window, with the bounded-heap `graft_topk`
+    * TypedImperativeAggregate as the SECOND chained stateful operator:
+    * stage 1 is the watermarked (ticker, window) count (state = one
+    * counter per open pair), stage 2 consumes exactly ONE row per
+    * closed (ticker, window) and heap-folds it into k payloads per
+    * window — so the leaderboard state is O(open windows × k), never
+    * O(tickers), and no window sort of the counted set exists anywhere
+    * (the same no-ranking-window argument as the batch topKPerQuery).
+    * Emission is append-mode exactly-once per closed window.
+    *
+    * Tiebreak: equal counts order by the ticker's NUMERIC id
+    * (tickers are "T<n>"), which the oracle mirrors as
+    * `CAST(substr(ticker, 2) AS BIGINT)` — deterministic and total. */
+  def windowTopTickers(messages: DataFrame, window_ : String = "1 hour",
+      k: Int = 3, watermark: String = "10 minutes"): DataFrame = {
+    val counts = messages
+      .where(col("type") === "orderbook_delta" && col("msg.ts").isNotNull)
+      .withColumn("event_ts", timestamp_millis(col("msg.ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("msg.market_ticker").as("ticker"),
+        window(col("event_ts"), window_))
+      .agg(count(lit(1)).as("n_msgs"))
+    counts
+      .groupBy(window(window_time(col("window")), window_))
+      .agg(call_function("graft_topk",
+        col("n_msgs").cast("double"),
+        expr("cast(substring(ticker, 2) as bigint)"),
+        struct(col("ticker"), col("n_msgs")), lit(k)).as("topk"))
+      .select(unix_millis(col("window.start")).as("bucket_start"),
+        posexplode(col("topk")))
+      .select(col("bucket_start"), col("col.ticker").as("ticker"),
+        col("col.n_msgs").as("n_msgs"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** A16: the reference's (dead-code) CSV debug sink — header-on-create
     * append (kalshi_ws_client.py:32-75). */
   def debugCsvSink(df: DataFrame, path: String): Unit =

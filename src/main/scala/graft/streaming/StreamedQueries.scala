@@ -1058,6 +1058,48 @@ object StreamedQueries {
     }
   }
 
+  // ----------------------------------------------------------------- st16
+  /** st16 — streaming WINDOWED LEADERBOARD
+    * ([[StreamPipeline.windowTopTickers]]): top-3 tickers by message
+    * count per 1-hour event-time window, with the custom bounded-heap
+    * `graft_topk` aggregate running as the SECOND chained stateful
+    * operator — the gate that pins the TypedImperativeAggregate's
+    * serialize/merge path under the streaming state store (every other
+    * graft_topk consumer is batch-only). Same closed-window replay as
+    * st03/st04; the flush ticker's own window never closes, so no
+    * ZFLUSH row can reach the leaderboard. Oracle = the batch hourly
+    * count + ROW_NUMBER ranking with the numeric-ticker tiebreak. */
+  def streamTopTickers(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val msgs = Derive.deltas(s, d)
+      .select(lit("orderbook_delta").as("type"),
+        struct(col("ticker").as("market_ticker"),
+          col("ts_ms").as("ts")).as("msg"))
+    val flush = s.range(1).select(lit("orderbook_delta").as("type"),
+      struct(lit("ZFLUSH").as("market_ticker"),
+        lit(flushTsFor(s, d, 3600L * 1000)).as("ts")).as("msg"))
+    // chunks=2 (3 micro-batches incl. the flush): two stateful
+    // operators mean double the store lifecycles per batch, same
+    // trade as st08/st09 — cross-batch heap merging is still
+    // exercised (rows scatter over 2 unordered chunks).
+    replayClosed(s, msgs, flush, chunks = 2)(
+        StreamPipeline.windowTopTickers(_, "1 hour", 3, s"$WmDays days"))
+      .orderBy(col("bucket_start"), col("rnk"))
+  }
+
+  val streamTopTickersSql: String = Derive.cte +
+    """SELECT bucket_start, ticker, n_msgs, rnk FROM (
+      |  SELECT bucket_start, ticker, n_msgs,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket_start
+      |      ORDER BY n_msgs DESC, CAST(substr(ticker, 2) AS BIGINT))
+      |      AS INTEGER) AS rnk
+      |  FROM (
+      |    SELECT (ts_ms // 3600000) * 3600000 AS bucket_start, ticker,
+      |      COUNT(*) AS n_msgs
+      |    FROM ob_deltas GROUP BY 1, 2) c) t
+      |WHERE rnk <= 3
+      |ORDER BY bucket_start, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -1073,7 +1115,8 @@ object StreamedQueries {
     "st12_stream_tickerstats" -> (streamTickerStats _),
     "st13_stream_wire" -> (streamWire _),
     "st14_stream_reconnect" -> (streamReconnect _),
-    "st15_stream_queue" -> (streamQueue _))
+    "st15_stream_queue" -> (streamQueue _),
+    "st16_stream_topk" -> (streamTopTickers _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1090,5 +1133,6 @@ object StreamedQueries {
     "st12_stream_tickerstats" -> streamTickerStatsSql,
     "st13_stream_wire" -> streamWireSql,
     "st14_stream_reconnect" -> streamWireSql,
-    "st15_stream_queue" -> streamWireSql)
+    "st15_stream_queue" -> streamWireSql,
+    "st16_stream_topk" -> streamTopTickersSql)
 }

@@ -2003,6 +2003,65 @@ object TextAnalysis {
       |  SELECT * FROM it3) u
       |ORDER BY iter""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  /** Vocabulary COVERAGE curve — what fraction of the corpus's token
+    * mass the top-K vocabulary entries cover, at K ∈ {10, 100, 1000}:
+    * the tokenizer-budget tuning table (how big must the vocab be
+    * before <unk> mass is tolerable), the operational complement of
+    * txt21's Zipf slope and txt31's Heaps fit.
+    *
+    * Scale: the corpus-sized work is ONE token-keyed count aggregate
+    * (map-side partials); the ranking window then runs over the
+    * VOCABULARY, not the corpus — Heaps-law-bounded (~n^0.5±), the one
+    * global sort a tokenizer build genuinely needs — and all three
+    * budget points fold in a single conditional aggregate over the
+    * top-1000 slice, so adding a budget point costs nothing. Coverage
+    * is integer ppm (covered·10^6 div total, all nonnegative), so the
+    * gate is exact. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    val ranked = cnt.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    ranked.where(col("rn") <= 1000)
+      .agg(sum(when(col("rn") <= 10, col("c")).otherwise(0L)).as("c10"),
+        sum(when(col("rn") <= 100, col("c")).otherwise(0L)).as("c100"),
+        sum(col("c")).as("c1000"))
+      .select(explode(array(
+        struct(lit(10L).as("vocab_k"), col("c10").as("covered")),
+        struct(lit(100L).as("vocab_k"), col("c100").as("covered")),
+        struct(lit(1000L).as("vocab_k"), col("c1000").as("covered"))))
+        .as("p"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("p.vocab_k as vocab_k", "p.covered as covered", "total",
+        "(p.covered * 1000000) div total as coverage_ppm")
+      .orderBy(col("vocab_k"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH cnt AS (
+      |  SELECT tok, COUNT(*) AS c FROM (
+      |    SELECT unnest($tokensSqlD) AS tok FROM documents) t
+      |  GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+      |ranked AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM cnt),
+      |pts AS (
+      |  SELECT CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10,
+      |    CAST(SUM(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT) AS c100,
+      |    CAST(SUM(c) AS BIGINT) AS c1000
+      |  FROM ranked WHERE rn <= 1000)
+      |SELECT vocab_k, covered, total,
+      |  CAST((covered * 1000000) // total AS BIGINT) AS coverage_ppm
+      |FROM (
+      |  SELECT CAST(10 AS BIGINT) AS vocab_k, c10 AS covered FROM pts
+      |  UNION ALL SELECT 100, c100 FROM pts
+      |  UNION ALL SELECT 1000, c1000 FROM pts) u
+      |CROSS JOIN tot
+      |ORDER BY vocab_k""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -2037,7 +2096,8 @@ object TextAnalysis {
     "txt31_heaps_fit" -> (heapsFit _),
     "txt32_kmv_overlap" -> (kmvOverlap _),
     "txt33_temperature_mix" -> (temperatureMix _),
-    "txt34_linear_probe" -> (linearProbeGd _))
+    "txt34_linear_probe" -> (linearProbeGd _),
+    "txt35_vocab_coverage" -> (vocabCoverage _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2073,5 +2133,6 @@ object TextAnalysis {
     "txt31_heaps_fit" -> heapsFitSql,
     "txt32_kmv_overlap" -> kmvOverlapSql,
     "txt33_temperature_mix" -> temperatureMixSql,
-    "txt34_linear_probe" -> linearProbeGdSql)
+    "txt34_linear_probe" -> linearProbeGdSql,
+    "txt35_vocab_coverage" -> vocabCoverageSql)
 }
