@@ -1960,6 +1960,113 @@ object Similarity {
       |WHERE rnk <= 20
       |ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim26
+  /** POWER ITERATION for the top principal direction of the embedding
+    * second-moment matrix M = (1/n)·Σ x xᵀ — the anisotropy audit run
+    * before trusting cosine retrieval (a corpus whose top eigenvalue
+    * carries most of the trace has embeddings collapsed into a narrow
+    * cone: cosine scores compress and ANN recall degrades; the fix is
+    * mean-removal/whitening, and THIS number is how you decide). Three
+    * iterations v ← M·v/‖M·v‖ from e₁; per iteration the reported
+    * λ estimate is ‖M·v‖ (Rayleigh upper bound, already computed for
+    * the normalization — no extra matvec) and aniso = λ/trace(M).
+    *
+    * Scale shape: the ONLY corpus-sized work is building M — outer
+    * products exploded to (i, j, xᵢxⱼ) and hash-aggregated to dim²
+    * cells (map-side partials compress every partition to ≤ dim² rows;
+    * the 64×64 result is 4 KB at ANY corpus size) — localCheckpoint'ed
+    * once; each iteration is then a dim-row matvec against a
+    * broadcast 1-row v. Determinism: M's entries are exact
+    * DECIMAL(28,6) sums (order-independent, engine-identical — sim10's
+    * quantization argument) divided once; every fold thereafter is the
+    * sequential `graft_vec_dot` ≡ `list_dot_product`, and sqrt/division
+    * are IEEE-identical. */
+  def powerIteration(s: SparkSession, d: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val n = normed(s, d).select(col("e"))
+    val cnt = n.agg(count(lit(1)).as("nn"))
+    // dim² exact-decimal moment cells — the ONLY corpus-sized job,
+    // checkpointed once (4096 rows at dim 64, any corpus size)
+    val cells = n
+      .select(posexplode(col("e")).as(Seq("i0", "xi")), col("e"))
+      .select((col("i0") + 1).as("i"), col("xi"), posexplode(col("e")))
+      .select(col("i"), (col("pos") + 1).as("j"),
+        (col("xi") * col("col")).cast(d6).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+      .localCheckpoint()
+    val covrows = cells.crossJoin(broadcast(cnt))
+      .select(col("i"), col("j"),
+        (col("sp").cast("double") / col("nn")).as("c"))
+      .groupBy(col("i"))
+      .agg(expr("transform(sort_array(collect_list(struct(j, c))), p -> p.c)")
+        .as("crow"))
+    // trace from the exact DECIMAL diagonal (an unordered double sum
+    // would be partition-order-dependent and break the hash gate)
+    val trace = cells.where(col("i") === col("j"))
+      .agg(sum(col("sp")).as("spd"))
+      .crossJoin(broadcast(cnt))
+      .select((col("spd").cast("double") / col("nn")).as("tr"))
+    var v = covrows
+      .agg(expr("""transform(sort_array(collect_list(named_struct(
+          'i', i, 'ev', CASE WHEN i = 1 THEN 1D ELSE 0D END))),
+          p -> p.ev)""").as("v"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to 3) {
+      val w = covrows.crossJoin(broadcast(v))
+        .select(col("i"),
+          call_function("graft_vec_dot", col("crow"), col("v")).as("w"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, w))), p -> p.w)")
+          .as("warr"))
+        .select(col("warr"),
+          sqrt(call_function("graft_vec_dot", col("warr"), col("warr")))
+            .as("lambda"))
+      steps += w.crossJoin(broadcast(trace))
+        .select(lit(it).as("iter"), col("lambda"),
+          (col("lambda") / col("tr")).as("aniso"))
+      v = w.select(expr("transform(warr, x -> x / lambda)").as("v"))
+    }
+    steps.reduce(_ union _).orderBy(col("iter"))
+  }
+
+  /** Oracle mirror of one power-iteration step. */
+  private def powerStepCte(k: Int): String =
+    s"""w$k AS (
+       |  SELECT list(list_dot_product(cr.crow, v.v) ORDER BY cr.i) AS warr
+       |  FROM covrows cr CROSS JOIN v${k - 1} v),
+       |l$k AS (
+       |  SELECT $k AS iter, warr,
+       |    sqrt(list_dot_product(warr, warr)) AS lambda
+       |  FROM w$k),
+       |v$k AS (
+       |  SELECT list_transform(warr, x -> x / lambda) AS v FROM l$k)"""
+      .stripMargin
+
+  val powerIterationSql: String = normedCte + "," +
+    """cnt AS (SELECT COUNT(*) AS nn FROM n),
+      |cells AS (
+      |  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+      |    SUM(CAST(e[CAST(t.i AS INT)] * e[CAST(u.j AS INT)]
+      |      AS DECIMAL(28,6))) AS sp
+      |  FROM n, UNNEST(range(1, len(e) + 1)) AS t(i),
+      |       UNNEST(range(1, len(e) + 1)) AS u(j)
+      |  GROUP BY 1, 2),
+      |covrows AS (
+      |  SELECT i, list(CAST(sp AS DOUBLE) / nn ORDER BY j) AS crow
+      |  FROM cells CROSS JOIN cnt GROUP BY i, nn),
+      |tr AS (
+      |  SELECT CAST(SUM(sp) AS DOUBLE) / nn AS tr
+      |  FROM cells CROSS JOIN cnt WHERE i = j GROUP BY nn),
+      |v0 AS (
+      |  SELECT list(CASE WHEN i = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+      |    ORDER BY i) AS v FROM covrows),
+      |""".stripMargin +
+    (1 to 3).map(powerStepCte).mkString(",\n") + "\n" +
+    """SELECT iter, lambda, lambda / tr.tr AS aniso FROM (
+      |  SELECT iter, lambda FROM l1 UNION ALL
+      |  SELECT iter, lambda FROM l2 UNION ALL
+      |  SELECT iter, lambda FROM l3) u CROSS JOIN tr
+      |ORDER BY iter""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -1985,7 +2092,8 @@ object Similarity {
     "sim22_graph_ann" -> (graphAnn _),
     "sim23_binary_hamming" -> (binaryHamming _),
     "sim24_kmeans_lloyd" -> (kmeansLloyd _),
-    "sim25_pagerank" -> (pageRank _))
+    "sim25_pagerank" -> (pageRank _),
+    "sim26_power_iteration" -> (powerIteration _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2012,5 +2120,6 @@ object Similarity {
     "sim22_graph_ann" -> graphAnnSql,
     "sim23_binary_hamming" -> binaryHammingSql,
     "sim24_kmeans_lloyd" -> kmeansLloydSql,
-    "sim25_pagerank" -> pageRankSql)
+    "sim25_pagerank" -> pageRankSql,
+    "sim26_power_iteration" -> powerIterationSql)
 }
