@@ -1890,7 +1890,10 @@ object Similarity {
     val edges = knnGraph(s, d)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
-    val nodes = n.select(col("vec_id"))
+    // vertex set checkpointed once — it re-enters every iteration's
+    // left join; without the seam the final 3-iteration DAG rescans
+    // the parquet corpus per iteration
+    val nodes = n.select(col("vec_id")).localCheckpoint()
     val ncnt = nodes.agg(count(lit(1)).as("nn"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the 3 power iterations stay LAZY over the checkpointed edge list:

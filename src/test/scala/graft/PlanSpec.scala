@@ -186,7 +186,7 @@ class PlanSpec extends AnyFunSuite {
     // window operator anywhere in the ranking
     Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc",
         "sim08_knn_graph", "sim11_maxsim", "sim12_filtered_ann",
-        "sim13_knn_vote").foreach { q =>
+        "sim13_knn_vote", "sim23_binary_hamming").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
@@ -705,6 +705,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!"windowspecdefinition\\(query_id#\\d+L?".r
       .findFirstIn(p).isDefined,
       s"sim22 ranks through a per-query window:\n$p")
+  }
+
+  test("sim24/sim25: iterative loops read their checkpointed seams — " +
+    "no parquet rescans inside the iteration DAG, no cartesians, and " +
+    "the pagerank top-k is TakeOrderedAndProject") {
+    // sim24 checkpoints the per-iteration assignment, sim25 the edge
+    // list + vertex set: the FINAL plan must consume only those
+    // in-memory seams. A 'Scan parquet' here means an iteration
+    // re-derives the corpus — ~2x the work per extra scan at 100 TB.
+    val p24 = plan("sim24_kmeans_lloyd")
+    assert(!p24.contains("Scan parquet"),
+      s"sim24 rescans the corpus inside the loop:\n$p24")
+    assert(!p24.contains("CartesianProduct"), p24)
+    val p25 = plan("sim25_pagerank")
+    assert(!p25.contains("Scan parquet"),
+      s"sim25 rescans the corpus inside the loop:\n$p25")
+    assert(!p25.contains("CartesianProduct"), p25)
+    // final top-20 is orderBy+limit fused, not a global sort
+    assert(p25.contains("TakeOrderedAndProject"),
+      s"sim25 top-k is not TakeOrderedAndProject:\n$p25")
   }
 
   test("op12: the sample is a broadcast-rate narrow filter — the " +
