@@ -85,6 +85,27 @@ object SkewBench {
       .write.mode("overwrite").parquet(out.toString)
   }
 
+  /** Deterministic CLUSTERED dense-vector corpus (embeddings shape,
+    * 64 dims): each vector = its cluster centroid (~n/10 clusters,
+    * components uniform-ish in [-1, 1] from hash mixing) + 0.3-scale
+    * per-vector noise — the anisotropic, locally-dense shape real
+    * embedding corpora have (uniform random vectors concentrate all
+    * pairwise angles near 90° and are the degenerate worst case for
+    * ANY angular sketch). No RNG anywhere. */
+  def generateVecs(s: SparkSession, dir: String, n: Long): Unit = {
+    val out = new File(dir)
+    if (new File(out, "_SUCCESS").isFile) return
+    s.range(n)
+      .select(col("id").as("vec_id"), (col("id") % (n / 10)).as("cid"))
+      .select(
+        col("vec_id"),
+        expr("""transform(sequence(0, 63), i -> cast(
+            (pmod(hash(cid, i), 2001) - 1000) / 1000.0
+            + 0.3 * (pmod(hash(vec_id, i, 77), 2001) - 1000) / 1000.0
+          as float))""").as("embedding"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -257,6 +278,84 @@ object SkewBench {
           s"cap (w=$w) lost $lostDocs of $naiveDocs clustered docs (>1%)")
         println(f"""{"metric":"skew_lsh","rows":$nSig,"chain_window":$w,"capped_sec":$cappedSec%.2f,"naive_sec":$naiveSec%.2f,"speedup":${naiveSec / cappedSec}%.2f,"clusters_capped":${capped.size},"clusters_naive":${naive.size},"docs_lost":$lostDocs,"docs_clustered":$naiveDocs,"note":"dd19 bucket-cap chain vs all-pairs; boilerplate cluster identical, capped edges a strict subset"}""")
       }
+    }
+
+    // --- sim23's scale claim, measured: the binary sign-bit scan vs
+    // the fp32 brute-force scan at a corpus size where the scan
+    // dominates (n/8 64-dim vectors; 8 probe queries; both routes end
+    // in the same bounded-heap top-k aggregate, so the delta is pure
+    // per-candidate kernel + bytes-read cost — 8 B/vec vs 512 B/vec).
+    // The binary route is APPROXIMATE by design, so the dd19-style
+    // identical-rows contract doesn't apply; instead the final top-3
+    // (after exact fp64 re-rank of the 32-candidate shortlist) is
+    // compared against the exact top-3 and recall is asserted ≥ 0.5
+    // and REPORTED — a fast shortlist that stops finding neighbors is
+    // not a result. Sign-bit sketching preserves angles (SimHash:
+    // P[bit differs] = θ/π), so random-vector recall is the floor;
+    // clustered production embeddings do better. sig_build_sec is the
+    // one-time index cost, amortized over every query thereafter. ---
+    if (want("binq")) {
+      // n/2 vectors × 32 probes: the scan term (probes × corpus ×
+      // dims) must dominate the ~0.3 s/stage job overhead, or the
+      // single-stage fp32 route wins on fixed costs alone (measured:
+      // at 500k×8 the 3-stage binary route lost 0.66x on overhead)
+      val nB = math.max(500000L, n / 2)
+      val vDir = s"/tmp/graft-skew-binq-c-$nB"
+      generateVecs(spark, vDir, nB)
+      graft.functions.GraftFunctions.register(spark)
+      val vecs = spark.read.parquet(vDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("e"))
+      val qv = vecs.where(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("e").as("eq"))
+      def heapTop(scored: DataFrame, k: Int, score: org.apache.spark.sql.Column)
+          : DataFrame =
+        scored.groupBy(col("query_id"))
+          .agg(call_function("graft_topk", score.cast("double"),
+            col("neighbor_id"), struct(col("neighbor_id")), lit(k))
+            .as("topk"))
+          // (query_id, neighbor_id) only — no rank column, so the
+          // recall compare can't be poisoned by rank shifts when the
+          // two routes disagree on one neighbor
+          .select(col("query_id"), explode(col("topk")))
+          .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
+      // exact fp32 route: full-precision dot against every candidate
+      def exactTop3: DataFrame = heapTop(
+        broadcast(qv).join(
+          vecs.select(col("vec_id").as("neighbor_id"), col("e").as("ec")),
+          col("neighbor_id") =!= col("query_id")),
+        3, call_function("graft_vec_dot", col("eq"), col("ec")))
+      val (exRows, exSec) = run(exactTop3)
+      // binary route: one-time sign-bit index, Hamming scan, fp64
+      // re-rank of the 32-candidate shortlist only
+      val (sigs, sigBuildSec) = timed {
+        val p = vecs.select(col("vec_id"),
+          call_function("graft_sign_pack", col("e")).as("sig"))
+          .localCheckpoint()
+        p.count(); p
+      }
+      def binaryTop3: DataFrame = {
+        val qs = sigs.where(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), col("sig").as("sig_q"))
+        val shortlist = heapTop(
+          broadcast(qs).join(
+            sigs.select(col("vec_id").as("neighbor_id"), col("sig").as("sig_c")),
+            col("neighbor_id") =!= col("query_id")),
+          32, -expr("cast(bit_count(sig_q ^ sig_c) as int)"))
+        heapTop(
+          broadcast(shortlist.select(col("query_id"), col("neighbor_id")))
+            .join(vecs.select(col("vec_id").as("neighbor_id"),
+              col("e").as("ec")), "neighbor_id")
+            .join(broadcast(qv), "query_id"),
+          3, call_function("graft_vec_dot", col("eq"), col("ec")))
+      }
+      val (binRows, binSec) = run(binaryTop3)
+      val exact = exRows.toSet
+      val hits = binRows.count(exact.contains)
+      val recall = hits.toDouble / exRows.size
+      require(recall >= 0.5,
+        f"binary route recall $recall%.2f < 0.5 — shortlist too narrow")
+      println(f"""{"metric":"binq_scan","vectors":$nB,"fp32_sec":$exSec%.2f,"binary_sec":$binSec%.2f,"speedup":${exSec / binSec}%.2f,"sig_build_sec":$sigBuildSec%.2f,"recall_top3":$recall%.3f,"note":"sim23 mechanism: Hamming scan + fp64 re-rank vs fp32 brute force, same bounded-heap ranking"}""")
     }
 
     // --- native as-of merge loop: whole-stage codegen ON vs OFF at a

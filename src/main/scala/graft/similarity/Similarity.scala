@@ -1682,15 +1682,13 @@ object Similarity {
     * determinism is total. */
   def binaryHamming(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    // sign-bit packing: row-wise integer fold, engine-exact. Bit 63 via
-    // shiftleft's Java wrap (1L<<63 = Long.MinValue) — the oracle spells
-    // the same two's-complement value with an explicit literal.
-    val packed = n.withColumn("sig", expr(
-      """aggregate(sequence(0, cast(size(e) as int) - 1),
-        |  cast(0 as bigint),
-        |  (acc, i) -> acc + (CASE WHEN element_at(e, i + 1) > 0D
-        |    THEN shiftleft(cast(1 as bigint), i)
-        |    ELSE cast(0 as bigint) END))""".stripMargin))
+    // sign-bit packing via the native codegen'd [[graft.functions
+    // .SignPack]] (the HOF spelling pays 64 interpreted lambda
+    // dispatches per row). Bit 63 is the Java shift wrap
+    // (1L<<63 = Long.MinValue) — the oracle spells the same
+    // two's-complement value with an explicit literal.
+    val packed = n.withColumn("sig",
+      call_function("graft_sign_pack", col("e")))
     val c = packed.select(col("vec_id").as("neighbor_id"),
       col("sig").as("sig_c"))
     val scanned = broadcast(packed.where(col("vec_id") < 5)

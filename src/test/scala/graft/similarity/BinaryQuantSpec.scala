@@ -24,6 +24,10 @@ class BinaryQuantSpec extends AnyFunSuite {
           |  (acc, i) -> acc + (CASE WHEN element_at(embedding, i + 1) > 0F
           |    THEN shiftleft(cast(1 as bigint), i)
           |    ELSE cast(0 as bigint) END))""".stripMargin))
+      // the native codegen'd expression sim23 actually ships must agree
+      // with both the HOF spelling and the Scala reference fold
+      .withColumn("sig_native", call_function("graft_sign_pack",
+        expr("transform(embedding, x -> cast(x as double))")))
       .limit(50).collect()
     assert(packed.nonEmpty)
     var sawBit63 = false
@@ -33,6 +37,8 @@ class BinaryQuantSpec extends AnyFunSuite {
         if (e(i) > 0f) acc + (1L << i) else acc // 1L<<63 wraps to MinValue
       }
       assert(r.getLong(2) == ref, s"vec ${r.getLong(0)} sig mismatch")
+      assert(r.getLong(3) == ref,
+        s"vec ${r.getLong(0)} native graft_sign_pack diverged from the fold")
       if (e.length == 64 && e(63) > 0f) sawBit63 = true
     }
     // the fixture must actually exercise the sign bit (sig < 0 branch)
