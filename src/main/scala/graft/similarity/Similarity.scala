@@ -1972,50 +1972,49 @@ object Similarity {
     * λ estimate is ‖M·v‖ (Rayleigh upper bound, already computed for
     * the normalization — no extra matvec) and aniso = λ/trace(M).
     *
-    * Scale shape: the ONLY corpus-sized work is building M — outer
-    * products exploded to (i, j, xᵢxⱼ) and hash-aggregated to dim²
-    * cells (map-side partials compress every partition to ≤ dim² rows;
-    * the 64×64 result is 4 KB at ANY corpus size) — localCheckpoint'ed
-    * once; each iteration is then a dim-row matvec against a
-    * broadcast 1-row v. Determinism: M's entries are exact
-    * DECIMAL(28,6) sums (order-independent, engine-identical — sim10's
-    * quantization argument) divided once; every fold thereafter is the
-    * sequential `graft_vec_dot` ≡ `list_dot_product`, and sqrt/division
-    * are IEEE-identical. */
+    * Scale shape — MATVEC form, M never materialized: each iteration
+    * computes M·v = (1/n)·Σ x·(xᵀv) in one corpus pass (a codegen'd
+    * dot per row, then dim exploded terms hash-aggregated to dim
+    * cells — map-side partials compress every partition to ≤ dim
+    * rows). Work is corpus×dim×iters; the materialized-M alternative
+    * pays corpus×dim² once — 20× more at dim 64 / 3 iters, and
+    * infeasible per-row at dim 4096. (Materialize M instead when
+    * iterations ≫ dim.) Determinism: every per-dim accumulation sums
+    * exact DECIMAL(28,6) terms (order-independent, engine-identical —
+    * sim10's quantization argument) and divides once; every float
+    * fold is the sequential `graft_vec_dot` ≡ `list_dot_product`, and
+    * sqrt/division are IEEE-identical. */
   def powerIteration(s: SparkSession, d: String): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
     val n = normed(s, d).select(col("e"))
     val cnt = n.agg(count(lit(1)).as("nn"))
-    // dim² exact-decimal moment cells — the ONLY corpus-sized job,
-    // checkpointed once (4096 rows at dim 64, any corpus size)
-    val cells = n
-      .select(posexplode(col("e")).as(Seq("i0", "xi")), col("e"))
-      .select((col("i0") + 1).as("i"), col("xi"), posexplode(col("e")))
-      .select(col("i"), (col("pos") + 1).as("j"),
-        (col("xi") * col("col")).cast(d6).as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
-      .localCheckpoint()
-    val covrows = cells.crossJoin(broadcast(cnt))
-      .select(col("i"), col("j"),
-        (col("sp").cast("double") / col("nn")).as("c"))
-      .groupBy(col("i"))
-      .agg(expr("transform(sort_array(collect_list(struct(j, c))), p -> p.c)")
-        .as("crow"))
-    // trace from the exact DECIMAL diagonal (an unordered double sum
-    // would be partition-order-dependent and break the hash gate)
-    val trace = cells.where(col("i") === col("j"))
-      .agg(sum(col("sp")).as("spd"))
+    // MATVEC form: M·v = (1/n)·Σ x·(xᵀv) — never materialize the dim²
+    // matrix. Each iteration is one corpus pass exploding dim terms
+    // per row (corpus×dim, vs corpus×dim² for the M build — the form
+    // that stays feasible at dim 4096; materialize M instead when
+    // iterations ≫ dim). Terms quantize to exact DECIMAL before the
+    // sum, so the per-dim accumulation is order-independent and
+    // engine-identical.
+    val trace = n
+      .select(call_function("graft_vec_dot", col("e"), col("e"))
+        .cast(d6).as("t"))
+      .agg(sum(col("t")).as("st"))
       .crossJoin(broadcast(cnt))
-      .select((col("spd").cast("double") / col("nn")).as("tr"))
-    var v = covrows
-      .agg(expr("""transform(sort_array(collect_list(named_struct(
-          'i', i, 'ev', CASE WHEN i = 1 THEN 1D ELSE 0D END))),
-          p -> p.ev)""").as("v"))
+      .select((col("st").cast("double") / col("nn")).as("tr"))
+    var v = n.agg(max(size(col("e"))).as("dim"))
+      .select(expr(
+        "transform(sequence(1, dim), k -> CASE WHEN k = 1 THEN 1D ELSE 0D END)")
+        .as("v"))
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (it <- 1 to 3) {
-      val w = covrows.crossJoin(broadcast(v))
-        .select(col("i"),
-          call_function("graft_vec_dot", col("crow"), col("v")).as("w"))
+      val w = n.crossJoin(broadcast(v))
+        .withColumn("s", call_function("graft_vec_dot", col("e"), col("v")))
+        .select(posexplode(col("e")), col("s"))
+        .select((col("pos") + 1).as("i"),
+          (col("col") * col("s")).cast(d6).as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).as("sw"))
+        .crossJoin(broadcast(cnt))
+        .select(col("i"), (col("sw").cast("double") / col("nn")).as("w"))
         .agg(expr("transform(sort_array(collect_list(struct(i, w))), p -> p.w)")
           .as("warr"))
         .select(col("warr"),
@@ -2029,37 +2028,36 @@ object Similarity {
     steps.reduce(_ union _).orderBy(col("iter"))
   }
 
-  /** Oracle mirror of one power-iteration step. */
+  /** Oracle mirror of one matvec power-iteration step. */
   private def powerStepCte(k: Int): String =
     s"""w$k AS (
-       |  SELECT list(list_dot_product(cr.crow, v.v) ORDER BY cr.i) AS warr
-       |  FROM covrows cr CROSS JOIN v${k - 1} v),
+       |  SELECT CAST(t.i AS INT) AS i,
+       |    SUM(CAST(e[CAST(t.i AS INT)] * list_dot_product(e, v.v)
+       |      AS DECIMAL(28,6))) AS sw
+       |  FROM n CROSS JOIN v${k - 1} v, UNNEST(range(1, len(e) + 1)) AS t(i)
+       |  GROUP BY 1),
+       |wa$k AS (
+       |  SELECT list(CAST(sw AS DOUBLE) / nn ORDER BY i) AS warr
+       |  FROM w$k CROSS JOIN cnt GROUP BY nn),
        |l$k AS (
        |  SELECT $k AS iter, warr,
        |    sqrt(list_dot_product(warr, warr)) AS lambda
-       |  FROM w$k),
+       |  FROM wa$k),
        |v$k AS (
        |  SELECT list_transform(warr, x -> x / lambda) AS v FROM l$k)"""
       .stripMargin
 
   val powerIterationSql: String = normedCte + "," +
     """cnt AS (SELECT COUNT(*) AS nn FROM n),
-      |cells AS (
-      |  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
-      |    SUM(CAST(e[CAST(t.i AS INT)] * e[CAST(u.j AS INT)]
-      |      AS DECIMAL(28,6))) AS sp
-      |  FROM n, UNNEST(range(1, len(e) + 1)) AS t(i),
-      |       UNNEST(range(1, len(e) + 1)) AS u(j)
-      |  GROUP BY 1, 2),
-      |covrows AS (
-      |  SELECT i, list(CAST(sp AS DOUBLE) / nn ORDER BY j) AS crow
-      |  FROM cells CROSS JOIN cnt GROUP BY i, nn),
       |tr AS (
-      |  SELECT CAST(SUM(sp) AS DOUBLE) / nn AS tr
-      |  FROM cells CROSS JOIN cnt WHERE i = j GROUP BY nn),
+      |  SELECT CAST(SUM(CAST(list_dot_product(e, e) AS DECIMAL(28,6)))
+      |    AS DOUBLE) / nn AS tr
+      |  FROM n CROSS JOIN cnt GROUP BY nn),
+      |dim AS (SELECT MAX(len(e)) AS dim FROM n),
       |v0 AS (
-      |  SELECT list(CASE WHEN i = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
-      |    ORDER BY i) AS v FROM covrows),
+      |  SELECT list_transform(range(1, dim + 1),
+      |    k -> CASE WHEN k = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v
+      |  FROM dim),
       |""".stripMargin +
     (1 to 3).map(powerStepCte).mkString(",\n") + "\n" +
     """SELECT iter, lambda, lambda / tr.tr AS aniso FROM (
