@@ -75,9 +75,69 @@ object Sampling {
        |  < CAST(FLOOR(r.rate * ${HashMod}) AS BIGINT)
        |ORDER BY d.lang, d.doc_id""".stripMargin
 
+  /** Fixed sample size for op14 — constant, so the driver-side top-k
+    * set stays O(k) no matter the corpus. */
+  val PriorityK = 200
+
+  /** op14 — priority sampling (Duffield–Lund–Thorup, JACM '07): a
+    * fixed-k WEIGHTED sample without replacement whose inclusion is,
+    * like op12, a pure function of the row. Each doc gets priority
+    * q = floor(w·M / (h(doc_id)+1)) — the integer-exact spelling of
+    * w/u with u = (h+1)/M ∈ (0,1] drawn from the same engine-neutral
+    * multiplicative hash as op12 (doc_id reduced mod M before the
+    * multiply; see op12's overflow note). The k highest-priority docs
+    * are the sample; τ = the (k+1)-th priority; ŵ = max(w, τ) is the
+    * DLT estimator (Σŵ over the sample is unbiased for Σw — the knob
+    * a 100 TB mixing pipeline uses to quota heavy sources without a
+    * full pass).
+    *
+    * Plan shape at scale: the priority is map-side arithmetic;
+    * `orderBy(..).limit(k+1)` is TakeOrderedAndProject — each
+    * partition keeps a k+1 heap and only k+1 rows ever leave a
+    * partition (never a global sort); τ is an aggregate over those
+    * k+1 rows broadcast back. Integer-only arithmetic end-to-end, so
+    * Spark `div` and DuckDB `//` agree bit-for-bit (all operands
+    * positive: floor = truncate in both). */
+  def prioritySample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mulRed = 2654435761L % HashMod
+    val pr = docs.select(col("doc_id"), col("n_chars"),
+      expr(s"n_chars * $HashMod div " +
+        s"((doc_id % $HashMod * $mulRed + 99991) % $HashMod + 1)")
+        .as("priority"))
+    // (priority desc, doc_id) is a total order (doc_id unique), so the
+    // k-vs-k+1 boundary is deterministic even under priority ties.
+    val top = pr.orderBy(col("priority").desc, col("doc_id"))
+      .limit(PriorityK + 1)
+    val tau = top.agg(min(col("priority")).as("tau"))
+    top.crossJoin(broadcast(tau))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PriorityK)
+      .select(col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars"), col("tau")).as("est_weight"))
+  }
+
+  val prioritySampleSql: String =
+    s"""WITH pr AS (
+       |  SELECT doc_id, n_chars,
+       |    n_chars * ${HashMod} //
+       |      ((doc_id % ${HashMod} * (2654435761 % ${HashMod})
+       |        + 99991) % ${HashMod} + 1) AS priority
+       |  FROM documents),
+       |top AS (
+       |  SELECT * FROM pr
+       |  ORDER BY priority DESC, doc_id LIMIT ${PriorityK + 1}),
+       |tau AS (SELECT MIN(priority) AS tau FROM top)
+       |SELECT doc_id, n_chars, priority,
+       |  GREATEST(n_chars, tau) AS est_weight
+       |FROM top, tau
+       |ORDER BY priority DESC, doc_id LIMIT ${PriorityK}""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("op12_stratified_sample" -> (stratifiedSample _))
+    Seq("op12_stratified_sample" -> (stratifiedSample _),
+      "op14_priority_sample" -> (prioritySample _))
 
   val oracles: Seq[(String, String)] =
-    Seq("op12_stratified_sample" -> stratifiedSampleSql)
+    Seq("op12_stratified_sample" -> stratifiedSampleSql,
+      "op14_priority_sample" -> prioritySampleSql)
 }

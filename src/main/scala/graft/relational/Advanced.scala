@@ -1570,6 +1570,71 @@ object Advanced {
     kAnonLevelSql(3, "c_nationkey") +
     "\nORDER BY level"
 
+  // ---------------------------------------------------------------- q70
+  /** Groupwise 2-D skyline (Pareto front): per brand, the parts no
+    * other part of the same brand dominates — dominate = cheaper-or-
+    * equal AND bigger-or-equal, strict in at least one dimension. The
+    * textbook formulation is the quadratic NOT-EXISTS self-join, and
+    * the DuckDB oracle spells exactly that (an INDEPENDENT derivation,
+    * so the gate cross-checks the algorithm, not the transcription).
+    *
+    * The engine plan is the sort-based linear scan instead: collapse
+    * to distinct (brand, price) levels keeping the max size (anything
+    * below its own level's max is dominated within the level), one
+    * window pass for the running max size over STRICTLY cheaper levels
+    * (ROWS ..-1 is exact because post-groupBy each row is a distinct
+    * price), keep levels whose max beats every cheaper level, then a
+    * broadcast join back for the part-level audit. O(n log n) with a
+    * single hash exchange on brand (the explicit repartition lets both
+    * the (brand,price) aggregate and the brand window reuse it —
+    * ClusteredDistribution is satisfied by the subset partitioning),
+    * versus the oracle's O(n²/brands): at 100 TB the self-join is
+    * intractable and this shape is the standard skyline reduction. */
+  def q70Skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_brand"),
+      (col("p_retailprice").cast(dec) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("price_c"),
+      col("p_size").cast(org.apache.spark.sql.types.LongType).as("size"))
+    // only the level/window side exchanges (once, on brand — the
+    // subset partitioning satisfies both the (brand,price) aggregate
+    // and the brand window); the probe side of the broadcast join back
+    // streams straight off the scan with no shuffle at all
+    val levels = p.repartition(col("p_brand"))
+      .groupBy(col("p_brand"), col("price_c"))
+      .agg(max(col("size")).as("size"))
+    val cheaper = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = levels
+      .withColumn("cheaper_mx", max(col("size")).over(cheaper))
+      .where(col("cheaper_mx").isNull || col("cheaper_mx") < col("size"))
+      .select(col("p_brand"), col("price_c"), col("size"))
+    p.join(broadcast(sky), Seq("p_brand", "price_c", "size"))
+      .groupBy(col("p_brand"), col("price_c"), col("size"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_partkey")).as("min_partkey"))
+      .orderBy(col("p_brand"), col("price_c"))
+  }
+
+  val q70Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT p_brand, price_c, size,
+      |  COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_brand = a.p_brand AND b.price_c <= a.price_c
+      |    AND b.size >= a.size
+      |    AND (b.price_c < a.price_c OR b.size > a.size))
+      |GROUP BY p_brand, price_c, size
+      |ORDER BY p_brand, price_c""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1607,7 +1672,8 @@ object Advanced {
     "q64_listagg" -> (q64Listagg _),
     "q65_percentile_disc" -> (q65PercentileDisc _),
     "q66_hint_join" -> (q66HintJoin _),
-    "q67_k_anonymity" -> (q67KAnonymity _))
+    "q67_k_anonymity" -> (q67KAnonymity _),
+    "q70_skyline" -> (q70Skyline _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1645,5 +1711,6 @@ object Advanced {
     "q64_listagg" -> q64Sql,
     "q65_percentile_disc" -> q65Sql,
     "q66_hint_join" -> q66Sql,
-    "q67_k_anonymity" -> q67Sql)
+    "q67_k_anonymity" -> q67Sql,
+    "q70_skyline" -> q70Sql)
 }

@@ -302,15 +302,104 @@ object Maintenance {
       |FROM rows_
       |ORDER BY "check"""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Snapshot diff / CDC extraction: classify every key across two
+    * snapshots of `orders` as insert / delete / update / unchanged and
+    * aggregate the reconciliation report — the audit a warehouse runs
+    * between a table and its restatement (or a replica) before
+    * trusting an incremental feed. "Today's" snapshot is simulated
+    * deterministically from the base table (key%13 deleted, key%7
+    * price-bumped 500¢ + status-forced 'F', every key%50 cloned to
+    * key+10M as an insert), so both engines construct byte-identical
+    * inputs with no side files.
+    *
+    * Plan shape at scale: each side reduces to (key, digest, price)
+    * MAP-SIDE — md5 over the canonicalized attribute string — then ONE
+    * full-outer hash join on the key decides the class by digest
+    * (in)equality. For a 100-column fact table the exchange carries
+    * 8+16 bytes per row instead of the row width; that digest-narrow
+    * full-outer join is the standard snapshot-reconciliation shape
+    * (bucketable on key, AQE-skew-splittable, and incremental feeds
+    * diff only changed partitions). Price survives alongside the
+    * digest only because the report wants the cents delta. */
+  def q69SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+      (col("o_totalprice").cast(dec) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("price_c"))
+    val b = base.where(col("key") % 13 =!= 0)
+      .select(col("key"),
+        when(col("key") % 7 === 0, "F").otherwise(col("status"))
+          .as("status"),
+        when(col("key") % 7 === 0, col("price_c") + 500)
+          .otherwise(col("price_c")).as("price_c"))
+      .unionAll(base.where(col("key") % 50 === 0)
+        .select(col("key") + 10000000L, lit("N").as("status"),
+          lit(999900L).as("price_c")))
+    def digested(df: DataFrame, side: String): DataFrame = df.select(
+      col("key").as(s"${side}_key"),
+      md5(concat_ws("|", col("status"), col("price_c").cast("string")))
+        .as(s"${side}_dig"),
+      col("price_c").as(s"${side}_price"))
+    val joined = digested(base, "a").join(digested(b, "b"),
+      col("a_key") === col("b_key"), "full_outer")
+    joined.select(
+        when(col("a_key").isNull, "insert")
+          .when(col("b_key").isNull, "delete")
+          .when(col("a_dig") =!= col("b_dig"), "update")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("a_key"), col("b_key")).as("key"),
+        (coalesce(col("b_price"), lit(0L)) -
+          coalesce(col("a_price"), lit(0L))).as("delta_c"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("delta_c")).as("sum_delta_c"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
+  val q69Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c
+      |  FROM orders),
+      |b AS (
+      |  SELECT key,
+      |    CASE WHEN key % 7 = 0 THEN 'F' ELSE status END AS status,
+      |    CASE WHEN key % 7 = 0 THEN price_c + 500 ELSE price_c END
+      |      AS price_c
+      |  FROM a WHERE key % 13 <> 0
+      |  UNION ALL
+      |  SELECT key + 10000000, 'N', 999900 FROM a WHERE key % 50 = 0),
+      |ad AS (SELECT key, md5(status || '|' || CAST(price_c AS VARCHAR))
+      |         AS dig, price_c FROM a),
+      |bd AS (SELECT key, md5(status || '|' || CAST(price_c AS VARCHAR))
+      |         AS dig, price_c FROM b),
+      |d AS (
+      |  SELECT CASE WHEN ad.key IS NULL THEN 'insert'
+      |              WHEN bd.key IS NULL THEN 'delete'
+      |              WHEN ad.dig <> bd.dig THEN 'update'
+      |              ELSE 'unchanged' END AS change_type,
+      |    COALESCE(ad.key, bd.key) AS key,
+      |    COALESCE(bd.price_c, 0) - COALESCE(ad.price_c, 0) AS delta_c
+      |  FROM ad FULL OUTER JOIN bd ON ad.key = bd.key)
+      |SELECT change_type, COUNT(*) AS n,
+      |  CAST(SUM(delta_c) AS BIGINT) AS sum_delta_c,
+      |  MIN(key) AS min_key, MAX(key) AS max_key
+      |FROM d GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_merge_upsert" -> (q29MergeUpsert _),
     "q30_scd2_history" -> (q30Scd2History _),
     "q31_incremental_agg" -> (q31IncrementalAgg _),
-    "q68_dq_audit" -> (q68DqAudit _))
+    "q68_dq_audit" -> (q68DqAudit _),
+    "q69_snapshot_diff" -> (q69SnapshotDiff _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q29_merge_upsert" -> q29Sql,
     "q30_scd2_history" -> q30Sql,
     "q31_incremental_agg" -> q31Sql,
-    "q68_dq_audit" -> q68Sql)
+    "q68_dq_audit" -> q68Sql,
+    "q69_snapshot_diff" -> q69Sql)
 }

@@ -2066,6 +2066,186 @@ object Similarity {
       |  SELECT iter, lambda FROM l3) u CROSS JOIN tr
       |ORDER BY iter""".stripMargin
 
+  // --------------------------------------------------------------- sim27
+  /** Matryoshka / prefix-dimension retrieval cascade (Kusupati et al.
+    * '22): shortlist by cosine over the FIRST 16 of 64 dims, rerank
+    * only the shortlist at full width, audit recall@3 against the
+    * full-dim exact answer (sim01). This is the two-stage shape
+    * MRL-trained embeddings exist for: at 100 TB the coarse pass scans
+    * a 4×-narrower column (store the prefix as its own column and the
+    * scan bytes drop with it) and the full-width vectors are touched
+    * for only |shortlist| candidates per query — the fine pass is a
+    * broadcast of the 50-row shortlist back to the corpus, never a
+    * second brute-force sweep. Same partial-top-k ranking as sim01
+    * (graft_topk map-side heaps — no ranking windows anywhere). */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val pref = n.withColumn("ep", expr("slice(e, 1, 16)"))
+      .withColumn("nrm_p",
+        sqrt(call_function("graft_vec_dot", col("ep"), col("ep"))))
+      .where(col("nrm_p") > 0)
+    val qp = pref.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("ep").as("eqp"),
+        col("nrm_p").as("nrm_qp"))
+    val cp = pref.select(col("vec_id").as("neighbor_id"),
+      col("ep").as("ecp"), col("nrm_p").as("nrm_cp"))
+    val coarse = broadcast(qp)
+      .join(cp, col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos",
+        call_function("graft_vec_dot", col("eqp"), col("ecp"))
+          / (col("nrm_qp") * col("nrm_cp")))
+    val short = topKPerQuery(coarse, 10, col("pcos"), col("neighbor_id"),
+      Seq("neighbor_id")).select(col("query_id"), col("neighbor_id"))
+    // fine pass: full-width vectors only for the 50 shortlisted pairs
+    val qf = n.where(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("e").as("eq"),
+      col("nrm").as("nrm_q"))
+    val rr = broadcast(short)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), Seq("neighbor_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val reranked = topKPerQuery(rr, 3, col("cosine"), col("neighbor_id"),
+      Seq("neighbor_id")).select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(reranked.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy(col("query_id"))
+  }
+
+  val matryoshkaRecallSql: String = normedCte.stripSuffix("\n") +
+    """,
+      |p AS (
+      |  SELECT vec_id, e, nrm, e[1:16] AS ep,
+      |    sqrt(list_dot_product(e[1:16], e[1:16])) AS nrm_p
+      |  FROM n WHERE sqrt(list_dot_product(e[1:16], e[1:16])) > 0),
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.ep, c.ep) / (q.nrm_p * c.nrm_p)
+      |        DESC, c.vec_id) AS rnk
+      |  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t WHERE rnk <= 10),
+      |rr AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+      |        DESC, s.neighbor_id) AS rnk
+      |  FROM short s
+      |  JOIN n q ON q.vec_id = s.query_id
+      |  JOIN n c ON c.vec_id = s.neighbor_id) t WHERE rnk <= 3),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+      |        DESC, c.vec_id) AS rnk
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t WHERE rnk <= 3)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |  CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS recall
+      |FROM ex e LEFT JOIN rr r
+      |  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
+  // --------------------------------------------------------------- sim28
+  /** Reciprocal-rank fusion (Cormack et al. '09): merge the coarse
+    * prefix-16 ranking with the full-width exact ranking by
+    * rrf = Σ 1/(60+rank) over the lists each candidate appears in,
+    * re-rank by the fused score. RRF is THE standard hybrid-retrieval
+    * merge (BM25 + dense, multi-encoder ensembles) because it needs no
+    * score calibration — only ranks cross the join, so at scale each
+    * ranker ships (query, neighbor, rank) triples, k·|queries| rows,
+    * and the fusion is a full-outer join on those tiny lists, nothing
+    * corpus-sized. Fused arithmetic is two fixed IEEE terms
+    * (1/(60+r)), bit-identical across engines. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val pref = n.withColumn("ep", expr("slice(e, 1, 16)"))
+      .withColumn("nrm_p",
+        sqrt(call_function("graft_vec_dot", col("ep"), col("ep"))))
+      .where(col("nrm_p") > 0)
+    val qp = pref.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("ep").as("eqp"),
+        col("nrm_p").as("nrm_qp"))
+    val coarse = broadcast(qp)
+      .join(pref.select(col("vec_id").as("neighbor_id"),
+          col("ep").as("ecp"), col("nrm_p").as("nrm_cp")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos",
+        call_function("graft_vec_dot", col("eqp"), col("ecp"))
+          / (col("nrm_qp") * col("nrm_cp")))
+    val ra = topKPerQuery(coarse, 10, col("pcos"), col("neighbor_id"),
+      Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_a"))
+    val qf = n.where(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("e").as("eq"),
+      col("nrm").as("nrm_q"))
+    val fine = broadcast(qf)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val rb = topKPerQuery(fine, 10, col("cosine"), col("neighbor_id"),
+      Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_b"))
+    val fused = ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rnk_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rnk_b")), lit(0.0)))
+    topKPerQuery(fused, 3, col("rrf"), col("neighbor_id"),
+        Seq("neighbor_id", "rrf"))
+      .select(col("query_id"), col("neighbor_id"), col("rrf"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val rrfFusionSql: String = normedCte.stripSuffix("\n") +
+    """,
+      |p AS (
+      |  SELECT vec_id, e, nrm, e[1:16] AS ep,
+      |    sqrt(list_dot_product(e[1:16], e[1:16])) AS nrm_p
+      |  FROM n WHERE sqrt(list_dot_product(e[1:16], e[1:16])) > 0),
+      |ra AS (SELECT query_id, neighbor_id, rnk AS rnk_a FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.ep, c.ep) / (q.nrm_p * c.nrm_p)
+      |        DESC, c.vec_id) AS rnk
+      |  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t WHERE rnk <= 10),
+      |rb AS (SELECT query_id, neighbor_id, rnk AS rnk_b FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+      |        DESC, c.vec_id) AS rnk
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5) t WHERE rnk <= 10),
+      |fused AS (
+      |  SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+      |    COALESCE(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+      |    COALESCE(1.0 / (60.0 + rnk_a), 0.0)
+      |      + COALESCE(1.0 / (60.0 + rnk_b), 0.0) AS rrf
+      |  FROM ra FULL OUTER JOIN rb
+      |    ON rb.query_id = ra.query_id
+      |    AND rb.neighbor_id = ra.neighbor_id)
+      |SELECT query_id, neighbor_id, rrf, rnk FROM (
+      |  SELECT query_id, neighbor_id, rrf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM fused) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sim01_cosine_topk" -> (cosineTopK _),
     "sim02_lsh_ann" -> (lshAnn _),
@@ -2092,7 +2272,9 @@ object Similarity {
     "sim23_binary_hamming" -> (binaryHamming _),
     "sim24_kmeans_lloyd" -> (kmeansLloyd _),
     "sim25_pagerank" -> (pageRank _),
-    "sim26_power_iteration" -> (powerIteration _))
+    "sim26_power_iteration" -> (powerIteration _),
+    "sim27_matryoshka_recall" -> (matryoshkaRecall _),
+    "sim28_rrf_fusion" -> (rrfFusion _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2120,5 +2302,7 @@ object Similarity {
     "sim23_binary_hamming" -> binaryHammingSql,
     "sim24_kmeans_lloyd" -> kmeansLloydSql,
     "sim25_pagerank" -> pageRankSql,
-    "sim26_power_iteration" -> powerIterationSql)
+    "sim26_power_iteration" -> powerIterationSql,
+    "sim27_matryoshka_recall" -> matryoshkaRecallSql,
+    "sim28_rrf_fusion" -> rrfFusionSql)
 }

@@ -2062,6 +2062,46 @@ object TextAnalysis {
       |CROSS JOIN tot
       |ORDER BY vocab_k""".stripMargin
 
+  // -------------------------------------------------------------- txt36
+  /** BPE merge statistics — the inner loop of tokenizer training: the
+    * frequency of every ADJACENT symbol pair, weighted by pretoken
+    * frequency, top-20 merge candidates. The load-bearing scale move
+    * is the classic one from the original BPE-training formulation
+    * (Sennrich et al. '16): collapse the corpus to its pretoken VOCAB
+    * first (Heaps' law — sublinearly many distinct pretokens), then
+    * count pairs over vocab entries × their counts. At 100 TB the
+    * corpus-sized stage is ONE (pretoken → count) hash-agg whose key
+    * cardinality is the vocab, the pair explosion happens on the vocab
+    * only, and the top-20 is a TakeOrdered partial heap — a merge
+    * round never re-touches the corpus. Starting symbols are single
+    * chars (round 0 of the merge loop). */
+  def bpeMergeStats(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    vocab.where(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  val bpeMergeStatsSql: String =
+    """WITH vocab AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+      |    FROM documents) t
+      |  GROUP BY tok),
+      |pairs AS (
+      |  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, cnt
+      |  FROM vocab, UNNEST(range(1, length(tok))) AS u(i)
+      |  WHERE length(tok) >= 2)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -2097,7 +2137,8 @@ object TextAnalysis {
     "txt32_kmv_overlap" -> (kmvOverlap _),
     "txt33_temperature_mix" -> (temperatureMix _),
     "txt34_linear_probe" -> (linearProbeGd _),
-    "txt35_vocab_coverage" -> (vocabCoverage _))
+    "txt35_vocab_coverage" -> (vocabCoverage _),
+    "txt36_bpe_merge_stats" -> (bpeMergeStats _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2134,5 +2175,6 @@ object TextAnalysis {
     "txt32_kmv_overlap" -> kmvOverlapSql,
     "txt33_temperature_mix" -> temperatureMixSql,
     "txt34_linear_probe" -> linearProbeGdSql,
-    "txt35_vocab_coverage" -> vocabCoverageSql)
+    "txt35_vocab_coverage" -> vocabCoverageSql,
+    "txt36_bpe_merge_stats" -> bpeMergeStatsSql)
 }

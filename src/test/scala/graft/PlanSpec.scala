@@ -743,4 +743,87 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       s"sample scan reads more than (doc_id, lang):\n$p")
   }
+
+  test("op14: priority top-k is TakeOrderedAndProject (per-partition " +
+    "heaps) — no global sort, no corpus shuffle") {
+    val p = plan("op14_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"op14 top-(k+1) is not a partial top-k:\n$p")
+    // the corpus never exchanges: the only allowed moves are the k+1-row
+    // TakeOrdered gather and the broadcast of the 1-row tau aggregate
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"op14 shuffles the corpus:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"op14 scan reads more than (doc_id, n_chars):\n$p")
+  }
+
+  test("q69: the diff is ONE digest-narrow full-outer join on the key " +
+    "— no cartesian, both sides map-side digested") {
+    val df = SparkEntry.queries("q69_snapshot_diff")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"q69 lost the full-outer diff:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q69 fell back to a nested loop:\n$p")
+    // orders is read with exactly the 3 columns the digest needs
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"q69 scan is not pruned to the diffed columns:\n$p")
+  }
+
+  test("q70: the skyline is the sort-based reduction — one brand " +
+    "exchange reused by level-agg and window, survivors broadcast " +
+    "back, never a pairwise self-join") {
+    val p = plan("q70_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q70 fell back to the quadratic formulation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q70 survivors not broadcast back:\n$p")
+    assert(p.contains("Window"), s"q70 lost the window pass:\n$p")
+    // two hash exchanges only: the level side's repartition(brand)
+    // (reused by the (brand,price) aggregate AND the brand window —
+    // subset partitioning satisfies both), and the audit aggregate
+    // above the join, which carries only skyline survivors. The probe
+    // side below the join must stream straight off the scan.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 2,
+      s"q70 expected 2 hash exchanges (levels + survivor audit), got $hashEx:\n$p")
+    val probeSide = p.split("BroadcastHashJoin").last
+      .split("BroadcastExchange").head
+    assert(!probeSide.contains("Exchange"),
+      s"q70 probe side shuffles before the broadcast join:\n$p")
+  }
+
+  test("sim27: cascade ranks with partial top-k heaps, never a ranking " +
+    "window; the shortlist rejoins by broadcast") {
+    val p = plan("sim27_matryoshka_recall")
+    assert(p.contains("ObjectHashAggregate"),
+      s"sim27 lost the graft_topk partial heaps:\n$p")
+    assert(!p.contains("Window"),
+      s"sim27 ranks through a window (one task per query at scale):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sim27 shortlist rejoin is not broadcast:\n$p")
+  }
+
+  test("sim28: fusion joins two k-row rank lists — the fused stage " +
+    "never touches corpus-sized data and ranks without a window") {
+    val p = plan("sim28_rrf_fusion")
+    assert(p.contains("FullOuter"), s"sim28 lost the rank-list fusion:\n$p")
+    assert(!p.contains("Window"),
+      s"sim28 ranks through a window:\n$p")
+  }
+
+  test("txt36: pair stats run over the vocab, not the corpus — corpus " +
+    "stage is one hash-agg off a text-only pruned scan; top-20 is a " +
+    "partial-heap TakeOrdered") {
+    val p = plan("txt36_bpe_merge_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"txt36 top-20 is a global sort:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"txt36 scan reads more than text:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 2,
+      s"txt36 expected 2 exchanges (vocab agg + pair agg), got $hashEx:\n$p")
+  }
 }
