@@ -1635,6 +1635,131 @@ object Advanced {
       |GROUP BY p_brand, price_c, size
       |ORDER BY p_brand, price_c""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Row-pattern recognition (the MATCH_RECOGNIZE subset Spark lacks):
+    * per user, maximal runs of strictly-ascending `value` (pattern
+    * `UP{2,}` — the canonical rising-ticks example), reported as
+    * qualifying-run count, longest run, and best run gain. Classic
+    * gaps-and-islands: one lag pass marks run breaks, a running sum
+    * mints run ids, runs aggregate per (user, run).
+    *
+    * Scale: ONE hash exchange on user_id serves everything — both
+    * windows, the (user, run) aggregate (subset partitioning), and the
+    * final per-user rollup; plan-pinned. Direction tests compare the
+    * raw doubles (no arithmetic, engine-identical by construction);
+    * the only float arithmetic is one max−min subtraction per run. */
+  def q71PatternRuns(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val runs = e
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_v").isNull || col("value") <= col("prev_v"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("len"),
+        // the run is ascending, so first = min(value), last = max(value)
+        (max(col("value")) - min(col("value"))).as("gain"))
+    runs.where(col("len") >= 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_len"),
+        max(col("gain")).as("best_gain"))
+      .orderBy(col("user_id"))
+  }
+
+  val q71Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(value) OVER w IS NULL
+      |    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |r AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run_id, COUNT(*) AS len,
+      |    MAX(value) - MIN(value) AS gain
+      |  FROM r GROUP BY user_id, run_id)
+      |SELECT user_id, COUNT(*) AS n_runs, MAX(len) AS max_len,
+      |  MAX(gain) AS best_gain
+      |FROM runs WHERE len >= 3
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Time-series decomposition of daily revenue into trend + weekly
+    * seasonal + residual — the drift/seasonality audit a pipeline runs
+    * over its ingest volumes before alerting on anomalies. Trend is a
+    * centered 7-day moving average; seasonal is the per-weekday mean
+    * deviation from trend; residual is what's left.
+    *
+    * Scale: the corpus-sized stage is the one day-keyed revenue
+    * aggregate (map-side partials); every window and join after it
+    * runs on the |days|-row derived series — bounded by the calendar,
+    * not the corpus, so the single-partition ordered window is O(days)
+    * at any data size. Determinism: daily revenue is an exact decimal
+    * cents BIGINT; trend is one BIGINT÷count division; deviations are
+    * micro-quantized to BIGINT before the per-weekday sum (a raw
+    * double sum is partition-order-dependent — the txt22 lesson), so
+    * the seasonal means are order-independent and engine-identical. */
+  def q72SeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(dec)) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("rev_c"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("trend",
+        sum(col("rev_c")).over(w7).cast(DoubleType)
+          / count(lit(1)).over(w7))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast(IntegerType))
+      .withColumn("dev_u",
+        round((col("rev_c") - col("trend")) * 1000000L)
+          .cast(org.apache.spark.sql.types.LongType))
+    val seasonal = t.groupBy(col("dow"))
+      .agg(sum(col("dev_u")).as("sdev"), count(lit(1)).as("n"))
+      .select(col("dow"),
+        (col("sdev").cast(DoubleType) / (lit(1000000.0) * col("n")))
+          .as("seasonal"))
+    t.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("rev_c"), col("trend"), col("dow"),
+        col("seasonal"),
+        (col("dev_u").cast(DoubleType) / 1000000.0 - col("seasonal"))
+          .as("residual"))
+      .orderBy(col("day"))
+  }
+
+  val q72Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, rev_c,
+      |    CAST(SUM(rev_c) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+      |    CAST(dayofweek(day) AS INTEGER) AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |d AS (
+      |  SELECT *, CAST(ROUND((rev_c - trend) * 1000000) AS BIGINT) AS dev_u
+      |  FROM t),
+      |s AS (
+      |  SELECT dow, CAST(SUM(dev_u) AS BIGINT) AS sdev, COUNT(*) AS n
+      |  FROM d GROUP BY dow)
+      |SELECT d.day, d.rev_c, d.trend, d.dow,
+      |  CAST(s.sdev AS DOUBLE) / (1000000.0 * s.n) AS seasonal,
+      |  CAST(d.dev_u AS DOUBLE) / 1000000.0
+      |    - CAST(s.sdev AS DOUBLE) / (1000000.0 * s.n) AS residual
+      |FROM d JOIN s USING (dow)
+      |ORDER BY d.day""".stripMargin
+
   // ----------------------------------------------------------- registry
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
@@ -1673,7 +1798,9 @@ object Advanced {
     "q65_percentile_disc" -> (q65PercentileDisc _),
     "q66_hint_join" -> (q66HintJoin _),
     "q67_k_anonymity" -> (q67KAnonymity _),
-    "q70_skyline" -> (q70Skyline _))
+    "q70_skyline" -> (q70Skyline _),
+    "q71_pattern_runs" -> (q71PatternRuns _),
+    "q72_seasonal_decompose" -> (q72SeasonalDecompose _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1712,5 +1839,7 @@ object Advanced {
     "q65_percentile_disc" -> q65Sql,
     "q66_hint_join" -> q66Sql,
     "q67_k_anonymity" -> q67Sql,
-    "q70_skyline" -> q70Sql)
+    "q70_skyline" -> q70Sql,
+    "q71_pattern_runs" -> q71Sql,
+    "q72_seasonal_decompose" -> q72Sql)
 }
