@@ -129,10 +129,67 @@ object Bench {
       out
     }
     val byName = Seq(onePass("p1"), onePass("p2")).map(_.toMap)
-    val results = names.map { name =>
-      val sec = byName.flatMap(_.apply(name)) match {
+    val mins0 = names.map { name =>
+      name -> (byName.flatMap(_.apply(name)) match {
         case Nil => -1.0
         case ss => ss.min
+      })
+    }.toMap
+    // ESCALATION PASS (round-13 lesson): min-of-2 failed once — a bursty
+    // co-tenant window hit the SAME queries in both passes (passes run
+    // in registry order, so a query lands at correlated wall-clock
+    // offsets) while the interleaved probe stayed quiet, and txt26-30
+    // shipped 12-25× their real cost with no flag. The defense is an
+    // EXPECTATION: the previous committed record (bench_last.json,
+    // written by the prior invocation). Any query whose min-of-2
+    // exceeds 3× its prior record (and isn't sub-half-second noise)
+    // gets a THIRD measurement at a different wall-clock offset:
+    //  - third run ≤ prior×3 ⇒ the 2-pass min was contamination; the
+    //    record keeps the third-pass value and lists the key under
+    //    `contaminated` (measured, then disproved);
+    //  - third run still >3× prior ⇒ a real regression or persistent
+    //    contention; the key lands in `suspect` so the round's
+    //    adjudication note has an explicit worklist instead of a diff
+    //    nobody runs.
+    val prior: Map[String, Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/bench_last.json")))
+        .path("queries")
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+    } catch { case _: Throwable => Map.empty }
+    def prefix(n: String): String = n.takeWhile(_ != '_')
+    val escalate = names.filter { n =>
+      val m = mins0(n)
+      m > 0.5 && prior.get(prefix(n)).exists(p => p > 0 && m > 3 * p)
+    }
+    val thirds: Map[String, Double] = escalate.map { n =>
+      val t0 = System.nanoTime()
+      val ok = try {
+        selected(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      resetCaches()
+      System.err.println(f"[bench] p3 $n%-24s $sec%8.2f s (escalated: " +
+        f"min2 ${mins0(n)}%.2f vs prior ${prior(prefix(n))}%.2f)")
+      n -> (if (ok) sec else -1.0)
+    }.toMap
+    val contaminated = escalate.filter(n =>
+      thirds(n) > 0 && thirds(n) <= 3 * prior(prefix(n)))
+    val suspect = escalate.filterNot(contaminated.contains)
+    if (contaminated.nonEmpty)
+      System.err.println("[bench] CONTAMINATED (2-pass min disproved by " +
+        s"pass 3, record keeps pass 3): ${contaminated.mkString(", ")}")
+    if (suspect.nonEmpty)
+      System.err.println("[bench] SUSPECT (>3x prior record, reproduced " +
+        s"on pass 3 — adjudicate): ${suspect.mkString(", ")}")
+    val results = names.map { name =>
+      val sec = (mins0(name), thirds.get(name)) match {
+        case (m, Some(t)) if t > 0 && (m < 0 || t < m) => t
+        case (m, _) => m
       }
       System.err.println(f"[bench] min $name%-24s $sec%8.2f s")
       name -> sec
@@ -206,10 +263,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val seamBuildTotal = num(seamBuilds.map(_._2).sum)
-    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"stream_total":${num(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build":$seamBuildJson,"seam_build_total":$seamBuildTotal,"sf":"$sfName"}"""
+    // Escalation disclosure: which keys got a third pass and why. The
+    // full sidecar carries the pass-3 observations; the stdout twin
+    // carries the verdict lists (short — normally empty).
+    def keyList(ks: Seq[String]): String =
+      ks.map(k => "\"" + prefix(k) + "\"").mkString("[", ",", "]")
+    val thirdsJson = thirds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + prefix(k) + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val escJson = s""""p3":$thirdsJson,"contaminated":${keyList(contaminated)},"suspect":${keyList(suspect)}"""
+    val escStdout = s""""contaminated":${keyList(contaminated)},"suspect":${keyList(suspect)}"""
+    val record = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"stream_total":${num(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":$qs,"probe":$probeJson,"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,$escJson,"seam_cache":true,"seam_build":$seamBuildJson,"seam_build_total":$seamBuildTotal,"sf":"$sfName"}"""
     // stdout twin: identical shape, shaved to survive the tail window
     // (coarser per-query precision, probe observations sidecar-only).
-    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num2(batchTotal)},"stream_total":${num2(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,"seam_cache":true,"seam_build_total":$seamBuildTotal,"sf":"$sfName","full_record":"bench_last.json"}"""
+    val stdoutRecord = s"""{"metric":"total","value":${num(total)},"unit":"sec","batch_total":${num2(batchTotal)},"stream_total":${num2(streamTotal)},"n":${results.size},"failed":$nFailed,"keys":"registry-id prefixes","queries":${qsJson(num2)},"probe_ratio":$ratioJson,"probe_dead":$probeDead,"load_avg":$loadJson,"contended":$contended,$escStdout,"seam_cache":true,"seam_build_total":$seamBuildTotal,"sf":"$sfName","full_record":"bench_last.json"}"""
     // The harness keeps only a bounded TAIL of the run's output; at 152
     // queries the record overflows it (BENCH_r08 `parsed: null` — the
     // tail starts mid-record because Spark's shutdown logging lands
@@ -218,9 +285,15 @@ object Bench {
     // read; (2) stop Spark FIRST so the record is the very last thing
     // the process emits and the tail window can't lose its head to
     // shutdown noise.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Only a FULL-registry run may replace the sidecar: a filtered
+    // iteration run would otherwise clobber the full record that serves
+    // as (a) the judge's artifact and (b) the escalation pass's prior.
+    if (wanted.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else
+      System.err.println("[bench] filtered run — bench_last.json not replaced")
     spark.stop()
     // the fresh-per-run seam dir would otherwise accumulate in /tmp
     def rmTree(f: java.io.File): Unit = {

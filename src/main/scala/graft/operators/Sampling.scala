@@ -109,7 +109,12 @@ object Sampling {
     // k-vs-k+1 boundary is deterministic even under priority ties.
     val top = pr.orderBy(col("priority").desc, col("doc_id"))
       .limit(PriorityK + 1)
-    val tau = top.agg(min(col("priority")).as("tau"))
+    // DLT defines τ = the (k+1)-th priority ONLY when one exists; with
+    // ≤ k rows the whole table is the sample and τ = 0 (ŵ = w exactly —
+    // min-of-all-priorities here would overestimate every weight).
+    val tau = top.agg(
+      when(count(lit(1)) === (PriorityK + 1), min(col("priority")))
+        .otherwise(lit(0L)).as("tau"))
     top.crossJoin(broadcast(tau))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(PriorityK)
@@ -127,7 +132,8 @@ object Sampling {
        |top AS (
        |  SELECT * FROM pr
        |  ORDER BY priority DESC, doc_id LIMIT ${PriorityK + 1}),
-       |tau AS (SELECT MIN(priority) AS tau FROM top)
+       |tau AS (SELECT CASE WHEN COUNT(*) = ${PriorityK + 1}
+       |  THEN MIN(priority) ELSE 0 END AS tau FROM top)
        |SELECT doc_id, n_chars, priority,
        |  GREATEST(n_chars, tau) AS est_weight
        |FROM top, tau

@@ -309,9 +309,11 @@ object Maintenance {
     * between a table and its restatement (or a replica) before
     * trusting an incremental feed. "Today's" snapshot is simulated
     * deterministically from the base table (key%13 deleted, key%7
-    * price-bumped 500¢ + status-forced 'F', every key%50 cloned to
-    * key+10M as an insert), so both engines construct byte-identical
-    * inputs with no side files.
+    * price-bumped 500¢ + status-forced 'F', every key%50 cloned past
+    * max(key) as an insert — the offset is a data-derived broadcast
+    * scalar, so cloned keys can never collide with real orderkeys at
+    * any SF), so both engines construct byte-identical inputs with no
+    * side files.
     *
     * Plan shape at scale: each side reduces to (key, digest, price)
     * MAP-SIDE — md5 over the canonicalized attribute string — then ONE
@@ -334,8 +336,10 @@ object Maintenance {
         when(col("key") % 7 === 0, col("price_c") + 500)
           .otherwise(col("price_c")).as("price_c"))
       .unionAll(base.where(col("key") % 50 === 0)
-        .select(col("key") + 10000000L, lit("N").as("status"),
-          lit(999900L).as("price_c")))
+        .crossJoin(broadcast(
+          base.agg((max(col("key")) + 1L).as("ins_off"))))
+        .select((col("key") + col("ins_off")).as("key"),
+          lit("N").as("status"), lit(999900L).as("price_c")))
     def digested(df: DataFrame, side: String): DataFrame = df.select(
       col("key").as(s"${side}_key"),
       md5(concat_ws("|", col("status"), col("price_c").cast("string")))
@@ -370,7 +374,8 @@ object Maintenance {
       |      AS price_c
       |  FROM a WHERE key % 13 <> 0
       |  UNION ALL
-      |  SELECT key + 10000000, 'N', 999900 FROM a WHERE key % 50 = 0),
+      |  SELECT key + (SELECT MAX(key) + 1 FROM a), 'N', 999900
+      |  FROM a WHERE key % 50 = 0),
       |ad AS (SELECT key, md5(status || '|' || CAST(price_c AS VARCHAR))
       |         AS dig, price_c FROM a),
       |bd AS (SELECT key, md5(status || '|' || CAST(price_c AS VARCHAR))

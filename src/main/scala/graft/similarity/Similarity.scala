@@ -593,8 +593,26 @@ object Similarity {
     * with n groups (one per vector) instead of 5, the map-side
     * partial reduction is doing its real job: the shuffle carries
     * ≤ k×partitions rows per VECTOR, never a scored candidate set. */
-  def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d)
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnCore(s, normed(s, d), 2)
+
+  /** The sim08 operator over ANY raw (vec_id, embedding ARRAY<FLOAT>)
+    * frame — the entry point SkewBench drives at 10⁵–10⁶ vectors to
+    * measure the O(n^1.5) claim against brute force (the registry gate
+    * runs the identical pipeline via [[knnGraph]]). */
+  private[graft] def knnGraphOn(s: SparkSession, vecs: DataFrame,
+      k: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val n = vecs
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+      .where(col("nrm") > 0)
+    knnCore(s, n, k)
+  }
+
+  private def knnCore(s: SparkSession, n: DataFrame, k: Int): DataFrame = {
     val assigned = assignCells(n, centroids(s, n))
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
@@ -606,7 +624,7 @@ object Similarity {
       .withColumn("cosine",
         call_function("graft_vec_dot", col("eq"), col("ec"))
           / (col("nrm_q") * col("nrm_c")))
-    topKPerQuery(scored, 2, col("cosine"), col("neighbor_id"),
+    topKPerQuery(scored, k, col("cosine"), col("neighbor_id"),
         Seq("neighbor_id", "cosine"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rnk"))
