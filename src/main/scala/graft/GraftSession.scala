@@ -20,7 +20,19 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (every TypedImperativeAggregate: graft_topk,
+      // Misra-Gries, KMV, bloom) falls back to SORT-based aggregation
+      // once a partition sees >128 distinct keys — Spark's default
+      // protects unbounded buffers (collect_list) from OOM, but ours
+      // are all bounded-state by design (k-heaps, fixed sketch widths),
+      // and the fallback is catastrophic where the partial aggregate is
+      // the whole point: sim08's 1M-vector kNN graph sorted its 10⁹-row
+      // scored candidate set to disk (~80 GB spill, measured round 14)
+      // instead of heap-folding it to ≤k rows per key. 4M keys ×
+      // bounded buffers is a few hundred MB per partition — hash stays
+      // the right engine at any corpus size.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cores).getOrCreate()

@@ -139,11 +139,87 @@ object Sampling {
        |FROM top, tau
        |ORDER BY priority DESC, doc_id LIMIT ${PriorityK}""".stripMargin
 
+  /** Per-stratum sample size for op15 — bounded per group. */
+  val GroupK = 20
+
+  /** op15 — GROUPWISE priority sampling: op14's DLT estimator run
+    * independently per language — fixed k docs AND an unbiased
+    * per-stratum Σweight estimate from one pass, the per-source quota
+    * table a mixing pipeline actually wants (op12 fixes the RATE per
+    * stratum; this fixes the COUNT and still estimates the mass).
+    *
+    * Plan shape at scale: priorities are map-side arithmetic (same
+    * engine-neutral hash as op12/op14); the per-lang (k+1)-selection
+    * is the bounded-heap `graft_topk` aggregate — map-side partials
+    * reduce every partition to ≤ k+1 rows per lang BEFORE the shuffle,
+    * so there is NO ranking window and nothing corpus-sized moves
+    * (the op14 TakeOrderedAndProject trick can't group; the heap
+    * aggregate is its groupwise generalization). τ per lang = the
+    * (k+1)-th priority when one exists, else 0 (the op14 small-stratum
+    * guard). Priorities ≤ max(n_chars)·HashMod < 2^53 stay exact
+    * through graft_topk's double score, so the heap order equals the
+    * oracle's integer ordering bit-for-bit. The oracle spells the
+    * INDEPENDENT window-ranked formulation. */
+  def groupPrioritySample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val mulRed = 2654435761L % HashMod
+    val k = GroupK
+    val heaps = docs
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr(s"n_chars * $HashMod div " +
+          s"((doc_id % $HashMod * $mulRed + 99991) % $HashMod + 1)")
+          .as("priority"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_topk", col("priority").cast("double"),
+        col("doc_id"),
+        struct(col("doc_id"), col("n_chars"), col("priority")),
+        lit(k + 1)).as("topk"))
+    heaps
+      .withColumn("tau",
+        when(size(col("topk")) === k + 1,
+          element_at(col("topk"), k + 1).getField("priority"))
+          .otherwise(lit(0L)))
+      .select(col("lang"), col("tau"), posexplode(col("topk")))
+      .where(col("pos") < k)
+      .select(col("lang"), col("col.doc_id").as("doc_id"),
+        col("col.n_chars").as("n_chars"),
+        col("col.priority").as("priority"),
+        greatest(col("col.n_chars"), col("tau")).as("est_weight"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.IntegerType)
+          .as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val groupPrioritySampleSql: String =
+    s"""WITH pr AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    n_chars * ${HashMod} //
+       |      ((doc_id % ${HashMod} * (2654435761 % ${HashMod})
+       |        + 99991) % ${HashMod} + 1) AS priority
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY priority DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM pr),
+       |tau AS (
+       |  SELECT lang,
+       |    COALESCE(MAX(CASE WHEN rnk = ${GroupK + 1} THEN priority END),
+       |      0) AS tau
+       |  FROM r WHERE rnk <= ${GroupK + 1} GROUP BY lang)
+       |SELECT r.lang, doc_id, n_chars, priority,
+       |  GREATEST(n_chars, tau) AS est_weight, rnk
+       |FROM r JOIN tau USING (lang)
+       |WHERE rnk <= ${GroupK}
+       |ORDER BY r.lang, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("op12_stratified_sample" -> (stratifiedSample _),
-      "op14_priority_sample" -> (prioritySample _))
+      "op14_priority_sample" -> (prioritySample _),
+      "op15_group_priority_sample" -> (groupPrioritySample _))
 
   val oracles: Seq[(String, String)] =
     Seq("op12_stratified_sample" -> stratifiedSampleSql,
-      "op14_priority_sample" -> prioritySampleSql)
+      "op14_priority_sample" -> prioritySampleSql,
+      "op15_group_priority_sample" -> groupPrioritySampleSql)
 }

@@ -2102,6 +2102,108 @@ object TextAnalysis {
       |FROM pairs GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- txt37
+  /** txt37 — REPETITION filter (the Gopher/MassiveText "repetitive
+    * document" rules, Rae et al. §A1.1, restated for a line-less
+    * corpus): per document, the duplicate word-5-gram occurrence
+    * fraction and the top-bigram share, each in exact integer ppm, and
+    * a repetitive/ok verdict — the degenerate-text gate (loops,
+    * keyword-stuffed spam, template churn) every pretraining pipeline
+    * runs between language-ID and quality scoring.
+    *
+    * Scale shape: the dd21 lesson applied — words POSEXPLODE to rows
+    * (never chained array HOFs, whose collapsed Project re-inlines
+    * earlier lambdas multiplicatively); both n-gram hashes are lead()
+    * arithmetic over ONE doc-keyed sort, and every aggregate after it
+    * is doc-keyed (subset partitioning — the doc_id exchange is paid
+    * once). Word hashes are the dd21 31-polyhash mod 1000003
+    * (engine-identical explicit arithmetic; collisions can only merge
+    * grams the same way in both engines). All-integer ppm via `div`
+    * (operands nonnegative ⇒ floor = truncate in both engines). Docs
+    * under 5 words carry no 5-gram and are excluded, by convention.
+    * The oracle spells the INDEPENDENT list-comprehension formulation
+    * (DuckDB list_transform over word arrays), cross-checking the
+    * window algebra. Thresholds (300000 dup-5-gram ppm / 69000
+    * top-bigram ppm) sit at the fixture's p90 so the gate pins BOTH
+    * verdict classes. */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val P = 1000003L
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
+      .withColumn("wh", expr(
+        s"""aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+           |  (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % $P)"""
+          .stripMargin))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = words
+      .withColumn("l1", lag(col("wh"), -1).over(byPos))
+      .withColumn("l2", lag(col("wh"), -2).over(byPos))
+      .withColumn("l3", lag(col("wh"), -3).over(byPos))
+      .withColumn("l4", lag(col("wh"), -4).over(byPos))
+      .withColumn("bg", (col("wh") * 31L + col("l1")) % P)
+      .withColumn("g5",
+        (col("wh") * 923521L + col("l1") * 29791L + col("l2") * 961L +
+          col("l3") * 31L + col("l4")) % P)
+    val dup5 = g.where(col("g5").isNotNull)
+      .groupBy(col("doc_id"), col("g5")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"))
+    val top2 = g.where(col("bg").isNotNull)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
+    dup5.join(top2, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams").cast(LongType).as("n_grams"),
+        expr("dup_occ * 1000000 div n_grams").as("dup5_ppm"),
+        expr("top_c * 1000000 div n_bigrams").as("top2_ppm"))
+      .withColumn("verdict",
+        when(col("dup5_ppm") > 300000L || col("top2_ppm") > 69000L,
+          "repetitive").otherwise("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionFilterSql: String =
+    """WITH w1 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |w2 AS (
+      |  SELECT doc_id, list_transform(ws, w ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(w) + 1), i ->
+      |          CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000003)) AS whs
+      |  FROM w1),
+      |bg AS (
+      |  SELECT doc_id, (whs[i] * 31 + whs[i + 1]) % 1000003 AS b
+      |  FROM w2, unnest(range(1, len(whs))) AS t(i) WHERE len(whs) >= 2),
+      |g5 AS (
+      |  SELECT doc_id, (whs[i] * 923521 + whs[i + 1] * 29791 +
+      |    whs[i + 2] * 961 + whs[i + 3] * 31 + whs[i + 4]) % 1000003 AS g
+      |  FROM w2, unnest(range(1, len(whs) - 3)) AS t(i)
+      |  WHERE len(whs) >= 5),
+      |d5 AS (
+      |  SELECT doc_id, SUM(c) AS n_grams,
+      |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |t2 AS (
+      |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c
+      |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |    CAST(dup_occ * 1000000 // n_grams AS BIGINT) AS dup5_ppm,
+      |    CAST(top_c * 1000000 // n_bigrams AS BIGINT) AS top2_ppm
+      |  FROM d5 JOIN t2 USING (doc_id))
+      |SELECT doc_id, n_grams, dup5_ppm, top2_ppm,
+      |  CASE WHEN dup5_ppm > 300000 OR top2_ppm > 69000
+      |    THEN 'repetitive' ELSE 'ok' END AS verdict
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -2138,7 +2240,8 @@ object TextAnalysis {
     "txt33_temperature_mix" -> (temperatureMix _),
     "txt34_linear_probe" -> (linearProbeGd _),
     "txt35_vocab_coverage" -> (vocabCoverage _),
-    "txt36_bpe_merge_stats" -> (bpeMergeStats _))
+    "txt36_bpe_merge_stats" -> (bpeMergeStats _),
+    "txt37_repetition" -> (repetitionFilter _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2176,5 +2279,6 @@ object TextAnalysis {
     "txt33_temperature_mix" -> temperatureMixSql,
     "txt34_linear_probe" -> linearProbeGdSql,
     "txt35_vocab_coverage" -> vocabCoverageSql,
-    "txt36_bpe_merge_stats" -> bpeMergeStatsSql)
+    "txt36_bpe_merge_stats" -> bpeMergeStatsSql,
+    "txt37_repetition" -> repetitionFilterSql)
 }
