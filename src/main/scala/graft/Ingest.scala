@@ -127,10 +127,41 @@ object Ingest {
             val dead = StreamPipeline.deadLetters(batch)
             if (!dead.isEmpty) dead.write.mode("append").parquet(d)
           }
+          // retention (the reference's XDEL-after-insert,
+          // consumer.py:164-171, moved to the SAFE side of the commit):
+          // drop whole segments below the last COMMITTED batch's start
+          // offset — never this batch's, which isn't durable until this
+          // function returns. Retention, not correctness (QueueLog.trim
+          // keeps the newest segment as the id high-water mark); single
+          // consumer owns the queue directory, like the reference.
+          committedQueueOffset(qid)
+            .foreach(off => QueueLog.trim(cfg.queueDir, off))
         } finally { batch.unpersist(); () }
       }
       .start()
   }
+
+  /** The queue offset of the latest COMMITTED micro-batch, read from
+    * the query's own checkpoint (commits/N marks batch N durable;
+    * offsets/N holds its end offset — one line per source, the
+    * graft-queue one is `{"seg":…,"line":…}`). Absent until the first
+    * batch commits, or when the checkpoint layout is unrecognized —
+    * trimming then just waits; it can never run ahead of the commit. */
+  private[graft] def committedQueueOffset(
+      checkpoint: String): Option[graft.streaming.QueueOffset] =
+    try {
+      val commits = new java.io.File(s"$checkpoint/commits").listFiles()
+      val last = Option(commits).getOrElse(Array.empty)
+        .flatMap(f => f.getName.toLongOption).sorted.lastOption
+      last.flatMap { id =>
+        scala.jdk.CollectionConverters.CollectionHasAsScala(
+          java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"$checkpoint/offsets/$id")))
+          .asScala
+          .find(_.contains("\"seg\""))
+          .map(graft.streaming.QueueOffset.parse)
+      }
+    } catch { case _: Throwable => None }
 
   /** Resolve the subscription: static `--tickers` wins; otherwise signed
     * discovery against `--api-base` (A1's live half) — a driver-side,

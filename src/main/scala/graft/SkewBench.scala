@@ -399,30 +399,39 @@ object SkewBench {
       def cellPairs(vecs: DataFrame): DataFrame =
         graft.similarity.Similarity.knnGraphOn(spark, vecs)
           .select(col("query_id"), col("neighbor_id"))
-      var smallBrutePerDot = 0.0
       for (m <- Seq(20000L, 60000L)) {
         val vDir = s"/tmp/graft-skew-knn-$m"
         generateVecs(spark, vDir, m)
         val vecs = spark.read.parquet(vDir)
         val (cellRows, cellSec) = run(cellPairs(vecs))
         val (brRows, brSec) = run(bruteGraph(vecs))
-        smallBrutePerDot = brSec / (m.toDouble * m)
         val exact = brRows.toSet
         val recall = cellRows.count(exact.contains).toDouble / brRows.size
         require(recall >= 0.5,
           f"cell-blocked kNN recall $recall%.2f < 0.5 at n=$m")
         println(f"""{"metric":"knn_crossover","vectors":$m,"cell_sec":$cellSec%.2f,"brute_sec":$brSec%.2f,"speedup":${brSec / cellSec}%.2f,"recall_top2":$recall%.3f,"note":"sim08 cell-blocked O(n^1.5) vs brute O(n^2), same graft_topk ranking"}""")
       }
+    }
+
+    // 1M-vector cell-only point (its own family: needs a bigger driver
+    // heap — SPARK_DRIVER_MEM=64g — and must not force a re-run of the
+    // 20-minute 60k brute arm above; the brute cost at this size is a
+    // PROJECTION from the measured crossover, stated in BASELINE.md,
+    // not a run).
+    if (want("knnbig")) {
+      graft.functions.GraftFunctions.register(spark)
+      def cellPairsB(vecs: DataFrame): DataFrame =
+        graft.similarity.Similarity.knnGraphOn(spark, vecs)
+          .select(col("query_id"), col("neighbor_id"))
       val big = math.max(1000000L, n / 4)
       val bDir = s"/tmp/graft-skew-knn-$big"
       generateVecs(spark, bDir, big)
       val bigVecs = spark.read.parquet(bDir)
       val (bigRows, bigSec) = run(
-        cellPairs(bigVecs).groupBy()
+        cellPairsB(bigVecs).groupBy()
           .agg(count(lit(1)).as("n_edges"),
             sum(col("neighbor_id")).cast("long").as("edge_sum")))
-      val projBrute = smallBrutePerDot * big.toDouble * big
-      println(f"""{"metric":"knn_scale","vectors":$big,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","projected_brute_sec":$projBrute%.0f,"projection":"measured 60k brute sec/dot x n^2 — disclosed extrapolation, not a run","note":"sim08 at the 1M-vector scale point"}""")
+      println(f"""{"metric":"knn_scale","vectors":$big,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","note":"sim08 cell-blocked kNN graph at the 1M-vector scale point; brute at this n is projected in BASELINE.md from the measured 60k crossover"}""")
     }
 
     // --- native as-of merge loop: whole-stage codegen ON vs OFF at a

@@ -104,6 +104,16 @@ class IngestSpec extends AnyFunSuite {
       val letters = spark.read.parquet(dead.resolve("letters").toString)
       assert(letters.count() === 1L)
       assert(letters.select("raw").head.getString(0).contains("garbage"))
+
+      // retention (the XDEL twin): consumed segments below the last
+      // committed offset are trimmed — one more batch so the commit
+      // covers the tail, then the queue dir must be near-empty while
+      // every count above stays exact
+      QueueLog.append(queue.toString, Seq("""{"garbage": als"""))
+      consumer.processAllAvailable()
+      assert(QueueLog.segments(queue.toString).size <= 3,
+        s"queue retention never trimmed: ${QueueLog.segments(queue.toString)}")
+      assert(deltaCount() === wantDeltas)
     } finally {
       queries.foreach(_.stop())
       server.close()
