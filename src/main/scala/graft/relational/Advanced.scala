@@ -1761,6 +1761,142 @@ object Advanced {
       |ORDER BY d.day""".stripMargin
 
   // ----------------------------------------------------------- registry
+  // ---------------------------------------------------------------- q73
+  /** Conversion FUNNEL (view → click → purchase, each step within 24 h
+    * of the prior): per user the first view, the first click after it,
+    * the first purchase after that — then one corpus rollup of step
+    * counts and conversion rates. The product-analytics staple that
+    * MATCH_RECOGNIZE engines advertise, reduced to relational algebra.
+    *
+    * Scale: THREE unordered window aggregates over ONE user_id hash
+    * exchange (each step's conditional min references the previous
+    * step's column — no self-joins, no ordered sort, no per-user
+    * arrays); the per-user reduction is a user-keyed aggregate on the
+    * SAME partitioning (subset), and the final rollup is a 1-row
+    * aggregate. All arithmetic on epoch-millis BIGINTs; rates in
+    * integer ppm via `div` (nonnegative ⇒ floor = truncate in both
+    * engines). */
+  def q73Funnel(s: SparkSession, d: String): DataFrame = {
+    val day = 86400000L
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts_ms") > col("t_view") &&
+          col("ts_ms") <= col("t_view") + day, col("ts_ms"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_ms") > col("t_click") &&
+          col("ts_ms") <= col("t_click") + day, col("ts_ms"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_v"), min(col("t_click")).as("t_c"),
+        min(col("t_purchase")).as("t_p"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_v")).as("n_view"),
+        count(col("t_c")).as("n_click"),
+        count(col("t_p")).as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"),
+        col("n_purchase"),
+        // nullif: an empty step yields NULL, not an ANSI 0-division
+        expr("n_click * 1000000 div nullif(n_view, 0)").as("click_ppm"),
+        expr("n_purchase * 1000000 div nullif(n_click, 0)")
+          .as("purchase_ppm"))
+  }
+
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ms END)
+      |    OVER (PARTITION BY user_id) AS t_view
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_ms > t_view
+      |      AND ts_ms <= t_view + 86400000 THEN ts_ms END)
+      |    OVER (PARTITION BY user_id) AS t_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_ms > t_click
+      |      AND ts_ms <= t_click + 86400000 THEN ts_ms END)
+      |    OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM s2),
+      |u AS (
+      |  SELECT user_id, MIN(t_view) AS t_v, MIN(t_click) AS t_c,
+      |    MIN(t_purchase) AS t_p
+      |  FROM s3 GROUP BY user_id),
+      |r AS (
+      |  SELECT COUNT(*) AS n_users, COUNT(t_v) AS n_view,
+      |    COUNT(t_c) AS n_click, COUNT(t_p) AS n_purchase
+      |  FROM u)
+      |SELECT n_users, n_view, n_click, n_purchase,
+      |  CAST(n_click * 1000000 // NULLIF(n_view, 0) AS BIGINT)
+      |    AS click_ppm,
+      |  CAST(n_purchase * 1000000 // NULLIF(n_click, 0) AS BIGINT)
+      |    AS purchase_ppm
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** COHORT RETENTION triangle: users cohorted by first-seen week,
+    * per (cohort, week-offset) distinct active users and retention ppm
+    * — the growth-analytics staple next to q73's funnel.
+    *
+    * Scale: the corpus is scanned ONCE and pays ONE event-sized
+    * exchange (the (user, week) distinct); the cohort is a window min
+    * over the already-collapsed activity set (a first draft joined a
+    * separate first-seen aggregate back — a second fact scan Catalyst
+    * wouldn't dedupe, since the distinct-insensitive min rewrites the
+    * two subtrees apart); (cohort, offset, user) rows are unique by
+    * construction so the triangle is a plain count; and the cohort
+    * SIZE is the triangle's own offset-0 row (every user is active in
+    * their first week by definition — no size table, no join), lifted
+    * by a window over the calendar-bounded triangle. Weeks are integer
+    * epoch-day `div` 7 (nonnegative ⇒ floor = truncate in both
+    * engines). */
+  def q74CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("ts_ms div 86400000 div 7").as("week"))
+      .distinct()
+    val tri = active
+      .withColumn("cohort",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .select(col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    tri
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  val q74Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 // 7 AS week
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, week,
+      |    MIN(week) OVER (PARTITION BY user_id) AS cohort
+      |  FROM act),
+      |tri AS (
+      |  SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_active
+      |  FROM c GROUP BY 1, 2),
+      |sz AS (
+      |  SELECT *, MAX(CASE WHEN "offset" = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort) AS cohort_size
+      |  FROM tri)
+      |SELECT cohort, "offset", n_active, cohort_size,
+      |  CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+      |FROM sz
+      |ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
     "q33_top_supplier" -> (q33TopSupplier _),
@@ -1800,7 +1936,9 @@ object Advanced {
     "q67_k_anonymity" -> (q67KAnonymity _),
     "q70_skyline" -> (q70Skyline _),
     "q71_pattern_runs" -> (q71PatternRuns _),
-    "q72_seasonal_decompose" -> (q72SeasonalDecompose _))
+    "q72_seasonal_decompose" -> (q72SeasonalDecompose _),
+    "q73_funnel" -> (q73Funnel _),
+    "q74_cohort_retention" -> (q74CohortRetention _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1841,5 +1979,7 @@ object Advanced {
     "q67_k_anonymity" -> q67Sql,
     "q70_skyline" -> q70Sql,
     "q71_pattern_runs" -> q71Sql,
-    "q72_seasonal_decompose" -> q72Sql)
+    "q72_seasonal_decompose" -> q72Sql,
+    "q73_funnel" -> q73Sql,
+    "q74_cohort_retention" -> q74Sql)
 }

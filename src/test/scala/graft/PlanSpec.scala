@@ -763,9 +763,13 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q69_snapshot_diff")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("FullOuter"), s"q69 lost the full-outer diff:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"q69 fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q69 fell back to a cartesian:\n$p")
+    // exactly ONE nested-loop site is allowed: the 1-row broadcast
+    // scalar that attaches the data-derived insert offset (max(key)+1,
+    // the round-14 advice fix) — the DIFF itself must stay a hash join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q69 grew a non-scalar nested loop:\n$p")
     // orders is read with exactly the 3 columns the digest needs
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
       s"q69 scan is not pruned to the diffed columns:\n$p")
@@ -793,6 +797,36 @@ class PlanSpec extends AnyFunSuite {
       .split("BroadcastExchange").head
     assert(!probeSide.contains("Exchange"),
       s"q70 probe side shuffles before the broadcast join:\n$p")
+  }
+
+  test("q73: the funnel is three chained windows over ONE user " +
+    "exchange — no self-joins, no per-step fact rescans") {
+    val df = SparkEntry.queries("q73_funnel")(spark, sf)
+    df.collect()
+    // AQE prints Final AND Initial plan sections — pin the final only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"q73 funnel steps joined:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3,
+      s"q73 lost a funnel-step window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"q73 rescans the fact table:\n$p")
+    // user exchange + the 1-row rollup exchange, nothing else
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"q73 expected one user hash exchange, got $ex:\n$p")
+  }
+
+  test("q74: cohort retention is one fact scan + one event-sized " +
+    "exchange; cohort size comes from the triangle itself, no join") {
+    val df = SparkEntry.queries("q74_cohort_retention")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"q74 joined a size table back:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"q74 rescans the fact table (the first-draft trap):\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"q74 lost the cohort/size windows:\n$p")
   }
 
   test("sim27: cascade ranks with partial top-k heaps, never a ranking " +
