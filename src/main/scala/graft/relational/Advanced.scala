@@ -1897,6 +1897,78 @@ object Advanced {
       |FROM sz
       |ORDER BY cohort, "offset"""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** BITEMPORAL as-of: per user, the record valid at business time T1
+    * as KNOWN at transaction time T2, and the same cut as known at a
+    * later T3 — plus a `revised` flag where late-arriving data changed
+    * the answer between the two knowledge times. The warehouse
+    * audit/reproducibility staple ("what did the dashboard say on the
+    * 16th about the 15th, and did the backfill on the 23rd revise
+    * it"), the two-axis generalization of q30's valid-time SCD2.
+    * Transaction time is simulated deterministically (recording lag =
+    * (event_id % 11) · 6 h, up to 60 h), so late facts exist between
+    * the knowledge cuts by construction and both engines build
+    * identical ledgers.
+    *
+    * Scale: ONE scan, ONE user-keyed hash aggregate — both knowledge
+    * cuts are conditional lexicographic-min(struct) argmaxes folded
+    * into the same pass (the assignCells trick: negate the (ts,
+    * event_id) order so min = latest; each partition reduces to one
+    * row per user per cut BEFORE the shuffle). No windows, no joins,
+    * no second fact scan for the second cut. `revised` compares the
+    * globally-unique winning event ids. The oracle spells the
+    * INDEPENDENT window-ranked formulation. */
+  def q75Bitemporal(s: SparkSession, d: String): DataFrame = {
+    val t1 = 1705276800000L // 2024-01-15 valid-time cut
+    val t2 = 1705363200000L // 2024-01-16 first knowledge cut
+    val t3 = 1705968000000L // 2024-01-23 second knowledge cut
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ms"))
+      .withColumn("tx_ms",
+        col("ts_ms") + col("event_id") % 11 * 21600000L)
+      .where(col("ts_ms") <= t1)
+    def cut(bound: Long) = min(when(col("tx_ms") <= bound,
+      struct((-col("ts_ms")).as("nts"), (-col("event_id")).as("nid"),
+        col("event_type").as("t"))))
+    ev.groupBy(col("user_id"))
+      .agg(cut(t2).as("k2"), cut(t3).as("k3"))
+      .select(col("user_id"),
+        col("k2.t").as("t2_type"), (-col("k2.nts")).as("t2_ts"),
+        (-col("k2.nid")).as("t2_id"),
+        col("k3.t").as("t3_type"), (-col("k3.nts")).as("t3_ts"),
+        (-col("k3.nid")).as("t3_id"),
+        when(coalesce((-col("k2.nid")), lit(-1L)) =!=
+          coalesce((-col("k3.nid")), lit(-1L)), 1).otherwise(0)
+          .cast(IntegerType).as("revised"))
+      .orderBy(col("user_id"))
+  }
+
+  val q75Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+      |    CAST(epoch_ms(ts) + event_id % 11 * 21600000 AS BIGINT) AS tx_ms
+      |  FROM events WHERE epoch_ms(ts) <= 1705276800000),
+      |k2 AS (
+      |  SELECT user_id, event_type AS t2_type, ts_ms AS t2_ts,
+      |    event_id AS t2_id
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |    FROM ev WHERE tx_ms <= 1705363200000) t WHERE rn = 1),
+      |k3 AS (
+      |  SELECT user_id, event_type AS t3_type, ts_ms AS t3_ts,
+      |    event_id AS t3_id
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |    FROM ev WHERE tx_ms <= 1705968000000) t WHERE rn = 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT u.user_id, t2_type, t2_ts, t2_id, t3_type, t3_ts, t3_id,
+      |  CAST(CASE WHEN COALESCE(t2_id, -1) <> COALESCE(t3_id, -1)
+      |    THEN 1 ELSE 0 END AS INTEGER) AS revised
+      |FROM u LEFT JOIN k2 USING (user_id) LEFT JOIN k3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q32_waiting_supplier" -> (q32WaitingSupplier _),
     "q33_top_supplier" -> (q33TopSupplier _),
@@ -1938,7 +2010,8 @@ object Advanced {
     "q71_pattern_runs" -> (q71PatternRuns _),
     "q72_seasonal_decompose" -> (q72SeasonalDecompose _),
     "q73_funnel" -> (q73Funnel _),
-    "q74_cohort_retention" -> (q74CohortRetention _))
+    "q74_cohort_retention" -> (q74CohortRetention _),
+    "q75_bitemporal" -> (q75Bitemporal _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q32_waiting_supplier" -> q32Sql,
@@ -1981,5 +2054,6 @@ object Advanced {
     "q71_pattern_runs" -> q71Sql,
     "q72_seasonal_decompose" -> q72Sql,
     "q73_funnel" -> q73Sql,
-    "q74_cohort_retention" -> q74Sql)
+    "q74_cohort_retention" -> q74Sql,
+    "q75_bitemporal" -> q75Sql)
 }

@@ -829,6 +829,18 @@ class PlanSpec extends AnyFunSuite {
       s"q74 lost the cohort/size windows:\n$p")
   }
 
+  test("q75: both bitemporal knowledge cuts fold into ONE user-keyed " +
+    "aggregate over ONE scan — no windows, no joins, no second cut pass") {
+    val df = SparkEntry.queries("q75_bitemporal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"q75 joined the knowledge cuts:\n$p")
+    assert(!p.contains("Window"), s"q75 ranks through a window:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"q75 rescans the ledger for the second cut:\n$p")
+  }
+
   test("sim27: cascade ranks with partial top-k heaps, never a ranking " +
     "window; the shortlist rejoins by broadcast") {
     val p = plan("sim27_matryoshka_recall")
