@@ -1785,7 +1785,99 @@ object Dedup {
     |FROM docs_aug d LEFT JOIN wpd p USING (doc_id)
     |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd22
+  /** dd22 — KEEPER ELECTION: for every near-dup cluster, elect the ONE
+    * canonical document by quality score and mark the rest `drop` —
+    * the step between clustering (dd07/dd09) and the published corpus
+    * that every production dedup pipeline runs ("keep the
+    * highest-quality representative", Penedo et al. RefinedWeb §3.3;
+    * naive keep-min-id keeps whatever crawled first). Quality is
+    * txt16's deterministic fixed-weight linear score (no
+    * transcendentals — identical double chain in both engines);
+    * singletons elect themselves.
+    *
+    * Scale shape: rides the shared verified-pair seam and the ONE CC
+    * engine (labels are one row per non-singleton doc); scoring is a
+    * narrow codegen'd projection on the doc scan; the election is ONE
+    * cluster-keyed lexicographic-min(struct) aggregate (score DESC,
+    * doc_id ASC tiebreak — the assignCells trick) and the verdict one
+    * cluster-keyed join back; nothing pairwise, nothing corpus-sorted.
+    * The oracle spells the independent window-ranked election over the
+    * recursive-CTE components. */
+  def keeperElection(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopHits =
+      size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
+    val scored = docsAug(s, d)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        (size(array_distinct(toks)).cast(LongType).cast(DoubleType)
+          / size(toks)).as("uniq"),
+        (stopHits.cast(DoubleType) / size(toks)).as("stopr"))
+      .select(col("doc_id"),
+        (col("uniq") * 2.0 + col("stopr") * 4.0 +
+          when(col("n_tokens") >= graft.text.TextAnalysis.MinTokens, 0.5)
+            .otherwise(-1.0) - 1.5).as("score"))
+    val labels = connectedComponentsStar(
+      ngramPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+    val clustered = scored
+      .join(labels.select(col("id").as("doc_id"),
+        col("label").as("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val keepers = clustered.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id")))
+        .as("w"))
+      .select(col("cluster_id"), col("w").getField("id").as("keeper_id"))
+    clustered.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("keeper_id"),
+        when(col("doc_id") === col("keeper_id"), "keep")
+          .otherwise("drop").as("action"))
+      .orderBy(col("doc_id"))
+  }
+
+  val keeperElectionSql: String =
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      verifiedPairsCtes + "," +
+      """pairs AS (
+        |  SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |comp AS (SELECT id, MIN(label) AS lbl FROM walk GROUP BY id),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 2.0 +
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 4.0 +
+        |    (CASE WHEN len(string_split(text, ' ')) >= MIN_TOKENS
+        |      THEN 0.5 ELSE -1.0 END) - 1.5 AS score
+        |  FROM docs_aug),
+        |cl AS (
+        |  SELECT sc.doc_id, sc.score,
+        |    COALESCE(c.lbl, sc.doc_id) AS cluster_id
+        |  FROM sc LEFT JOIN comp c ON c.id = sc.doc_id),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM cl) t WHERE rn = 1)
+        |SELECT cl.doc_id, cl.cluster_id, cl.score, k.keeper_id,
+        |  CASE WHEN cl.doc_id = k.keeper_id THEN 'keep' ELSE 'drop' END
+        |    AS action
+        |FROM cl JOIN k USING (cluster_id)
+        |ORDER BY cl.doc_id""".stripMargin
+      .replace("MIN_TOKENS", graft.text.TextAnalysis.MinTokens.toString)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd22_keeper_election" -> (keeperElection _),
     "dd21_winnow_substrings" -> (winnowSubstrings _),
     "dd01_exact_groups" -> (exactGroups _),
     "dd02_exact_dedup" -> (exactDedup _),
@@ -1809,6 +1901,7 @@ object Dedup {
     "dd18_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "dd22_keeper_election" -> keeperElectionSql,
     "dd21_winnow_substrings" -> winnowSubstringsSql,
     "dd01_exact_groups" -> exactGroupsSql,
     "dd02_exact_dedup" -> exactDedupSql,
