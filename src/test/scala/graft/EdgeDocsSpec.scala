@@ -105,8 +105,11 @@ class EdgeDocsSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.filter(n =>
       n.startsWith("ob") || n.startsWith("q15") || n.startsWith("q16") ||
         n.startsWith("q21") || n.startsWith("q26") ||
-        n.startsWith("q58") || n.startsWith("q61") ||
+        n.startsWith("q30") || n.startsWith("q58") ||
+        n.startsWith("q61") ||
         n.startsWith("q63") || n.startsWith("q65") ||
+        n.startsWith("q71") || n.startsWith("q73") ||
+        n.startsWith("q74") || n.startsWith("q75") ||
         n.startsWith("st02") || n.startsWith("st03") ||
         n.startsWith("st04") || n.startsWith("st05") ||
         n.startsWith("st06") ||
