@@ -78,7 +78,68 @@ object StreamBench {
     wireIngest(spark, shards = 1)
     wireIngest(spark, shards = 2)
     bookLatency(spark)
+    ingestE2e(spark)
     spark.stop()
+  }
+
+  /** The DEPLOYABLE end-to-end: [[graft.Ingest]]'s producer ∥ consumer
+    * (live WS frames → durable queue → normalize → exactly-once JDBC
+    * into embedded Derby) measured as messages / (start → all fact
+    * rows durably committed). This is the number a user of the
+    * reference's `__main__.py` gets from the whole composed pipeline —
+    * including the relational sink the other metrics stop short of;
+    * the reference's equivalent ceiling is ≈1k msg/s per stream. */
+  private def ingestE2e(spark: org.apache.spark.sql.SparkSession,
+      nTickers: Int = 50, perTicker: Int = 1000): Unit = {
+    val tickers = (0 until nTickers).map(i => f"KXE2E-$i%02d")
+    val msgs = Fixtures.genMessages(tickers, perTicker)
+    val lines = msgs.map(Fixtures.envelopeJson).zipWithIndex.map {
+      case (l, i) => l.replaceFirst("\"sid\":\\d+", "\"sid\":7100")
+        .replaceFirst("\"seq\":\\d+", s""""seq":${i + 1}""")
+    }
+    val wantDeltas = msgs.count(_.isRight).toLong
+    val server = graft.streaming.WsReplay.server(lines)
+    val derby = Files.createTempDirectory("graft-e2e-derby")
+    val cfg = graft.Ingest.Config(
+      role = "both",
+      queueDir = Files.createTempDirectory("graft-e2e-q").toString,
+      checkpointDir = Files.createTempDirectory("graft-e2e-ck").toString,
+      jdbcUrl = s"jdbc:derby:${derby.resolve("db")};create=true",
+      jdbcProps = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      socketOptions = Map(
+        "host" -> "localhost", "port" -> server.getLocalPort.toString,
+        "tickers" -> tickers.mkString(","),
+        "channels" -> "orderbook_snapshot,orderbook_delta",
+        "transport" -> "ws"))
+    def deltaCount(): Long = {
+      val p = new java.util.Properties()
+      cfg.jdbcProps.foreach { case (k, v) => p.setProperty(k, v) }
+      try {
+        val c = java.sql.DriverManager.getConnection(cfg.jdbcUrl, p)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT COUNT(*) FROM orderbook_deltas")
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      } catch { case _: Throwable => -1L }
+    }
+    val t0 = System.nanoTime()
+    val queries = graft.Ingest.run(spark, cfg)
+    try {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      var n = -1L
+      while (n < wantDeltas && System.nanoTime() < deadline) {
+        queries.foreach(_.processAllAvailable())
+        n = deltaCount()
+        if (n < wantDeltas) Thread.sleep(50)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n >= wantDeltas, s"ingest e2e timed out: $n/$wantDeltas")
+      println(f"""{"metric":"ingest_e2e","messages":${lines.size},"sec":$sec%.2f,"msgs_per_sec":${lines.size / sec}%.0f,"delta_rows":$n}""")
+    } finally {
+      queries.foreach(_.stop())
+      server.close()
+    }
   }
 
   /** Live-wire ingest: the SAME unified pipeline fed from the
