@@ -151,15 +151,28 @@ object Bench {
     //    contention; the key lands in `suspect` so the round's
     //    adjudication note has an explicit worklist instead of a diff
     //    nobody runs.
+    // The sidecar (prior record + this run's output) lives in the repo
+    // root by default but resolves via -Dgraft.bench.dir / cwd so a
+    // worktree/CI checkout doesn't silently read-or-clobber ANOTHER
+    // tree's record (the round-14 control-bench lesson) — and a missing
+    // or unparseable prior is LOGGED, not swallowed, so a silently
+    // disarmed escalation pass is visible on the run transcript.
+    val benchDir = sys.props.get("graft.bench.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_DIR"))
+      .getOrElse(new java.io.File(".").getCanonicalPath)
+    val sidecar = java.nio.file.Paths.get(benchDir, "bench_last.json")
     val prior: Map[String, Double] = try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/bench_last.json")))
+        .readTree(java.nio.file.Files.readAllBytes(sidecar))
         .path("queries")
       import scala.jdk.CollectionConverters._
       node.properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: no prior record at $sidecar " +
+        s"(${e.getClass.getSimpleName}) — escalation pass DISARMED this run")
+      Map.empty
+    }
     def prefix(n: String): String = n.takeWhile(_ != '_')
     val escalate = names.filter { n =>
       val m = mins0(n)
@@ -289,11 +302,10 @@ object Bench {
     // iteration run would otherwise clobber the full record that serves
     // as (a) the judge's artifact and (b) the escalation pass's prior.
     if (wanted.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      java.nio.file.Files.write(sidecar,
         (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     else
-      System.err.println("[bench] filtered run — bench_last.json not replaced")
+      System.err.println(s"[bench] filtered run — $sidecar not replaced")
     spark.stop()
     // the fresh-per-run seam dir would otherwise accumulate in /tmp
     def rmTree(f: java.io.File): Unit = {

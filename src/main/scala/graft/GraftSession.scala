@@ -30,7 +30,11 @@ object GraftSession {
       // scored candidate set to disk (~80 GB spill, measured round 14)
       // instead of heap-folding it to ≤k rows per key. 4M keys ×
       // bounded buffers is a few hundred MB per partition — hash stays
-      // the right engine at any corpus size.
+      // the right engine at any corpus size. The config is GLOBAL, so
+      // it also disarms the guard for unbounded buffers (collect_list/
+      // collect_set): BoundedBufferSpec pins every such site in main to
+      // a reviewed per-group bound so a future unbounded aggregate is a
+      // conscious decision, not a silent OOM risk.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (4 * 1024 * 1024).toString)
 

@@ -198,8 +198,18 @@ object Ingest {
   private[graft] def parseArgs(args0: Array[String]): Config = {
     val drain = args0.contains("--drain")
     val args = args0.filterNot(_ == "--drain")
-    val kv = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    // Strict pairing: positional sliding(2,2) would let a flag whose
+    // value was forgotten silently swallow the NEXT flag token as its
+    // value (`--jdbc-user --jdbc-pass secret` ⇒ user="--jdbc-pass",
+    // "secret" dropped) — misconfigured credentials with no error.
+    require(args.length % 2 == 0,
+      s"unpaired option token: ${args.lastOption.getOrElse("")}")
+    val kv = args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected an --option, got: $k")
+        require(!v.startsWith("--"),
+          s"option $k is missing its value (next token is $v)")
+        k.drop(2) -> v
     }.toMap
     val unknown = kv.keySet -- Set("role", "queue", "checkpoint",
       "jdbc-url", "jdbc-driver", "jdbc-user", "jdbc-pass", "dead-letters",

@@ -373,7 +373,11 @@ object SkewBench {
     // routes are compared by RECALL against the brute graph, asserted
     // ≥ 0.5 and reported — the dd19-style identical-rows contract
     // can't apply to an ANN mechanism. ---
-    if (want("knn") || want("knn20")) {
+    // `knn` (which includes the ~20-minute 60k brute arm) is EXPLICIT
+    // opt-in only — an unfiltered run gets the cheap knn20 point, never
+    // a 20-minute brute pass it didn't ask for.
+    val knnFull = fams.contains("knn")
+    if (knnFull || want("knn20")) {
       graft.functions.GraftFunctions.register(spark)
       // knn20: the 20k crossover point alone, preceded by a throwaway
       // warm pass — the family's first-ever query otherwise absorbs
@@ -403,8 +407,8 @@ object SkewBench {
       def cellPairs(vecs: DataFrame): DataFrame =
         graft.similarity.Similarity.knnGraphOn(spark, vecs)
           .select(col("query_id"), col("neighbor_id"))
-      val knnSizes = if (want("knn")) Seq(20000L, 60000L) else Seq(20000L)
-      if (!want("knn")) { // warm codegen/IO so the 20k point is clean
+      val knnSizes = if (knnFull) Seq(20000L, 60000L) else Seq(20000L)
+      if (!knnFull) { // warm codegen/IO so the 20k point is clean
         val wDir = "/tmp/graft-skew-knn-20000"
         generateVecs(spark, wDir, 20000L)
         cellPairs(spark.read.parquet(wDir)).write
@@ -428,8 +432,10 @@ object SkewBench {
     // heap — SPARK_DRIVER_MEM=64g — and must not force a re-run of the
     // 20-minute 60k brute arm above; the brute cost at this size is a
     // PROJECTION from the measured crossover, stated in BASELINE.md,
-    // not a run).
-    if (want("knnbig")) {
+    // not a run). EXPLICIT opt-in only — `want` is true for every
+    // family on an unfiltered run, and a default invocation must never
+    // demand a 64g driver.
+    if (fams.contains("knnbig")) {
       graft.functions.GraftFunctions.register(spark)
       def cellPairsB(vecs: DataFrame): DataFrame =
         graft.similarity.Similarity.knnGraphOn(spark, vecs)

@@ -141,6 +141,18 @@ class IngestSpec extends AnyFunSuite {
     val prod = Ingest.parseArgs(Array("--role", "producer", "--queue",
       "/q", "--checkpoint", "/c", "--tickers", "A"))
     assert(prod.role === "producer" && prod.jdbcUrl === "")
+    // a flag missing its value must NOT swallow the next flag token as
+    // its value (credential misconfiguration with no error)
+    val missing = intercept[IllegalArgumentException] {
+      Ingest.parseArgs(Array("--queue", "/q", "--jdbc-url", "jdbc:x",
+        "--jdbc-user", "--jdbc-pass", "secret", "x"))
+    }
+    assert(missing.getMessage.contains("--jdbc-user"))
+    // a trailing unpaired token is loud, not silently dropped
+    val unpaired = intercept[IllegalArgumentException] {
+      Ingest.parseArgs(Array("--queue", "/q", "--checkpoint"))
+    }
+    assert(unpaired.getMessage.contains("unpaired"))
   }
 
   test("resolveTickers: static subscription wins; no config is loud") {
