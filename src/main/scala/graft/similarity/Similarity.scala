@@ -469,9 +469,9 @@ object Similarity {
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
     * the memory-bound regime one step past sim05: instead of 64 int8
     * components per corpus vector, each vector is 4 SUBSPACE CODES
-    * (64 dims → 4 subspaces × 16 dims; codebook = the first 8 data
-    * vectors' subvectors per subspace — deterministic, no k-means RNG,
-    * the same trick as sim03's centroids). Encoding picks the nearest
+    * (64 dims → 4 subspaces × 16 dims; codebook = [[trainedCodebook]],
+    * Lloyd-trained from the first-8-subvector init — deterministic
+    * integer arithmetic, no RNG). Encoding picks the nearest
     * codeword by exact integer L2² in int8 space (tiebreak: smaller
     * codeword id). Scoring is classic ADC: each query precomputes a
     * 4×8 lookup table of int8 dots (query subvector · codeword), and a
@@ -493,11 +493,8 @@ object Similarity {
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
-    // codebook: (m, k, csub) = subspace m of codeword-source vector k
-    val cb = q.where(col("vec_id") < 8)
-      .crossJoin(broadcast(subspaces(s)))
-      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
-        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    // codebook: (m, k, csub) — Lloyd-trained, codeword ids stay 0..7
+    val cb = trainedCodebook(s, q)
     // encode: nearest codeword per (vector, subspace) by exact int L2²;
     // min(struct(dist, k)) is lexicographic = ORDER BY dist, k LIMIT 1
     val codes = q.crossJoin(broadcast(cb))
@@ -535,6 +532,101 @@ object Similarity {
   private def subspaces(s: SparkSession): DataFrame =
     s.range(4).select(col("id").cast(IntegerType).as("m"))
 
+  /** Lloyd-TRAINED PQ codebook over int8-quantized vectors `q(vec_id,
+    * q)` → `cb(m, k, csub)`: init = the first-8 subvectors per subspace
+    * (the round-14 stub's whole codebook), then [[PqTrainRounds]] exact
+    * Lloyd rounds per subspace — argmin assignment by integer L2²
+    * (tiebreak: smaller codeword id) and a floor(sum/count) centroid
+    * update, the sim24 discipline, so every round is bit-identical
+    * across engines and map-side partials are lossless. A codeword that
+    * loses all members KEEPS its previous value (left-join + coalesce):
+    * codeword ids stay the contiguous 0..7 that the ADC LUT indexes
+    * positionally — a vanishing id would silently shift every LUT row.
+    *
+    * Scale shape: training touches the corpus [[PqTrainRounds]] times —
+    * per round ONE broadcast of the ≤32-row codebook, one argmin hash
+    * aggregate keyed (vec_id, m) (map-side partial ⇒ the shuffle
+    * carries one slim row per subvector), one (m, k, dim)-keyed update
+    * aggregate (≤512 rows after partials, corpus-independent). The
+    * result is localCheckpoint'ed: a trained codebook is a reusable
+    * ARTIFACT (at cluster scale, a table write) — consumers that use it
+    * twice (encode + LUT) must not re-run training per use. */
+  private val PqTrainRounds = 2
+  private def trainedCodebook(s: SparkSession, q: DataFrame): DataFrame = {
+    val sub = q.crossJoin(broadcast(subspaces(s)))
+      .select(col("vec_id"), col("m"),
+        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("sub"))
+    var cb = sub.where(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
+        col("sub").as("csub"))
+    for (_ <- 1 to PqTrainRounds) {
+      val asg = sub.join(broadcast(cb), Seq("m"))
+        .withColumn("dist",
+          call_function("graft_int_l2sq", col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("m"), col("sub"))
+        .agg(min(struct(col("dist"), col("k"))).getField("k").as("k"))
+      // floor(sum/count) per dim: |sum| ≤ n·127 ≪ 2^53, the double
+      // division is exact, and floor (not truncation) matches the
+      // oracle on negative components.
+      val upd = asg.select(col("m"), col("k"), posexplode(col("sub")))
+        .select(col("m"), col("k"), (col("pos") + 1).as("dim"),
+          col("col").as("v"))
+        .groupBy(col("m"), col("k"), col("dim"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast(IntegerType).as("nv"))
+        .groupBy(col("m"), col("k"))
+        // bounded: ≤ dims-per-subspace (16) entries per (m, k) group
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, nv))), p -> p.nv)")
+          .as("nsub"))
+      cb = cb.join(upd, Seq("m", "k"), "left")
+        .select(col("m"), col("k"),
+          coalesce(col("nsub"), col("csub")).as("csub"))
+    }
+    cb.localCheckpoint()
+  }
+
+  /** Oracle mirror of [[trainedCodebook]]: ms/sub/cb0, then one
+    * assignment + floor-mean update + carry-forward CTE chain per
+    * round, ending in `cb(m, k, csub)` — drop-in for the old
+    * `ms AS …, cb AS …` fragment in every PQ oracle. */
+  private def pqTrainRoundCte(i: Int): String = {
+    val (prev, a, u, next) = (s"cb${i - 1}", s"pasg$i", s"pupd$i", s"cb$i")
+    s"""$a AS (
+       |  SELECT vec_id, m, sub, k FROM (
+       |    SELECT s.vec_id, s.m, s.sub, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum(list_transform(range(1, 17),
+       |          i -> CAST(s.sub[CAST(i AS INT)] - c.csub[CAST(i AS INT)] AS BIGINT)
+       |               * (s.sub[CAST(i AS INT)] - c.csub[CAST(i AS INT)]))) ASC,
+       |        c.k) AS rn
+       |    FROM sub s JOIN $prev c ON c.m = s.m) t
+       |  WHERE rn = 1),
+       |$u AS (
+       |  SELECT m, k, list(nv ORDER BY dim) AS nsub FROM (
+       |    SELECT m, k, CAST(t.i AS INT) AS dim,
+       |      CAST(floor(CAST(SUM(sub[CAST(t.i AS INT)]) AS DOUBLE) / COUNT(*)) AS INT) AS nv
+       |    FROM $a, UNNEST(range(1, len(sub) + 1)) AS t(i)
+       |    GROUP BY m, k, CAST(t.i AS INT)) x
+       |  GROUP BY m, k),
+       |$next AS (
+       |  SELECT c.m, c.k, COALESCE(u.nsub, c.csub) AS csub
+       |  FROM $prev c LEFT JOIN $u u ON u.m = c.m AND u.k = c.k)""".stripMargin
+  }
+
+  private val trainedCbCtes: String =
+    """ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |sub AS (
+      |  SELECT q.vec_id, ms.m,
+      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS sub
+      |  FROM q CROSS JOIN ms),
+      |cb0 AS (
+      |  SELECT m, CAST(vec_id AS INT) AS k, sub AS csub
+      |  FROM sub WHERE vec_id < 8),
+      |""".stripMargin +
+      (1 to PqTrainRounds).map(pqTrainRoundCte).mkString(",\n") + ",\n" +
+      s"cb AS (SELECT m, k, csub FROM cb$PqTrainRounds)"
+
   val pqAdcSql: String = normedCte + "," +
     """mx AS (
       |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
@@ -543,12 +635,7 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
       |  FROM n, mx),
-      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      |cb AS (
-      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
-      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
-      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
-      |codes AS (
+      |""".stripMargin + trainedCbCtes + ",\n" + """codes AS (
       |  SELECT vec_id, m, k AS code FROM (
       |    SELECT q.vec_id, cb.m, cb.k,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
@@ -1345,10 +1432,7 @@ object Similarity {
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
-    val cb = q.where(col("vec_id") < 8)
-      .crossJoin(broadcast(subspaces(s)))
-      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
-        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    val cb = trainedCodebook(s, q)
     val enc = q.crossJoin(broadcast(cb))
       .withColumn("dist", call_function("graft_int_l2sq",
         expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
@@ -1372,12 +1456,7 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
       |  FROM n, mx),
-      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      |cb AS (
-      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
-      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
-      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
-      |enc AS (
+      |""".stripMargin + trainedCbCtes + ",\n" + """enc AS (
       |  SELECT vec_id, m, d AS err FROM (
       |    SELECT q.vec_id, cb.m, cb.k,
       |      list_sum(list_transform(range(1, 17),
@@ -1555,10 +1634,7 @@ object Similarity {
     val q = nn.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
-    val cb = q.where(col("vec_id") < 8)
-      .crossJoin(broadcast(subspaces(s)))
-      .select(col("m"), col("vec_id").cast(IntegerType).as("k"),
-        expr("slice(q, cast(m * 16 + 1 as int), 16)").as("csub"))
+    val cb = trainedCodebook(s, q)
     val codes = q.crossJoin(broadcast(cb))
       .withColumn("dist", call_function("graft_int_l2sq",
         expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
@@ -1635,12 +1711,7 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
       |  FROM n, mx),
-      |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      |cb AS (
-      |  SELECT ms.m AS m, CAST(vec_id AS INT) AS k,
-      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS csub
-      |  FROM q CROSS JOIN ms WHERE vec_id < 8),
-      |codes AS (
+      |""".stripMargin + trainedCbCtes + ",\n" + """codes AS (
       |  SELECT vec_id, m, k AS code FROM (
       |    SELECT q.vec_id, cb.m, cb.k,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
