@@ -404,27 +404,32 @@ object SkewBench {
           .select(col("query_id"), explode(col("topk")))
           .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
       }
-      def cellPairs(vecs: DataFrame): DataFrame =
-        graft.similarity.Similarity.knnGraphOn(spark, vecs)
+      def cellPairs(vecs: DataFrame, nprobe: Int): DataFrame =
+        graft.similarity.Similarity.knnGraphOn(spark, vecs, nprobe = nprobe)
           .select(col("query_id"), col("neighbor_id"))
       val knnSizes = if (knnFull) Seq(20000L, 60000L) else Seq(20000L)
       if (!knnFull) { // warm codegen/IO so the 20k point is clean
         val wDir = "/tmp/graft-skew-knn-20000"
         generateVecs(spark, wDir, 20000L)
-        cellPairs(spark.read.parquet(wDir)).write
+        cellPairs(spark.read.parquet(wDir), 1).write
           .format("noop").mode("overwrite").save()
       }
       for (m <- knnSizes) {
         val vDir = s"/tmp/graft-skew-knn-$m"
         generateVecs(spark, vDir, m)
         val vecs = spark.read.parquet(vDir)
-        val (cellRows, cellSec) = run(cellPairs(vecs))
         val (brRows, brSec) = run(bruteGraph(vecs))
         val exact = brRows.toSet
-        val recall = cellRows.count(exact.contains).toDouble / brRows.size
-        require(recall >= 0.5,
-          f"cell-blocked kNN recall $recall%.2f < 0.5 at n=$m")
-        println(f"""{"metric":"knn_crossover","vectors":$m,"cell_sec":$cellSec%.2f,"brute_sec":$brSec%.2f,"speedup":${brSec / cellSec}%.2f,"recall_top2":$recall%.3f,"note":"sim08 cell-blocked O(n^1.5) vs brute O(n^2), same graft_topk ranking"}""")
+        // the recall/cost dial: nprobe=1 (sim08) vs nprobe=2 (sim29) —
+        // the round-14 verdict's open quality item was recall@2 ≈ 0.53
+        // at nprobe=1; this publishes the curve alongside the speedup
+        for (nprobe <- Seq(1, 2)) {
+          val (cellRows, cellSec) = run(cellPairs(vecs, nprobe))
+          val recall = cellRows.count(exact.contains).toDouble / brRows.size
+          require(recall >= 0.5,
+            f"cell-blocked kNN recall $recall%.2f < 0.5 at n=$m nprobe=$nprobe")
+          println(f"""{"metric":"knn_crossover","vectors":$m,"nprobe":$nprobe,"cell_sec":$cellSec%.2f,"brute_sec":$brSec%.2f,"speedup":${brSec / cellSec}%.2f,"recall_top2":$recall%.3f,"note":"sim08/sim29 cell-blocked O(n^1.5 * nprobe) vs brute O(n^2), same graft_topk ranking"}""")
+        }
       }
     }
 

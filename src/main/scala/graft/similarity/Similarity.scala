@@ -683,12 +683,13 @@ object Similarity {
   def knnGraph(s: SparkSession, d: String): DataFrame =
     knnCore(s, normed(s, d), 2)
 
-  /** The sim08 operator over ANY raw (vec_id, embedding ARRAY<FLOAT>)
-    * frame — the entry point SkewBench drives at 10⁵–10⁶ vectors to
-    * measure the O(n^1.5) claim against brute force (the registry gate
-    * runs the identical pipeline via [[knnGraph]]). */
+  /** The sim08/sim29 operator over ANY raw (vec_id, embedding
+    * ARRAY<FLOAT>) frame — the entry point SkewBench drives at 10⁵–10⁶
+    * vectors to measure the O(n^1.5) claim against brute force, and —
+    * via `nprobe` — the recall/cost dial (the registry gates run the
+    * identical pipelines via [[knnGraph]] / [[knnGraphMulti]]). */
   private[graft] def knnGraphOn(s: SparkSession, vecs: DataFrame,
-      k: Int = 2): DataFrame = {
+      k: Int = 2, nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val n = vecs
       .select(col("vec_id"),
@@ -696,14 +697,39 @@ object Similarity {
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
       .where(col("nrm") > 0)
-    knnCore(s, n, k)
+    knnCore(s, n, k, nprobe)
   }
 
-  private def knnCore(s: SparkSession, n: DataFrame, k: Int): DataFrame = {
-    val assigned = assignCells(n, centroids(s, n))
-    val c = assigned.select(col("vec_id").as("neighbor_id"),
+  /** Top-`nprobe` nearest cells for EVERY corpus vector — the
+    * corpus-side multi-probe assignment. nprobe=1 is [[assignCells]]'s
+    * one-row-per-vector argmin aggregate; nprobe>1 swaps the argmin for
+    * the same bounded-heap `graft_topk` the ranking stages use (k=nprobe
+    * payloads per vector cross the shuffle — never a window sort of the
+    * |corpus|×cells candidate frame, which is what the sim04 QUERY-side
+    * window spelling would cost with the whole corpus as queries). */
+  private def probeCells(n: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    if (nprobe <= 1) assignCells(n, cent)
+    else n.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"), col("e"), col("nrm"))
+      .agg(call_function("graft_topk", col("csim").cast("double"),
+        col("pid").cast("long"), struct(col("pid")), lit(nprobe)).as("tk"))
+      .select(col("vec_id"), col("e"), col("nrm"), explode(col("tk")))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("col.pid").as("cell"))
+
+  private def knnCore(s: SparkSession, n: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cent = centroids(s, n)
+    // neighbor side stays single-cell (each vector LIVES in one cell,
+    // so probing p distinct cells can never produce duplicate pairs);
+    // only the query side fans out to its nprobe nearest cells.
+    val c = assignCells(n, cent).select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
-    val scored = assigned
+    val scored = probeCells(n, cent, nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nrm_q"), col("cell"))
       .join(c, Seq("cell"))
@@ -726,6 +752,46 @@ object Similarity {
       |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
       |      AS INTEGER) AS rnk
       |  FROM assigned q JOIN assigned c
+      |    ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
+      |WHERE rnk <= 2
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim29
+  /** MULTI-PROBE k-NN GRAPH (nprobe=2 on the corpus side): sim08's
+    * failure mode is a true neighbor sitting just across a cell
+    * boundary — at nprobe=1 the graph's measured recall@2 against the
+    * brute graph is only ~0.53–0.56 (BASELINE.md knn table), which
+    * halves the signal every SemDeDup/curation composition downstream
+    * consumes. Here EVERY corpus vector probes its TWO nearest cells
+    * (sim04's dial, but corpus-side: the probe ranking is the same
+    * bounded-heap `graft_topk` as the edge ranking — ≤ nprobe payloads
+    * per vector cross the assignment shuffle, never a |corpus|×cells
+    * window sort). Candidates stay assigned to exactly ONE cell, so
+    * two distinct probes never yield duplicate pairs — no dedup stage.
+    * Cost is nprobe× sim08's candidate join, still O(n^1.5 · nprobe)
+    * with cells = ⌈√n⌉; recall measured at 20k/60k vectors in
+    * BASELINE.md's knn table (SkewBench drives the identical pipeline
+    * via [[knnGraphOn]] nprobe=2). */
+  def knnGraphMulti(s: SparkSession, d: String): DataFrame =
+    knnCore(s, normed(s, d), 2, nprobe = 2)
+
+  val knnGraphMultiSql: String = normedCte + "," + centCte + "," +
+    """probes AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |                 c.pid) AS rn
+      |    FROM n v CROSS JOIN cent c) t
+      |  WHERE rn <= 2),
+      |""".stripMargin + assignedCte + "\n" +
+    """SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM probes q JOIN assigned c
       |    ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
       |WHERE rnk <= 2
       |ORDER BY query_id, rnk""".stripMargin
@@ -2363,7 +2429,8 @@ object Similarity {
     "sim25_pagerank" -> (pageRank _),
     "sim26_power_iteration" -> (powerIteration _),
     "sim27_matryoshka_recall" -> (matryoshkaRecall _),
-    "sim28_rrf_fusion" -> (rrfFusion _))
+    "sim28_rrf_fusion" -> (rrfFusion _),
+    "sim29_knn_multiprobe" -> (knnGraphMulti _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2393,5 +2460,6 @@ object Similarity {
     "sim25_pagerank" -> pageRankSql,
     "sim26_power_iteration" -> powerIterationSql,
     "sim27_matryoshka_recall" -> matryoshkaRecallSql,
-    "sim28_rrf_fusion" -> rrfFusionSql)
+    "sim28_rrf_fusion" -> rrfFusionSql,
+    "sim29_knn_multiprobe" -> knnGraphMultiSql)
 }

@@ -47,7 +47,13 @@ object StreamIvf {
   final case class CellStats(cell: Long, n_members: Long,
       means: Array[Double])
 
-  private final case class Acc(n: Long, sums: Array[Long])
+  // NOT private: the state encoder's GENERATED code calls the accessors
+  // reflectively-by-name from a Janino class outside this scope — on a
+  // private class that compile fails and every state (de)serialization
+  // silently falls back to the interpreted projection path (observed as
+  // "Expr codegen error and falling back to interpreter mode" WARNs in
+  // the st01 state shuffle).
+  final case class Acc(n: Long, sums: Array[Long])
 
   /** Spark's `cast(double as decimal(_,6))` exactly: string-path
     * BigDecimal (valueOf) + HALF_UP at scale 6, as unscaled micros. */
