@@ -178,23 +178,31 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- mm05
-  /** Perceptual-hash near-dup over blobs: a 32-bit block-mean aHash
-    * (bit c = 1 iff chunk c's mean byte exceeds the global mean —
-    * compared as cross-multiplied exact integers, no floats) computed
-    * in the typed decode path where a real pHash lives, then banded
-    * Hamming candidate generation: 4 × 8-bit bands, pairs that agree
-    * on ANY band verify with bit_count(xor) ≤ 4. (Measured on this
-    * corpus: exact copies sit at Hamming 0, random pairs peak at
-    * 11–12, and appended-suffix near copies scatter to 6–13 because
-    * the chunk grid realigns with length — a block-mean hash is
-    * shift-sensitive by construction; catching those needs a real
-    * DCT pHash in the same decode slot.)
+  /** Perceptual-hash near-dup over blobs — the REAL DCT pHash
+    * ([[PHash]]: 32×32 grayscale → integer DCT-II → 63 AC coefficients
+    * → median threshold) in the typed decode slot: payloads a JDK
+    * reader claims hash their decoded raster; everything else (this
+    * corpus's text bytes) hashes the byte stream resampled to the same
+    * grid — one total function, the ImageDecode/DecodeStub convention.
+    * Banded Hamming candidate generation: 7 × 9-bit bands over the
+    * 63-bit signature; pairs that agree on ANY band verify with
+    * bit_count(xor) ≤ 6 — pigeonhole-COMPLETE (≤ 6 differing bits
+    * cannot dirty all 7 bands, so every qualifying pair is a candidate;
+    * the old 4×8-over-32 banding had the same guarantee at its ≤ 4).
     *
-    * Dups are injected like dd01's: exact copies (+1M, Hamming 0) and
-    * appended-suffix near copies (+2M, chunk grid shifts a little).
-    * Scale: signatures are 12-byte rows; the blob never leaves its
-    * scan partition; the (band, bkey) equi-join keys have ~4×256
-    * values per corpus shard with candidate volume ≈ 4·n²/256 for
+    * Fixture (measured on this corpus): exact copies (+1M wave) sit at
+    * Hamming 0; appended-suffix copies (+2M wave) land at 16–42 —
+    * byte-stream content is high-frequency, so ANY raster hash scatters
+    * under a length change; they are the planted NEGATIVES — and random
+    * pairs bottom out at 14 (p1 = 22), so the ≤ 6 gate separates
+    * cleanly. What the DCT buys over the old block-mean stand-in is on
+    * the REAL-image path: brightness shifts move only the excluded DC
+    * coefficient (MultimodalSpec pins the collision; re-encoded bytes
+    * under block-mean share no bits at all).
+    *
+    * Scale: signatures are 16-byte rows; the blob never leaves its
+    * scan partition; the (band, bkey) equi-join keys have ~7×512
+    * values per corpus shard with candidate volume ≈ 7·n²/512 for
     * random signatures — the dd06 banding argument verbatim. */
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -205,7 +213,11 @@ object Multimodal {
     // verdict: stop rebuilding it per query under the cache-reset
     // harness)
     val sigs = phashSigs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    try graft.Seams.durable(s, d, "mm05-phash-pairs")(phashNearDupOn(sigs))
+    // seam renamed with the hash algorithm (block-mean → DCT): the
+    // artifact key fingerprints the CORPUS, not the code, so an
+    // algorithm change must rename or a stale artifact would serve the
+    // old pairs
+    try graft.Seams.durable(s, d, "mm05-dct-pairs")(phashNearDupOn(sigs))
     finally sigs.unpersist()
   }
 
@@ -225,15 +237,15 @@ object Multimodal {
           concat(col("payload").cast("string"), lit(" the end"))
             .cast(BinaryType).as("payload")))
     aug.as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) => (id, PHashStub.phash(p)) })
+      .mapPartitions(_.map { case (id, p) => (id, PHash.payloadHash(p)) })
       .toDF("media_id", "sig")
   }
 
   private def phashNearDupOn(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("media_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+        explode(sequence(lit(0), lit(6))).as("band"))
       .withColumn("bkey",
-        expr("shiftright(sig, cast(8 * band as int)) & 255"))
+        expr("shiftright(sig, cast(9 * band as int)) & 511"))
     val cand = bands.select(col("media_id").as("id_a"), col("band"),
         col("bkey"))
       .join(bands.select(col("media_id").as("id_b"), col("band"),
@@ -247,13 +259,18 @@ object Multimodal {
         "id_b")
       .withColumn("hamming",
         expr("cast(bit_count(sig_a ^ sig_b) as int)"))
-      .where(col("hamming") <= 4)
+      .where(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Shared CTE chain through the verified pair set — mm05 presents
-    * the pairs, mm06 walks them into clusters. */
+    * the pairs, mm06 walks them into clusters. Mirrors
+    * [[PHash.hashBytes]] exactly: byte resample to 32×32 (per-cell
+    * floor-mean, nearest on empty), separable integer DCT with the
+    * SAME quantized cosine table ([[PHash.coefSqlLiteral]] — one cos()
+    * call site in the system), strict-median threshold over the 63 AC
+    * coefficients, then 7×9-bit banding and the Hamming ≤ 6 verify. */
   private val phashPairCtes: String =
     """aug AS (
       |  SELECT media_id, text FROM media
@@ -267,23 +284,51 @@ object Multimodal {
       |    list_transform(range(1, LENGTH(text) + 1),
       |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
       |  FROM aug),
-      |sums AS (
-      |  SELECT media_id, n, cs, CAST(list_sum(cs) AS BIGINT) AS total
-      |  FROM codes),
-      |sig AS (
+      |cc AS (SELECT """.stripMargin + PHash.coefSqlLiteral + """ AS t),
+      |pix AS (
       |  SELECT media_id,
-      |    CAST(list_sum(list_transform(range(0, 32), c ->
-      |      CASE WHEN CAST(list_sum(cs[CAST(c * n // 32 + 1 AS INT)
-      |                                 :CAST((c + 1) * n // 32 AS INT)])
-      |                  AS BIGINT) * n
-      |             > total * ((c + 1) * n // 32 - c * n // 32)
-      |           THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
-      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-      |  FROM sums),
+      |    list_transform(range(0, 1024), i ->
+      |      CASE WHEN (i + 1) * n // 1024 > i * n // 1024
+      |           THEN CAST(list_sum(cs[CAST(i * n // 1024 + 1 AS INT)
+      |                                  :CAST((i + 1) * n // 1024 AS INT)])
+      |                  AS BIGINT)
+      |                // ((i + 1) * n // 1024 - i * n // 1024)
+      |           WHEN n > 0 THEN cs[CAST(i * n // 1024 + 1 AS INT)]
+      |           ELSE CAST(0 AS BIGINT) END) AS px
+      |  FROM codes),
+      |tp AS (
+      |  SELECT media_id, u.u AS u,
+      |    list_transform(range(0, 32), y ->
+      |      CAST(list_sum(list_transform(range(0, 32), x ->
+      |        px[CAST(y * 32 + x AS INT) + 1]
+      |        * cc.t[CAST(u.u AS INT) + 1][CAST(x AS INT) + 1]))
+      |        AS BIGINT)) AS trow
+      |  FROM pix, cc, (SELECT unnest(range(0, 8)) AS u) u),
+      |dctc AS (
+      |  SELECT t.media_id, CAST(v.v * 8 + t.u - 1 AS INT) AS bit,
+      |    CAST(list_sum(list_transform(range(0, 32), y ->
+      |      t.trow[CAST(y AS INT) + 1]
+      |      * cc.t[CAST(v.v AS INT) + 1][CAST(y AS INT) + 1]))
+      |      AS BIGINT) AS d
+      |  FROM tp t, cc, (SELECT unnest(range(0, 8)) AS v) v
+      |  WHERE v.v * 8 + t.u <> 0),
+      |med AS (
+      |  SELECT media_id, d AS m FROM (
+      |    SELECT media_id, d,
+      |      ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY d) AS rn
+      |    FROM dctc) z
+      |  WHERE rn = 32),
+      |sig AS (
+      |  SELECT c.media_id,
+      |    CAST(SUM(CASE WHEN c.d > med.m
+      |      THEN (CAST(1 AS BIGINT) << c.bit)
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      |  FROM dctc c JOIN med USING (media_id)
+      |  GROUP BY c.media_id),
       |bands AS (
       |  SELECT media_id, sig, b.band,
-      |    (sig >> CAST(8 * b.band AS INT)) & 255 AS bkey
-      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |    (sig >> CAST(9 * b.band AS INT)) & 511 AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 7)) AS band) b),
       |cand AS (
       |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
       |  FROM bands a JOIN bands c
@@ -294,7 +339,7 @@ object Multimodal {
       |  FROM cand
       |  JOIN sig sa ON sa.media_id = id_a
       |  JOIN sig sb ON sb.media_id = id_b
-      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 4)""".stripMargin
+      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 6)""".stripMargin
 
   val phashNearDupSql: String = mediaCte + "," + phashPairCtes + """
       |SELECT id_a, id_b, hamming FROM pairs
@@ -312,7 +357,7 @@ object Multimodal {
     // every downstream job (dedup apply, audit, re-shard) reads the
     // SAME assignment, so the CC fixpoint is a seam, not ephemera;
     // the iteration-bound contraction walk then runs once per corpus
-    graft.Seams.durable(s, d, "mm06-phash-cc")(
+    graft.Seams.durable(s, d, "mm06-dct-cc")(
         graft.dedup.Dedup.connectedComponentsStar(
           phashNearDup(s, d)
             .select(col("id_a").as("src"), col("id_b").as("dst"))))
@@ -749,29 +794,136 @@ object DecodeStub {
   }
 }
 
-/** 32-bit block-mean aHash over a byte payload — the perceptual-hash
-  * stand-in (a real pHash would DCT decoded pixels in the same decode
-  * slot; this one works on the raw bytes so it stays codec-free).
-  * Bit c is set iff chunk c's mean byte exceeds the whole-payload mean,
-  * compared as cross-multiplied exact integers so the oracle's
-  * codepoint arithmetic reproduces it bit-for-bit. */
-object PHashStub {
-  def phash(p: Array[Byte]): Long = {
-    val n = p.length
-    var total = 0L
-    var i = 0
-    while (i < n) { total += (p(i) & 0xff); i += 1 }
-    var sig = 0L
-    var c = 0
-    while (c < 32) {
-      val start = c * n / 32
-      val end = (c + 1) * n / 32
-      var s = 0L
-      var j = start
-      while (j < end) { s += (p(j) & 0xff); j += 1 }
-      if (s * n > total * (end - start)) sig |= (1L << c)
-      c += 1
+/** REAL perceptual hash — the standard DCT pHash (32×32 grayscale →
+  * 2-D DCT-II → top-left 8×8 coefficient block → median threshold),
+  * replacing the round-≤14 block-mean stand-in. Two entry points share
+  * one raster hash:
+  *
+  *  - [[hashImage]]: payloads a JDK `imageio` reader claims decode to a
+  *    real raster, bilinear-scaled to 32×32 grayscale — the production
+  *    slot. The hash uses the 63 AC coefficients (DC excluded), so a
+  *    uniform brightness shift — which only moves DC — leaves the hash
+  *    IDENTICAL (pinned in MultimodalSpec; the block-mean-over-encoded-
+  *    bytes stand-in fails that transform trivially, since re-encoding
+  *    scrambles every byte).
+  *  - [[hashBytes]]: the total-function fallback for payloads no reader
+  *    claims (this corpus's text bytes — the DecodeStub convention):
+  *    the byte stream is resampled to the same 32×32 grid by per-cell
+  *    floor-mean (nearest byte when the cell is empty), then hashed by
+  *    the identical DCT. The oracle reproduces THIS path bit-for-bit.
+  *
+  * Determinism: the DCT runs in EXACT integer arithmetic — the cosine
+  * basis is quantized ONCE here (`coef`, round(cos·2^14): |terms| ≤
+  * 255·2^14; a full coefficient ≤ 32²·255·2^28 < 2^47) and the oracle
+  * SQL embeds the SAME integer table as literals, so there is exactly
+  * one libm cos() call site in the system and no cross-engine float
+  * comparison anywhere. Median = the strict 32nd-smallest of the 63 AC
+  * values; bit i (= v·8+u−1) set iff its coefficient exceeds it. */
+object PHash {
+  private val Scale = 1 << 14
+
+  /** coef(u)(x) = round(cos(π/32 · (x+0.5) · u) · 2^14), u∈0..7. */
+  val coef: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    math.round(math.cos(math.Pi / 32 * (x + 0.5) * u) * Scale))
+
+  /** 63-bit AC pHash of a row-major 32×32 raster (values 0–255). */
+  def hashRaster(pix: Array[Int]): Long = {
+    require(pix.length == 1024, s"raster must be 32x32, got ${pix.length}")
+    // separable DCT: t(u)(y) = Σ_x pix(y,x)·C(u)(x), then
+    // d(v)(u) = Σ_y t(u)(y)·C(v)(y)
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += pix(y * 32 + x) * coef(u)(x); x += 1 }
+        t(u)(y) = s
+        y += 1
+      }
+      u += 1
     }
-    sig
+    val ac = new Array[Long](63)
+    var v = 0
+    while (v < 8) {
+      var uu = 0
+      while (uu < 8) {
+        if (v * 8 + uu != 0) {
+          var s = 0L
+          var y = 0
+          while (y < 32) { s += t(uu)(y) * coef(v)(y); y += 1 }
+          ac(v * 8 + uu - 1) = s
+        }
+        uu += 1
+      }
+      v += 1
+    }
+    val med = ac.sorted.apply(31)
+    var h = 0L
+    var i = 0
+    while (i < 63) { if (ac(i) > med) h |= 1L << i; i += 1 }
+    h
   }
+
+  /** Byte-stream fallback: resample to 32×32 by per-cell floor-mean
+    * (nearest byte for empty cells, 0s for an empty payload), DCT-hash. */
+  def hashBytes(p: Array[Byte]): Long = {
+    val n = p.length
+    val pix = new Array[Int](1024)
+    if (n > 0) {
+      var i = 0
+      while (i < 1024) {
+        val lo = (i.toLong * n / 1024).toInt
+        val hi = ((i + 1).toLong * n / 1024).toInt
+        if (hi > lo) {
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += (p(j) & 0xff); j += 1 }
+          pix(i) = (s / (hi - lo)).toInt
+        } else pix(i) = p(lo) & 0xff
+        i += 1
+      }
+    }
+    hashRaster(pix)
+  }
+
+  /** Decode-slot hash for real images: imageio decode → bilinear 32×32
+    * grayscale → [[hashRaster]]. None when no reader claims the bytes
+    * (callers fall back to [[hashBytes]] — the stage stays total). */
+  def hashImage(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val g32 = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = g32.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 32, 32, null)
+      g.dispose()
+      val raster = g32.getRaster
+      val pix = new Array[Int](1024)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { pix(y * 32 + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some(hashRaster(pix))
+    }
+  }
+
+  /** The total decode-slot function [[Multimodal.phashSigs]] maps:
+    * real raster when decodable, byte resample otherwise. */
+  def payloadHash(p: Array[Byte]): Long =
+    hashImage(p).getOrElse(hashBytes(p))
+
+  /** The oracle-side coefficient table as a DuckDB list literal —
+    * generated from [[coef]] so both engines share ONE quantization. */
+  def coefSqlLiteral: String =
+    coef.map(_.mkString("[", ", ", "]")).mkString("[", ",\n      ", "]")
 }

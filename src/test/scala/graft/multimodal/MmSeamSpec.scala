@@ -50,8 +50,8 @@ class MmSeamSpec extends AnyFunSuite {
       "cold durable mm05 differs from the rebuild path")
     assert(Multimodal.phashClusters(s1, dir).collect().toSeq ===
       wantClusters, "cold durable mm06 differs from the rebuild path")
-    val pairs1 = artifactFiles(cache, "mm05-phash-pairs-")
-    val cc1 = artifactFiles(cache, "mm06-phash-cc-")
+    val pairs1 = artifactFiles(cache, "mm05-dct-pairs-")
+    val cc1 = artifactFiles(cache, "mm06-dct-cc-")
     assert(pairs1.contains("_SUCCESS"), s"incomplete pair artifact: $pairs1")
     assert(cc1.contains("_SUCCESS"), s"incomplete cc artifact: $cc1")
 
@@ -61,9 +61,9 @@ class MmSeamSpec extends AnyFunSuite {
     assert(Multimodal.phashNearDup(s2, dir).collect().toSeq === wantPairs)
     assert(Multimodal.phashClusters(s2, dir).collect().toSeq ===
       wantClusters)
-    assert(artifactFiles(cache, "mm05-phash-pairs-") === pairs1,
+    assert(artifactFiles(cache, "mm05-dct-pairs-") === pairs1,
       "warm session rewrote the mm05 pair artifact instead of reusing it")
-    assert(artifactFiles(cache, "mm06-phash-cc-") === cc1,
+    assert(artifactFiles(cache, "mm06-dct-cc-") === cc1,
       "warm session rewrote the mm06 cc artifact instead of reusing it")
   }
 
@@ -73,12 +73,12 @@ class MmSeamSpec extends AnyFunSuite {
     cache.toFile.deleteOnExit()
     val s1 = spark.newSession()
     s1.conf.set(graft.Seams.CacheDirKey, cache.toString)
-    val before = graft.Seams.buildTimes.getOrElse("mm05-phash-pairs", 0.0)
+    val before = graft.Seams.buildTimes.getOrElse("mm05-dct-pairs", 0.0)
     Multimodal.phashNearDup(s1, dir).collect()
-    val afterCold = graft.Seams.buildTimes("mm05-phash-pairs")
+    val afterCold = graft.Seams.buildTimes("mm05-dct-pairs")
     assert(afterCold > before, "cold build not recorded in buildTimes")
     Multimodal.phashNearDup(s1, dir).collect()
-    assert(graft.Seams.buildTimes("mm05-phash-pairs") === afterCold,
+    assert(graft.Seams.buildTimes("mm05-dct-pairs") === afterCold,
       "warm reuse was mis-recorded as a build")
   }
 }

