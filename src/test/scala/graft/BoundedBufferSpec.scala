@@ -38,10 +38,13 @@ class BoundedBufferSpec extends AnyFunSuite {
     *    token-weight assembly ≤ subvector count (4).
     *  - Advanced: per-document token→count map — bounded by one
     *    document's own token count (row-size-bounded).
+    *  - TextAnalysis: txt27's BPE merge-list assembly — exactly the
+    *    top-20 post-limit merge rows reach the aggregate.
     */
   private val allow: Map[String, Int] = Map(
     "streaming/StreamedQueries.scala" -> 1,
     "similarity/Similarity.scala" -> 9,
+    "text/TextAnalysis.scala" -> 1,
     "relational/Advanced.scala" -> 1)
 
   test("every collect_list/collect_set site in main is reviewed-bounded") {
