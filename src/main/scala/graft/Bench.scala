@@ -142,12 +142,13 @@ object Bench {
     // shipped 12-25× their real cost with no flag. The defense is an
     // EXPECTATION: the previous committed record (bench_last.json,
     // written by the prior invocation). Any query whose min-of-2
-    // exceeds 3× its prior record (and isn't sub-half-second noise)
+    // exceeds its threshold × prior record (3×; 2× for the
+    // IO-layout set below — and isn't sub-half-second noise)
     // gets a THIRD measurement at a different wall-clock offset:
     //  - third run ≤ prior×3 ⇒ the 2-pass min was contamination; the
     //    record keeps the third-pass value and lists the key under
     //    `contaminated` (measured, then disproved);
-    //  - third run still >3× prior ⇒ a real regression or persistent
+    //  - third run still over threshold ⇒ a real regression or persistent
     //    contention; the key lands in `suspect` so the round's
     //    adjudication note has an explicit worklist instead of a diff
     //    nobody runs.
@@ -174,9 +175,17 @@ object Bench {
       Map.empty
     }
     def prefix(n: String): String = n.takeWhile(_ != '_')
+    // The IO-LAYOUT queries (each re-materializes partitioned/z-ordered
+    // parquet per run) distort under co-tenant DISK pressure well below
+    // the CPU-bound 3× mark — round 14 shipped them at 2.0-2.6× with no
+    // flag. Their tripwire is 2×.
+    val ioLayoutKeys = Set("op03", "op06", "op07", "op13", "op14")
+    def threshold(n: String): Double =
+      if (ioLayoutKeys(prefix(n))) 2.0 else 3.0
     val escalate = names.filter { n =>
       val m = mins0(n)
-      m > 0.5 && prior.get(prefix(n)).exists(p => p > 0 && m > 3 * p)
+      m > 0.5 &&
+        prior.get(prefix(n)).exists(p => p > 0 && m > threshold(n) * p)
     }
     val thirds: Map[String, Double] = escalate.map { n =>
       val t0 = System.nanoTime()
@@ -191,13 +200,13 @@ object Bench {
       n -> (if (ok) sec else -1.0)
     }.toMap
     val contaminated = escalate.filter(n =>
-      thirds(n) > 0 && thirds(n) <= 3 * prior(prefix(n)))
+      thirds(n) > 0 && thirds(n) <= threshold(n) * prior(prefix(n)))
     val suspect = escalate.filterNot(contaminated.contains)
     if (contaminated.nonEmpty)
       System.err.println("[bench] CONTAMINATED (2-pass min disproved by " +
         s"pass 3, record keeps pass 3): ${contaminated.mkString(", ")}")
     if (suspect.nonEmpty)
-      System.err.println("[bench] SUSPECT (>3x prior record, reproduced " +
+      System.err.println("[bench] SUSPECT (over threshold x prior, reproduced " +
         s"on pass 3 — adjudicate): ${suspect.mkString(", ")}")
     val results = names.map { name =>
       val sec = (mins0(name), thirds.get(name)) match {

@@ -215,15 +215,17 @@ object Ingest {
       "jdbc-url", "jdbc-driver", "jdbc-user", "jdbc-pass", "dead-letters",
       "host", "port", "shards", "tickers", "channels", "access-key",
       "private-key-file", "api-base", "series-ticker", "dedup-delay",
-      "drain", "max-reconnects")
+      "drain", "max-reconnects", "max-lines-per-trigger")
     require(unknown.isEmpty, s"unknown options: ${unknown.mkString(", ")}")
     def req(k: String): String = kv.getOrElse(k,
       throw new IllegalArgumentException(s"--$k is required"))
     val role = kv.getOrElse("role", "both")
     val sock = Seq("host", "port", "shards", "tickers", "channels",
-      "max-reconnects").flatMap {
+      "max-reconnects", "max-lines-per-trigger").flatMap {
         case "max-reconnects" =>
           kv.get("max-reconnects").map("maxReconnects" -> _)
+        case "max-lines-per-trigger" =>
+          kv.get("max-lines-per-trigger").map("maxLinesPerTrigger" -> _)
         case k => kv.get(k).map(k -> _)
       }.toMap ++
       (for (k <- kv.get("access-key"); p <- kv.get("private-key-file"))

@@ -110,7 +110,11 @@ object StreamBench {
         "host" -> "localhost", "port" -> server.getLocalPort.toString,
         "tickers" -> tickers.mkString(","),
         "channels" -> "orderbook_snapshot,orderbook_delta",
-        "transport" -> "ws"))
+        "transport" -> "ws",
+        // the production guard ON for the measured number: bounds the
+        // producer's driver-side collect at 10k lines/micro-batch
+        // (lossless — the remainder defers to the next batch)
+        "maxLinesPerTrigger" -> "10000"))
     def deltaCount(): Long = {
       val p = new java.util.Properties()
       cfg.jdbcProps.foreach { case (k, v) => p.setProperty(k, v) }
@@ -135,7 +139,7 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       require(n >= wantDeltas, s"ingest e2e timed out: $n/$wantDeltas")
-      println(f"""{"metric":"ingest_e2e","messages":${lines.size},"sec":$sec%.2f,"msgs_per_sec":${lines.size / sec}%.0f,"delta_rows":$n}""")
+      println(f"""{"metric":"ingest_e2e","messages":${lines.size},"sec":$sec%.2f,"msgs_per_sec":${lines.size / sec}%.0f,"delta_rows":$n,"max_lines_per_trigger":10000}""")
     } finally {
       queries.foreach(_.stop())
       server.close()

@@ -909,6 +909,21 @@ object StreamedQueries {
       wireOutSchema)
   }
 
+  /** Phase timer for the wire e2e gates (st13/st14/st15): one stderr
+    * line per phase so the bench's per-query seconds are ATTRIBUTABLE —
+    * fixed harness cost (feed build, server lifecycle, query/checkpoint
+    * start, teardown) vs the pipeline cost that actually scales with
+    * the feed. The round-14 verdict's item 3: without this split, any
+    * st-family bench drift is unreadable. Costs nanoseconds when
+    * nobody reads stderr; the gates are multi-second queries. */
+  private def phase[T](tag: String, name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[stgate] $tag $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
+  }
+
   /** Poll the live-socket pipeline until all `want` rows are durable,
     * then stop it (a socket source has no natural end-of-feed, unlike
     * the AvailableNow-capable durable-log source st15 reads). */
@@ -928,7 +943,7 @@ object StreamedQueries {
   }
 
   def streamWire(s: SparkSession, d: String): DataFrame = {
-    val feed = wireFeed(s, d)
+    val feed = phase("st13", "feed_build")(wireFeed(s, d))
     if (feed.isEmpty) return emptyWireResult(s)
     val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
     val nShards = math.min(2, tickers.size)
@@ -938,23 +953,25 @@ object StreamedQueries {
       feed.iterator.filter(r => mine(r.getString(0))).zipWithIndex
         .map { case (r, i) => wireLine(r, 9000 + sh, i + 1L) }.toSeq
     }
-    val servers = shardLines.map(WsReplay.server)
+    val servers = phase("st13", "server_start")(shardLines.map(WsReplay.server))
     val out = Files.createTempDirectory("graft-st13-out")
     try {
-      val df = s.readStream.format("graft-socket")
-        .option("shards",
-          servers.map(sv => s"localhost:${sv.getLocalPort}").mkString(","))
-        .option("tickers", tickers.mkString(","))
-        .option("channels", "orderbook_delta")
-        .option("transport", "ws")
-        .load()
-      val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
-        out.toString, Trigger.ProcessingTime(0L))
-      drainWire(s, q, out, feed.length.toLong, "st13")
-      wireAgg(s, out)
+      val q = phase("st13", "query_start") {
+        val df = s.readStream.format("graft-socket")
+          .option("shards",
+            servers.map(sv => s"localhost:${sv.getLocalPort}").mkString(","))
+          .option("tickers", tickers.mkString(","))
+          .option("channels", "orderbook_delta")
+          .option("transport", "ws")
+          .load()
+        StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
+          out.toString, Trigger.ProcessingTime(0L))
+      }
+      phase("st13", "drain_stop")(
+        drainWire(s, q, out, feed.length.toLong, "st13"))
+      phase("st13", "agg_readback")(wireAgg(s, out))
     } finally {
-      servers.foreach(_.close())
-      rmTree(out)
+      phase("st13", "teardown") { servers.foreach(_.close()); rmTree(out) }
     }
   }
 
@@ -992,7 +1009,7 @@ object StreamedQueries {
     * across epochs, so the replay-dedup would silently drop half of
     * epoch 2 (the exact bug class st11 guards in the buffer). */
   def streamReconnect(s: SparkSession, d: String): DataFrame = {
-    val feed = wireFeed(s, d)
+    val feed = phase("st14", "feed_build")(wireFeed(s, d))
     if (feed.isEmpty) return emptyWireResult(s)
     val tickers = feed.map(_.getString(0)).distinct.sorted.toSeq
     val epochs = Seq(feed.take(feed.length / 2), feed.drop(feed.length / 2))
@@ -1000,25 +1017,27 @@ object StreamedQueries {
         rows.zipWithIndex
           .map { case (r, i) => wireLine(r, 9100 + ep, i + 1L) }.toSeq
       }
-    val server = WsReplay.epochServer(epochs)
+    val server = phase("st14", "server_start")(WsReplay.epochServer(epochs))
     val out = Files.createTempDirectory("graft-st14-out")
     try {
-      val df = s.readStream.format("graft-socket")
-        .option("host", "localhost")
-        .option("port", server.getLocalPort.toString)
-        .option("tickers", tickers.mkString(","))
-        .option("channels", "orderbook_delta")
-        .option("transport", "ws")
-        .option("maxReconnects", "1")
-        .option("reconnectBackoffMs", "50")
-        .load()
-      val q = StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
-        out.toString, Trigger.ProcessingTime(0L))
-      drainWire(s, q, out, feed.length.toLong, "st14")
-      wireAgg(s, out)
+      val q = phase("st14", "query_start") {
+        val df = s.readStream.format("graft-socket")
+          .option("host", "localhost")
+          .option("port", server.getLocalPort.toString)
+          .option("tickers", tickers.mkString(","))
+          .option("channels", "orderbook_delta")
+          .option("transport", "ws")
+          .option("maxReconnects", "1")
+          .option("reconnectBackoffMs", "50")
+          .load()
+        StreamPipeline.runUnifiedFrom(StreamPipeline.decode(df),
+          out.toString, Trigger.ProcessingTime(0L))
+      }
+      phase("st14", "drain_stop")(
+        drainWire(s, q, out, feed.length.toLong, "st14"))
+      phase("st14", "agg_readback")(wireAgg(s, out))
     } finally {
-      server.close()
-      rmTree(out)
+      phase("st14", "teardown") { server.close(); rmTree(out) }
     }
   }
 
@@ -1036,7 +1055,7 @@ object StreamedQueries {
     * fold, buffered log) is oracle-gated end-to-end, not just
     * suite-pinned. */
   def streamQueue(s: SparkSession, d: String): DataFrame = {
-    val feed = wireFeed(s, d)
+    val feed = phase("st15", "feed_build")(wireFeed(s, d))
     if (feed.isEmpty) return emptyWireResult(s)
     val lines = feed.zipWithIndex
       .map { case (r, i) => wireLine(r, 9200, i + 1L) }.toSeq
@@ -1044,17 +1063,19 @@ object StreamedQueries {
     val out = Files.createTempDirectory("graft-st15-out")
     try {
       // ≥3 segments → ≥3 micro-batches at maxSegmentsPerTrigger=1
-      val per = math.max(1, lines.size / 3)
-      lines.grouped(per).foreach(g => QueueLog.append(qdir.toString, g))
-      StreamPipeline.runUnifiedFrom(
-          new Connectors.QueueMessageSource(qdir.toString,
-            maxSegmentsPerTrigger = 1L).messages(s),
-          out.toString)
-        .awaitTermination()
-      wireAgg(s, out)
+      phase("st15", "queue_append") {
+        val per = math.max(1, lines.size / 3)
+        lines.grouped(per).foreach(g => QueueLog.append(qdir.toString, g))
+      }
+      phase("st15", "run_drain")(
+        StreamPipeline.runUnifiedFrom(
+            new Connectors.QueueMessageSource(qdir.toString,
+              maxSegmentsPerTrigger = 1L).messages(s),
+            out.toString)
+          .awaitTermination())
+      phase("st15", "agg_readback")(wireAgg(s, out))
     } finally {
-      rmTree(qdir)
-      rmTree(out)
+      phase("st15", "teardown") { rmTree(qdir); rmTree(out) }
     }
   }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -115,9 +115,11 @@ object WireSocket {
   * (default 0 = fail-stop parity with the reference; > 0 folds the
   * restart into the stream: re-connect + re-auth + re-subscribe with a
   * synthetic `graft_resubscribed` envelope per recovery, backoff
-  * `reconnectBackoffMs`), and for authenticated feeds `accessKey` +
-  * `privateKeyFile` (PKCS#8 PEM) with optional `authPath` (default
-  * [[WireSocket.AuthPath]]).
+  * `reconnectBackoffMs`), `maxLinesPerTrigger` (admission control:
+  * per-micro-batch line budget across shards — lossless backpressure,
+  * see [[WireSocketStream.latestOffset]]), and for authenticated feeds
+  * `accessKey` + `privateKeyFile` (PKCS#8 PEM) with optional
+  * `authPath` (default [[WireSocket.AuthPath]]).
   *
   * `transport` selects the wire (default `tcp` — NDJSON over a raw
   * socket, the replay-fixture shape):
@@ -232,7 +234,9 @@ private[streaming] class WireSocketTable(options: CaseInsensitiveStringMap)
               Option(options.get("transport")).getOrElse("tcp"),
               path, ssl)
           }
-          new WireSocketStream(conns)
+          val maxLines = options.getLong("maxLinesPerTrigger", Long.MaxValue)
+          require(maxLines > 0, s"maxLinesPerTrigger must be > 0, got $maxLines")
+          new WireSocketStream(conns, maxLines)
         }
       }
     }
@@ -420,8 +424,9 @@ private[streaming] final class WireConn(host: String, port: Int,
   * recovered shard re-subscribes only its own ticker subset. At real
   * fan-in this is the "one connection per market shard" deployment the
   * round-9 scale note described — now executable instead of a comment. */
-private[streaming] class WireSocketStream(conns: Seq[WireConn])
-    extends MicroBatchStream {
+private[streaming] class WireSocketStream(conns: Seq[WireConn],
+    maxLines: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl {
   require(conns.nonEmpty, "graft-socket needs at least one shard")
 
   override def initialOffset(): Offset =
@@ -435,10 +440,38 @@ private[streaming] class WireSocketStream(conns: Seq[WireConn])
     o
   }
 
-  override def latestOffset(): Offset = {
+  /** BACKPRESSURE (`maxLinesPerTrigger`): bound each micro-batch at the
+    * OFFSET level — the unserved remainder stays buffered in the
+    * [[WireConn]]s and feeds the next batch, so throttling is lossless
+    * by construction (nothing is ever dropped, only deferred). The
+    * guard exists for the composed deployable ([[graft.Ingest]]): its
+    * producer stage collects each batch on the driver before the
+    * durable-queue append, so an unthrottled burst while the consumer
+    * lags would grow that collect without bound. The budget splits
+    * evenly across shards (min 1 line/shard so a skewed shard can
+    * always make progress). */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxLines == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxLines)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     conns.foreach(_.raiseIfFailed())
-    WireOffset(conns.map(_.latest))
+    val cap: Long = limit match {
+      case mr: ReadMaxRows => math.min(maxLines, mr.maxRows())
+      case _ => maxLines
+    }
+    if (cap == Long.MaxValue) WireOffset(conns.map(_.latest))
+    else {
+      val s = start.asInstanceOf[WireOffset].ns
+      val per = math.max(1L, cap / conns.size)
+      WireOffset(conns.indices.map(i =>
+        math.min(conns(i).latest, s(i) + per)))
+    }
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-socket uses SupportsAdmissionControl.latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

@@ -120,6 +120,62 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  /** The producer's driver-side collect is bounded ONLY by admission
+    * control: with `maxLinesPerTrigger` set, every micro-batch (and
+    * therefore every collect + queue segment) obeys the budget, and
+    * the unserved remainder is deferred — never dropped. This pins
+    * both halves: bounded batches AND lossless drain. */
+  test("throttled producer (maxLinesPerTrigger) drains losslessly in " +
+      "bounded batches") {
+    val tickers = Seq("KXBP-00", "KXBP-01")
+    val msgs = Fixtures.genMessages(tickers, 120)
+    val lines = msgs.map(Fixtures.envelopeJson).zipWithIndex.map {
+      case (l, i) => l.replaceFirst("\"sid\":\\d+", "\"sid\":7100")
+        .replaceFirst("\"seq\":\\d+", s""""seq":${i + 1}""")
+    }
+    val server = WsReplay.server(lines)
+    val queue = Files.createTempDirectory("graft-bp-queue")
+    val ckpt = Files.createTempDirectory("graft-bp-ckpt")
+    val cfg = Ingest.Config(
+      role = "producer",
+      queueDir = queue.toString,
+      checkpointDir = ckpt.toString,
+      jdbcUrl = "",
+      socketOptions = Map(
+        "host" -> "localhost", "port" -> server.getLocalPort.toString,
+        "tickers" -> tickers.mkString(","),
+        "channels" -> "orderbook_snapshot,orderbook_delta",
+        "transport" -> "ws",
+        "maxLinesPerTrigger" -> "25"))
+    val queries = Ingest.run(spark, cfg)
+    try {
+      def queued(): Seq[String] = QueueLog.segments(queue.toString)
+        .flatMap { case (_, p) =>
+          scala.jdk.CollectionConverters
+            .CollectionHasAsScala(Files.readAllLines(p)).asScala
+        }
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (queued().size < lines.size && System.nanoTime() < deadline) {
+        queries.foreach(_.processAllAvailable())
+        if (queued().size < lines.size) Thread.sleep(50)
+      }
+      // lossless: every line arrives, in order, exactly once
+      assert(queued() === lines)
+      // bounded: each micro-batch appended one segment of ≤ the budget,
+      // so the drain took ≥ ⌈n/25⌉ segments and no segment exceeds 25
+      val segSizes = QueueLog.segments(queue.toString).map { case (_, p) =>
+        Files.readAllLines(p).size
+      }
+      assert(segSizes.forall(_ <= 25),
+        s"a micro-batch exceeded the 25-line budget: $segSizes")
+      assert(segSizes.size >= (lines.size + 24) / 25,
+        s"drain took too few batches to have been throttled: $segSizes")
+    } finally {
+      queries.foreach(_.stop())
+      server.close()
+    }
+  }
+
   test("parseArgs: flags, socket options, auth pairing, unknowns") {
     val cfg = Ingest.parseArgs(Array(
       "--queue", "/q", "--checkpoint", "/c", "--jdbc-url", "jdbc:x",

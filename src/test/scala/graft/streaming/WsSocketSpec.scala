@@ -289,13 +289,23 @@ class WsSocketSpec extends AnyFunSuite {
         new WireConn("localhost", sB.port, Seq("T2"), Seq("c"),
           failOnGap = false, transport = "ws"))
       val stream = new WireSocketStream(conns)
+      // admission-control surface: latestOffset(start, limit) is the
+      // real call (the no-arg form throws, like graft-queue)
+      def newest() = stream.latestOffset(WireOffset(Seq(0L, 0L)),
+        stream.getDefaultReadLimit).asInstanceOf[WireOffset]
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var latest = stream.latestOffset().asInstanceOf[WireOffset]
+      var latest = newest()
       while (latest.ns != Seq(3L, 2L) && System.nanoTime() < deadline) {
         Thread.sleep(50)
-        latest = stream.latestOffset().asInstanceOf[WireOffset]
+        latest = newest()
       }
       assert(latest.ns === Seq(3L, 2L))
+      // admission cap: a 2-row budget across 2 shards advances each by
+      // ≤ 1 line; the remainder stays buffered for the next batch
+      val capped = stream.latestOffset(WireOffset(Seq(0L, 0L)),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(2L))
+        .asInstanceOf[WireOffset]
+      assert(capped.ns === Seq(1L, 1L))
       assert(latest.json === "3,2")
       assert(stream.deserializeOffset("3,2") === WireOffset(Seq(3L, 2L)))
       val parts = stream.planInputPartitions(
