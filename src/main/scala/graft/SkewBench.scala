@@ -404,8 +404,10 @@ object SkewBench {
           .select(col("query_id"), explode(col("topk")))
           .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
       }
-      def cellPairs(vecs: DataFrame, nprobe: Int): DataFrame =
-        graft.similarity.Similarity.knnGraphOn(spark, vecs, nprobe = nprobe)
+      def cellPairs(vecs: DataFrame, nprobe: Int,
+          trainRounds: Int = 0): DataFrame =
+        graft.similarity.Similarity.knnGraphOn(spark, vecs,
+            nprobe = nprobe, trainRounds = trainRounds)
           .select(col("query_id"), col("neighbor_id"))
       val knnSizes = if (knnFull) Seq(20000L, 60000L) else Seq(20000L)
       if (!knnFull) { // warm codegen/IO so the 20k point is clean
@@ -420,15 +422,16 @@ object SkewBench {
         val vecs = spark.read.parquet(vDir)
         val (brRows, brSec) = run(bruteGraph(vecs))
         val exact = brRows.toSet
-        // the recall/cost dial: nprobe=1 (sim08) vs nprobe=2 (sim29) —
-        // the round-14 verdict's open quality item was recall@2 ≈ 0.53
-        // at nprobe=1; this publishes the curve alongside the speedup
-        for (nprobe <- Seq(1, 2)) {
-          val (cellRows, cellSec) = run(cellPairs(vecs, nprobe))
+        // the recall/cost dial: nprobe=1 (sim08), nprobe=2 (sim29), and
+        // nprobe=2 over a Lloyd-trained coarse quantizer (sim30) — the
+        // round-14 verdict's open quality item was recall@2 ≈ 0.53 at
+        // nprobe=1; this publishes the full curve alongside the speedup
+        for ((nprobe, trained) <- Seq((1, 0), (2, 0), (2, 1))) {
+          val (cellRows, cellSec) = run(cellPairs(vecs, nprobe, trained))
           val recall = cellRows.count(exact.contains).toDouble / brRows.size
           require(recall >= 0.5,
             f"cell-blocked kNN recall $recall%.2f < 0.5 at n=$m nprobe=$nprobe")
-          println(f"""{"metric":"knn_crossover","vectors":$m,"nprobe":$nprobe,"cell_sec":$cellSec%.2f,"brute_sec":$brSec%.2f,"speedup":${brSec / cellSec}%.2f,"recall_top2":$recall%.3f,"note":"sim08/sim29 cell-blocked O(n^1.5 * nprobe) vs brute O(n^2), same graft_topk ranking"}""")
+          println(f"""{"metric":"knn_crossover","vectors":$m,"nprobe":$nprobe,"train_rounds":$trained,"cell_sec":$cellSec%.2f,"brute_sec":$brSec%.2f,"speedup":${brSec / cellSec}%.2f,"recall_top2":$recall%.3f,"note":"sim08/sim29/sim30 cell-blocked O(n^1.5 * nprobe) vs brute O(n^2), same graft_topk ranking"}""")
         }
       }
     }

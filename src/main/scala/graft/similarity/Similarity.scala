@@ -689,7 +689,7 @@ object Similarity {
     * via `nprobe` — the recall/cost dial (the registry gates run the
     * identical pipelines via [[knnGraph]] / [[knnGraphMulti]]). */
   private[graft] def knnGraphOn(s: SparkSession, vecs: DataFrame,
-      k: Int = 2, nprobe: Int = 1): DataFrame = {
+      k: Int = 2, nprobe: Int = 1, trainRounds: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val n = vecs
       .select(col("vec_id"),
@@ -697,7 +697,7 @@ object Similarity {
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
       .where(col("nrm") > 0)
-    knnCore(s, n, k, nprobe)
+    knnCore(s, n, k, nprobe, trainRounds)
   }
 
   /** Top-`nprobe` nearest cells for EVERY corpus vector — the
@@ -722,8 +722,10 @@ object Similarity {
         col("col.pid").as("cell"))
 
   private def knnCore(s: SparkSession, n: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    val cent = centroids(s, n)
+      nprobe: Int = 1, trainRounds: Int = 0): DataFrame = {
+    val cent =
+      if (trainRounds <= 0) centroids(s, n)
+      else trainedCentroids(s, n, trainRounds)
     // neighbor side stays single-cell (each vector LIVES in one cell,
     // so probing p distinct cells can never produce duplicate pairs);
     // only the query side fans out to its nprobe nearest cells.
@@ -742,6 +744,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Lloyd-TRAINED coarse centroids — the "better centroids" fix
+    * sim20's cell-balance audit points at: `rounds` iterations of
+    * nearest-centroid assignment (the shared [[assignCells]] argmin
+    * aggregate) + per-(cell, dim) MEAN update in sim10's exact-decimal
+    * discipline (DECIMAL(28,6) sums → one double division — order-
+    * independent partials AND engine-identical doubles), centroid ids
+    * carried forward on empty cells, zero-norm means dropped (a
+    * directionless centroid can't take cosine assignments). The result
+    * is localCheckpoint'ed — a trained coarse quantizer is a reusable
+    * artifact, consumed by both the probe and the assignment side.
+    *
+    * Scale per round: one broadcast of the ~√n×dims centroid table,
+    * one argmin hash aggregate (one slim row per vector crosses the
+    * shuffle), one (cell, dim)-keyed mean whose post-partial size is
+    * cells·dims — corpus-independent. */
+  private def trainedCentroids(s: SparkSession, n: DataFrame,
+      rounds: Int): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    var cent = centroids(s, n)
+    for (_ <- 1 to rounds) {
+      val upd = assignCells(n, cent)
+        .select(col("cell"), posexplode(col("e")))
+        .select(col("cell"), (col("pos") + 1).cast(IntegerType).as("dim"),
+          col("col").as("v"))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("v").cast(d6))
+            .cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)))
+          .as("nc"))
+        .groupBy(col("cell"))
+        // bounded: ≤ dims (64) entries per cell group
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, nc))), p -> p.nc)")
+          .as("ce2"))
+      cent = cent.join(upd, col("pid") === col("cell"), "left")
+        .select(col("pid"), coalesce(col("ce2"), col("ce")).as("ce"))
+        .withColumn("cnrm",
+          sqrt(call_function("graft_vec_dot", col("ce"), col("ce"))))
+        .where(col("cnrm") > 0)
+        .localCheckpoint()
+    }
+    cent
   }
 
   val knnGraphSql: String = normedCte + "," + centCte + "," + assignedCte + "\n" +
@@ -792,6 +837,59 @@ object Similarity {
       |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
       |      AS INTEGER) AS rnk
       |  FROM probes q JOIN assigned c
+      |    ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
+      |WHERE rnk <= 2
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim30
+  /** k-NN GRAPH over LLOYD-TRAINED coarse centroids + multi-probe —
+    * the full quantizer upgrade path composed: sim20's cell-balance
+    * audit names "better centroids" as the fix for hot cells, sim29
+    * supplies the probe dial; this runs ONE exact-decimal Lloyd round
+    * over the first-⌈√n⌉ prefix init ([[trainedCentroids]]) and builds
+    * the nprobe=2 graph against the trained cells. Trained centroids
+    * sit at their cells' actual centers, so cell populations even out
+    * (less blocked-join skew) AND boundaries move to where the data
+    * thins (fewer split neighborhoods) — recall measured on the
+    * SkewBench knn family next to sim08/sim29's curve (BASELINE.md).
+    * Everything stays engine-exact: mean updates are DECIMAL(28,6)
+    * sums divided once into doubles (sim10's discipline), so the
+    * trained table is bit-identical in the oracle's mirror. */
+  def knnTrained(s: SparkSession, d: String): DataFrame =
+    knnCore(s, normed(s, d), 2, nprobe = 2, trainRounds = 1)
+
+  val knnTrainedSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    """
+      |tupd AS (
+      |  SELECT a.cell, CAST(t.i AS INT) AS dim,
+      |    CAST(SUM(CAST(a.e[CAST(t.i AS INT)] AS DECIMAL(28,6))) AS DOUBLE)
+      |      / COUNT(*) AS nc
+      |  FROM assigned a, UNNEST(range(1, len(a.e) + 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |tcup AS (SELECT cell, list(nc ORDER BY dim) AS ce2
+      |  FROM tupd GROUP BY cell),
+      |cent1 AS (
+      |  SELECT pid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM (
+      |    SELECT c.pid, COALESCE(u.ce2, c.ce) AS ce
+      |    FROM cent c LEFT JOIN tcup u ON u.cell = c.pid) t
+      |  WHERE sqrt(list_dot_product(ce, ce)) > 0),
+      |ranked1 AS (
+      |  SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |  FROM n v CROSS JOIN cent1 c),
+      |assigned1 AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked1 WHERE rn = 1),
+      |probes1 AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked1 WHERE rn <= 2)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC, c.vec_id)
+      |      AS INTEGER) AS rnk
+      |  FROM probes1 q JOIN assigned1 c
       |    ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
       |WHERE rnk <= 2
       |ORDER BY query_id, rnk""".stripMargin
@@ -2430,7 +2528,8 @@ object Similarity {
     "sim26_power_iteration" -> (powerIteration _),
     "sim27_matryoshka_recall" -> (matryoshkaRecall _),
     "sim28_rrf_fusion" -> (rrfFusion _),
-    "sim29_knn_multiprobe" -> (knnGraphMulti _))
+    "sim29_knn_multiprobe" -> (knnGraphMulti _),
+    "sim30_knn_trained" -> (knnTrained _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2461,5 +2560,6 @@ object Similarity {
     "sim26_power_iteration" -> powerIterationSql,
     "sim27_matryoshka_recall" -> matryoshkaRecallSql,
     "sim28_rrf_fusion" -> rrfFusionSql,
-    "sim29_knn_multiprobe" -> knnGraphMultiSql)
+    "sim29_knn_multiprobe" -> knnGraphMultiSql,
+    "sim30_knn_trained" -> knnTrainedSql)
 }

@@ -34,7 +34,8 @@ class BoundedBufferSpec extends AnyFunSuite {
     *    per-message level count (row-size-bounded).
     *  - Similarity: PQ code/LUT assembly groups carry ≤ subspaces(4) or
     *    ≤ codewords(8) items; Lloyd/centroid updates ≤ dims(64); PQ
-    *    codebook training updates ≤ dims-per-subspace(16);
+    *    codebook training updates ≤ dims-per-subspace(16); trained
+    *    coarse-centroid updates ≤ dims(64);
     *    token-weight assembly ≤ subvector count (4).
     *  - Advanced: per-document token→count map — bounded by one
     *    document's own token count (row-size-bounded).
@@ -43,7 +44,7 @@ class BoundedBufferSpec extends AnyFunSuite {
     */
   private val allow: Map[String, Int] = Map(
     "streaming/StreamedQueries.scala" -> 1,
-    "similarity/Similarity.scala" -> 9,
+    "similarity/Similarity.scala" -> 10,
     "text/TextAnalysis.scala" -> 1,
     "relational/Advanced.scala" -> 1)
 

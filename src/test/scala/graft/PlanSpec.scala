@@ -184,9 +184,13 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle, so the plan must show an ObjectHashAggregate pair
     // (partial below the query-keyed exchange, final above) and no
     // window operator anywhere in the ranking
+    // sim29: BOTH the probe-cell ranking (corpus-side nprobe=2) and the
+    // edge ranking must be heap aggregates — a window on either would
+    // funnel the corpus through one task per vector
     Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc",
         "sim08_knn_graph", "sim11_maxsim", "sim12_filtered_ann",
-        "sim13_knn_vote", "sim23_binary_hamming").foreach { q =>
+        "sim13_knn_vote", "sim23_binary_hamming",
+        "sim29_knn_multiprobe").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
@@ -201,6 +205,21 @@ class PlanSpec extends AnyFunSuite {
         .findFirstIn(p).isDefined,
         s"$q top-k aggregate has no map-side partial stage:\n$p")
     }
+  }
+
+  test("txt38: every GD step reduces to a 1-row gradient via map-side " +
+    "partials; weight state broadcasts back; no windows, no shuffled joins") {
+    val p = plan("txt38_logistic_quality")
+    // the per-step scan must compress to one row per partition BEFORE
+    // any exchange (the 1-row group key makes partials the whole game)
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"txt38 gradient is not partial-first:\n$p")
+    // the 1-row weight state rides a broadcast, never a shuffle; and
+    // nothing in the trajectory needs a ranking window
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"txt38 shuffles a join (the weight state is 1 row):\n$p")
+    assert(!p.contains("Window"),
+      s"txt38 grew a window operator:\n$p")
   }
 
   test("q29: merge source is pre-aggregated (map-side partials) before " +
