@@ -1436,8 +1436,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w")).as("n_words"),
         sum(col("sw")).as("n_subwords"))
+      // a language whose docs carry NO [a-z0-9] pretokens (degenerate
+      // corpora — EdgeDocsSpec) has no defined fertility: NULL, not a
+      // 0-division (ANSI) — the oracle spells the same CASE
       .withColumn("fertility",
-        col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType))
+        when(col("n_words") > 0,
+          col("n_subwords").cast(DoubleType) / col("n_words").cast(DoubleType)))
       .orderBy(col("lang"))
   }
 
@@ -1471,7 +1475,9 @@ object TextAnalysis {
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(w) AS BIGINT) AS n_words,
       |  CAST(SUM(sw) AS BIGINT) AS n_subwords,
-      |  CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility
+      |  CASE WHEN SUM(w) > 0
+      |    THEN CAST(SUM(sw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+      |  END AS fertility
       |FROM tf GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- txt28

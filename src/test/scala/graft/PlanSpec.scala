@@ -536,13 +536,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"sim16 shuffled the corpus:\n$p")
   }
 
-  test("txt27: the fertility fold is one map stage into one hash " +
-    "aggregate — no explode of the token arrays") {
+  test("txt27: the merge table is bounded+broadcast; the corpus-side " +
+    "fertility fold never shuffles a join or ranks through a window") {
     val p = plan("txt27_token_fertility")
-    assert(!p.contains("Generate"),
-      s"txt27 exploded tokens instead of folding in-row:\n$p")
-    val aggs = "HashAggregate".r.findAllIn(p).size
-    assert(aggs === 2, s"txt27 expected partial+final agg, got $aggs:\n$p")
+    // the BPE merge TABLE build may explode (vocab-collapsed, Heaps-law
+    // sublinear, then LIMIT 20), but it must reach the corpus as a
+    // bounded broadcast — never a shuffled join against documents
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"txt27 shuffled a join (the merge table is 20 rows):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"txt27 merge-candidate top-20 is not a bounded partial heap:\n$p")
+    // the corpus-side encode+count is ONE map stage into the lang
+    // aggregate: no Generate may consume the broadcast-joined frame
+    // (the only Generates allowed are the vocab build's, which run
+    // BEFORE the TakeOrdered boundary)
+    val afterJoin = p.split("BroadcastNestedLoopJoin").head
+    assert(!afterJoin.contains("Generate"),
+      s"txt27 exploded tokens on the corpus side instead of folding " +
+        s"in-row:\n$p")
   }
 
   test("q56: the rank<=k filter pushes a WindowGroupLimit below the " +
