@@ -443,10 +443,17 @@ object SkewBench {
     // not a run). EXPLICIT opt-in only — `want` is true for every
     // family on an unfiltered run, and a default invocation must never
     // demand a 64g driver.
-    if (fams.contains("knnbig")) {
+    if (fams.contains("knnbig") || fams.contains("knnbigt")) {
       graft.functions.GraftFunctions.register(spark)
+      // knnbig = sim08's nprobe=1 graph (the round-14 point);
+      // knnbigt = sim30's trained + nprobe=2 config — the quality
+      // upgrade exercised at the scale where round 14 found the
+      // hash-fallback defect (1M vectors, ~1000 cells: the training
+      // argmin alone is a 10⁹-dot pass per round)
+      val (npB, trB) = if (fams.contains("knnbigt")) (2, 1) else (1, 0)
       def cellPairsB(vecs: DataFrame): DataFrame =
-        graft.similarity.Similarity.knnGraphOn(spark, vecs)
+        graft.similarity.Similarity.knnGraphOn(spark, vecs,
+            nprobe = npB, trainRounds = trB)
           .select(col("query_id"), col("neighbor_id"))
       val big = math.max(1000000L, n / 4)
       val bDir = s"/tmp/graft-skew-knn-$big"
@@ -456,7 +463,7 @@ object SkewBench {
         cellPairsB(bigVecs).groupBy()
           .agg(count(lit(1)).as("n_edges"),
             sum(col("neighbor_id")).cast("long").as("edge_sum")))
-      println(f"""{"metric":"knn_scale","vectors":$big,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","note":"sim08 cell-blocked kNN graph at the 1M-vector scale point; brute at this n is projected in BASELINE.md from the measured 60k crossover"}""")
+      println(f"""{"metric":"knn_scale","vectors":$big,"nprobe":$npB,"train_rounds":$trB,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","note":"sim08/sim30 cell-blocked kNN graph at the 1M-vector scale point; brute at this n is projected in BASELINE.md from the measured 60k crossover"}""")
     }
 
     // --- native as-of merge loop: whole-stage codegen ON vs OFF at a

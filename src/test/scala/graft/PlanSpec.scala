@@ -190,7 +190,7 @@ class PlanSpec extends AnyFunSuite {
     Seq("sim01_cosine_topk", "sim05_sq8_topk", "sim07_pq_adc",
         "sim08_knn_graph", "sim11_maxsim", "sim12_filtered_ann",
         "sim13_knn_vote", "sim23_binary_hamming",
-        "sim29_knn_multiprobe").foreach { q =>
+        "sim29_knn_multiprobe", "sim30_knn_trained").foreach { q =>
       val p = plan(q)
       assert(!"windowspecdefinition\\(query_id#\\d+L?".r
         .findFirstIn(p).isDefined,
