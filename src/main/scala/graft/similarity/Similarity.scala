@@ -894,6 +894,96 @@ object Similarity {
       |WHERE rnk <= 2
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim31
+  /** sim31 — kNN-GRAPH RECALL audit over a deterministic query SAMPLE
+    * (vec_id % 20 = 0): per sampled vector, how many of its TRUE top-2
+    * neighbors (exact brute force over the whole corpus) the
+    * cell-blocked sim08 graph recovers. SkewBench measures graph
+    * recall on synthetic corpora per round; this gates it on the
+    * SHIPPED corpus, continuously — the operational guard that the
+    * coarse quantizer still fits the data after any corpus drift
+    * (recall collapse here fires BEFORE a SemDeDup/curation consumer
+    * silently loses half its signal). sim14's audit pattern applied to
+    * the graph: the exact pass runs at the sampled fraction
+    * (|sample|×|corpus| broadcast-join dots — the standard price of
+    * knowing the index is safe), the approximate side is the graph's
+    * own cell join restricted to sampled queries (identical edges —
+    * per-query candidates don't depend on other queries), hits are a
+    * left-semi join, zero-hit queries survive via the truth-side left
+    * join. */
+  def graphRecall(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val qv = n.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+      col("nrm").as("nrm_c"))
+    val exact = topKPerQuery(
+        broadcast(qv).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cosine",
+            call_function("graft_vec_dot", col("eq"), col("ec"))
+              / (col("nrm_q") * col("nrm_c"))),
+        2, col("cosine"), col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val assigned = assignCells(n, centroids(s, n))
+    val cc = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    val approx = topKPerQuery(
+        assigned.where(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("e").as("eq"),
+            col("nrm").as("nrm_q"), col("cell"))
+          .join(cc, Seq("cell"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cosine",
+            call_function("graft_vec_dot", col("eq"), col("ec"))
+              / (col("nrm_q") * col("nrm_c"))),
+        2, col("cosine"), col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val graphRecallSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    """
+      |gr_ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 20 = 0) t
+      |  WHERE rnk <= 2),
+      |gr_ap AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM assigned q JOIN assigned c
+      |      ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 20 = 0) t
+      |  WHERE rnk <= 2),
+      |gr_h AS (
+      |  SELECT e.query_id, COUNT(*) AS n_hit
+      |  FROM gr_ex e JOIN gr_ap a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY e.query_id)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*) AS recall
+      |FROM gr_ex e LEFT JOIN gr_h h ON h.query_id = e.query_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   // --------------------------------------------------------------- sim22
   /** GRAPH-WALK ANN: a BOUNDED 2-hop beam search over sim08's kNN
     * graph — the HNSW-family retrieval pattern (navigate from an entry
@@ -2529,7 +2619,8 @@ object Similarity {
     "sim27_matryoshka_recall" -> (matryoshkaRecall _),
     "sim28_rrf_fusion" -> (rrfFusion _),
     "sim29_knn_multiprobe" -> (knnGraphMulti _),
-    "sim30_knn_trained" -> (knnTrained _))
+    "sim30_knn_trained" -> (knnTrained _),
+    "sim31_graph_recall" -> (graphRecall _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2561,5 +2652,6 @@ object Similarity {
     "sim27_matryoshka_recall" -> matryoshkaRecallSql,
     "sim28_rrf_fusion" -> rrfFusionSql,
     "sim29_knn_multiprobe" -> knnGraphMultiSql,
-    "sim30_knn_trained" -> knnTrainedSql)
+    "sim30_knn_trained" -> knnTrainedSql,
+    "sim31_graph_recall" -> graphRecallSql)
 }
