@@ -158,9 +158,19 @@ object Bench {
     // tree's record (the round-14 control-bench lesson) — and a missing
     // or unparseable prior is LOGGED, not swallowed, so a silently
     // disarmed escalation pass is visible on the run transcript.
+    // Default resolves to the REPO ROOT (nearest ancestor with .git),
+    // not the bare cwd: a run launched from a subdirectory would
+    // otherwise both disarm the escalation pass (no prior found) and
+    // strand its record where the next adjudication never looks. The
+    // explicit -D / env overrides remain the worktree/CI escape hatch.
     val benchDir = sys.props.get("graft.bench.dir")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_DIR"))
-      .getOrElse(new java.io.File(".").getCanonicalPath)
+      .getOrElse {
+        val cwd = new java.io.File(".").getCanonicalFile
+        Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null)
+          .find(d => new java.io.File(d, ".git").exists())
+          .getOrElse(cwd).getPath
+      }
     val sidecar = java.nio.file.Paths.get(benchDir, "bench_last.json")
     val prior: Map[String, Double] = try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -117,7 +117,11 @@ object WireSocket {
   * synthetic `graft_resubscribed` envelope per recovery, backoff
   * `reconnectBackoffMs`), `maxLinesPerTrigger` (admission control:
   * per-micro-batch line budget across shards — lossless backpressure,
-  * see [[WireSocketStream.latestOffset]]), and for authenticated feeds
+  * see [[WireSocketStream.latestOffset]]; the budget splits evenly and
+  * idle shards' unused shares are re-granted to lagging shards, and
+  * when the budget is below the shard count the min-1-line-per-shard
+  * progress floor may exceed it by up to nShards−1 lines), and for
+  * authenticated feeds
   * `accessKey` + `privateKeyFile` (PKCS#8 PEM) with optional
   * `authPath` (default [[WireSocket.AuthPath]]).
   *
@@ -463,9 +467,30 @@ private[streaming] class WireSocketStream(conns: Seq[WireConn],
     if (cap == Long.MaxValue) WireOffset(conns.map(_.latest))
     else {
       val s = start.asInstanceOf[WireOffset].ns
+      // Saturating add: a huge-but-finite cap (e.g. Long.MaxValue-1
+      // passes the >0 require) must clamp, never wrap negative — a
+      // wrapped end < start would corrupt planInputPartitions.
+      def satAdd(a: Long, b: Long): Long =
+        if (b > Long.MaxValue - a) Long.MaxValue else a + b
+      val latest = conns.map(_.latest)
       val per = math.max(1L, cap / conns.size)
-      WireOffset(conns.indices.map(i =>
-        math.min(conns(i).latest, s(i) + per)))
+      val ends = conns.indices.map(i =>
+        math.min(latest(i), satAdd(s(i), per))).toArray
+      // Grant the unused remainder of the budget (idle shards' shares)
+      // to shards still behind, in shard order: a hot shard drains at
+      // the full cap when its siblings are quiet, instead of being
+      // pinned to cap/nShards per batch. When cap < nShards the min-1
+      // floor may exceed the cap by up to nShards-1 lines (progress
+      // beats precision — documented on the option), in which case
+      // leftover is non-positive and no grants happen.
+      var leftover = cap - conns.indices.map(i => ends(i) - s(i)).sum
+      var i = 0
+      while (leftover > 0 && i < ends.length) {
+        val grant = math.min(leftover, latest(i) - ends(i))
+        if (grant > 0) { ends(i) = satAdd(ends(i), grant); leftover -= grant }
+        i += 1
+      }
+      WireOffset(ends.toIndexedSeq)
     }
   }
 

@@ -1957,7 +1957,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .withColumn("w", sqrt(col("n_chars").cast("double")).cast(dec))
     val total = byLang.agg(sum(col("w")).as("tw"))
-    byLang.crossJoin(total)
+    byLang.crossJoin(broadcast(total))
       .select(col("lang"), col("n_docs"), col("n_chars"),
         col("w").cast("double").as("weight"),
         (col("w").cast("double") / col("tw").cast("double")).as("share"),

@@ -322,6 +322,21 @@ class WsSocketSpec extends AnyFunSuite {
         Seq("r2"))
       // a checkpoint with the wrong shard count is refused, not mapped
       intercept[IllegalArgumentException](stream.deserializeOffset("7"))
+      // leftover-budget redistribution: with shard 0 fully drained
+      // (start=latest=3), its unused share of a 2-row budget re-grants
+      // to shard 1, which advances by the FULL cap instead of cap/2
+      val granted = stream.latestOffset(WireOffset(Seq(3L, 0L)),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(2L))
+        .asInstanceOf[WireOffset]
+      assert(granted.ns === Seq(3L, 2L))
+      // saturating add: a huge-but-finite cap must clamp at latest,
+      // never wrap negative (end < start would corrupt planning)
+      val solo = new WireSocketStream(Seq(conns(0)))
+      val sat = solo.latestOffset(WireOffset(Seq(3L)),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit
+          .maxRows(Long.MaxValue - 1))
+        .asInstanceOf[WireOffset]
+      assert(sat.ns === Seq(3L))
       stream.stop()
     } finally { sA.close(); sB.close() }
   }
