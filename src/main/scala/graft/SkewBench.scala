@@ -466,6 +466,61 @@ object SkewBench {
       println(f"""{"metric":"knn_scale","vectors":$big,"nprobe":$npB,"train_rounds":$trB,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","note":"sim08/sim30 cell-blocked kNN graph at the 1M-vector scale point; brute at this n is projected in BASELINE.md from the measured 60k crossover"}""")
     }
 
+    // --- kNN recall/cost curve on the SHIPPED corpus (explicit opt-in:
+    // `knnship`). The SkewBench knn20/knn arms measure recall on
+    // SYNTHETIC clustered corpora; the r15 verdict's open question was
+    // what the trained+multi-probe dial buys on the shipped,
+    // near-isotropic embeddings table (sim26 measures its top
+    // eigenvalue at ~the 1/64 isotropic floor, so there is no
+    // anisotropy to whiten away and nprobe is the only recall lever).
+    // Exact truth runs at the 1-in-20 sim31/sim32 audit sample; the
+    // approx side is the FULL consumer-shaped graph build, so cell_sec
+    // is the real per-corpus cost a consumer pays at each setting.
+    if (fams.contains("knnship")) {
+      graft.functions.GraftFunctions.register(spark)
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val nn = vecs.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .withColumn("nrm",
+          sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
+        .where(col("nrm") > 0)
+      val qv = nn.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("e").as("eq"),
+          col("nrm").as("nrm_q"))
+      val cand = nn.select(col("vec_id").as("neighbor_id"),
+        col("e").as("ec"), col("nrm").as("nrm_c"))
+      val exact = broadcast(qv)
+        .join(cand, col("neighbor_id") =!= col("query_id"))
+        .groupBy(col("query_id"))
+        .agg(call_function("graft_topk",
+          (call_function("graft_vec_dot", col("eq"), col("ec"))
+            / (col("nrm_q") * col("nrm_c"))).cast("double"),
+          col("neighbor_id"), struct(col("neighbor_id")), lit(2))
+          .as("tk"))
+        .select(col("query_id"), explode(col("tk")))
+        .select(col("query_id"), col("col.neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((nprobe, trained) <- Seq((1, 0), (2, 0), (2, 1), (4, 1),
+          (8, 1), (16, 1))) {
+        val df = graft.similarity.Similarity
+          .knnGraphOn(spark, vecs, nprobe = nprobe, trainRounds = trained)
+          .select(col("query_id"), col("neighbor_id"))
+        def once(): (Array[(Long, Long)], Double) = {
+          val t0 = System.nanoTime()
+          val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          (rows, (System.nanoTime() - t0) / 1e9)
+        }
+        val (rows, s1) = once()
+        val (_, s2) = once()
+        val sampled = rows.filter(_._1 % 20 == 0)
+        val recall = sampled.count(exact.contains).toDouble / exact.size
+        println(f"""{"metric":"knn_shipped_recall","sf":"$sfDir","nprobe":$nprobe,"train_rounds":$trained,"cell_sec":${math.min(s1, s2)}%.2f,"recall_top2":$recall%.3f,"note":"full consumer-shaped graph build on the shipped corpus; truth = exact top-2 at the 1-in-20 audit sample"}""")
+      }
+    }
+
     // --- native as-of merge loop: whole-stage codegen ON vs OFF at a
     // scale where the MERGE dominates. The sf0.1 registry gates are the
     // wrong instrument for this A/B: their inputs are ~10^5 rows, so

@@ -700,6 +700,42 @@ object Similarity {
     knnCore(s, n, k, nprobe, trainRounds)
   }
 
+  /** The graph CONSUMERS' blocking (r15 verdict #1): one Lloyd-trained
+    * coarse quantizer + query-side multi-probe at nprobe=8 — not
+    * sim08's nprobe=1 untrained default that the sim31 audit caught at
+    * recall@2 ≈ 0.16 on the shipped sf0.1 corpus. Every downstream
+    * graph consumer (sim09 SemDeDup, sim13 label-vote, sim17 hard
+    * negatives, sim22 graph-walk, sim25 PageRank) builds its scored
+    * frame from this pair; sim32 audits this exact blocking's recall
+    * continuously.
+    *
+    * WHY nprobe=8 (the r15 verdict-#2 decision): the shipped corpus is
+    * near-ISOTROPIC — sim26 measures its top second-moment eigenvalue
+    * at ≈ the 1/64 isotropic floor — so there is no dominant direction
+    * to whiten away and nprobe is the only recall lever. The SkewBench
+    * `knnship` sweep (BASELINE.md r16) measures trained recall@2 on the
+    * shipped sf0.1 corpus at 0.27 / 0.39 / 0.535 / 0.725 for nprobe
+    * 2 / 4 / 8 / 16; cost is ~linear in nprobe (O(n^1.5·nprobe), the
+    * same per-cell equi-join), so the knee is a policy choice — the
+    * consumers ride the smallest setting that recovers a MAJORITY of
+    * true neighbors (≥ 0.5), and the dial stays one parameter away.
+    *
+    * Returns (assigned, probes): candidates keep exactly ONE trained
+    * cell (so a query probing p distinct cells never sees a duplicate
+    * candidate), queries fan out to their 8 nearest trained cells.
+    * The trained centroid table — ~√n × dims, the expensive reusable
+    * artifact — is a durable [[graft.Seams]] seam keyed by corpus
+    * fingerprint: one Lloyd round per corpus per process serves all
+    * five consumers (at cluster scale, a table write next to the dd
+    * postings). `variant` distinguishes derived corpora (sim09's
+    * augmented union) from the raw embeddings table. */
+  private def consumedBlocking(s: SparkSession, d: String, n: DataFrame,
+      variant: String = ""): (DataFrame, DataFrame) = {
+    val cent = graft.Seams.durable(s, d, "sim-cent1" + variant)(
+      trainedCentroids(s, n, 1))
+    (assignCells(n, cent), probeCells(n, cent, 8))
+  }
+
   /** Top-`nprobe` nearest cells for EVERY corpus vector — the
     * corpus-side multi-probe assignment. nprobe=1 is [[assignCells]]'s
     * one-row-per-vector argmin aggregate; nprobe>1 swaps the argmin for
@@ -858,8 +894,15 @@ object Similarity {
   def knnTrained(s: SparkSession, d: String): DataFrame =
     knnCore(s, normed(s, d), 2, nprobe = 2, trainRounds = 1)
 
-  val knnTrainedSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
-    """
+  /** Oracle mirror of ONE Lloyd round + multi-probe assignment over the
+    * `n`/`cent`/`assigned` CTEs — the CONSUMED blocking's SQL twin
+    * (r15 verdict #1), shared by sim30 and every graph consumer
+    * (sim09/13/17/22/25) plus the sim32 recall audit. Defines:
+    * `cent1` (trained centroids), `assigned1` (candidate side, one
+    * cell per vector), `probes1` (query side, `nprobe` nearest
+    * trained cells). */
+  private[graft] def trainedCtes(nprobe: Int): String =
+    s"""
       |tupd AS (
       |  SELECT a.cell, CAST(t.i AS INT) AS dim,
       |    CAST(SUM(CAST(a.e[CAST(t.i AS INT)] AS DECIMAL(28,6))) AS DOUBLE)
@@ -882,8 +925,12 @@ object Similarity {
       |assigned1 AS (
       |  SELECT vec_id, e, nrm, pid AS cell FROM ranked1 WHERE rn = 1),
       |probes1 AS (
-      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked1 WHERE rn <= 2)
-      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked1 WHERE rn <= $nprobe)"""
+      .stripMargin
+
+  val knnTrainedSql: String = normedCte + "," + centCte + "," + assignedCte +
+    "," + trainedCtes(2) + "\n" +
+    """SELECT query_id, neighbor_id, cosine, rnk FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -984,9 +1031,97 @@ object Similarity {
       |GROUP BY e.query_id
       |ORDER BY e.query_id""".stripMargin
 
+  // --------------------------------------------------------------- sim32
+  /** sim32 — recall audit of the graph the consumers ACTUALLY ride
+    * (r15 verdict #1/#2): sim31's harness pointed at the CONSUMED
+    * trained+nprobe=8 blocking ([[consumedBlocking]]) instead of
+    * sim08's nprobe=1 untrained default. sim31 measured that default
+    * at recall@2 ≈ 0.16 on the shipped sf0.1 corpus while the trained
+    * tier's 0.895/0.836 numbers came from SkewBench's CLUSTERED
+    * synthetic corpora — this gate closes the gap by measuring the
+    * trained tier on the SHIPPED (near-isotropic, per sim26) corpus,
+    * continuously, next to sim31's baseline reading. Same audit
+    * economics: exact truth at the 1-in-20 sampled fraction, approx
+    * side identical to the consumers' edge build restricted to the
+    * sample (per-query candidates don't depend on other queries). */
+  def consumedRecall(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val qv = n.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val c = n.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"))
+    val exact = topKPerQuery(
+        broadcast(qv).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cosine",
+            call_function("graft_vec_dot", col("eq"), col("ec"))
+              / (col("nrm_q") * col("nrm_c"))),
+        2, col("cosine"), col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val (assigned, probes) = consumedBlocking(s, d, n)
+    val cc = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    val approx = topKPerQuery(
+        probes.where(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("e").as("eq"),
+            col("nrm").as("nrm_q"), col("cell"))
+          .join(cc, Seq("cell"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cosine",
+            call_function("graft_vec_dot", col("eq"), col("ec"))
+              / (col("nrm_q") * col("nrm_c"))),
+        2, col("cosine"), col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val consumedRecallSql: String = normedCte + "," + centCte + "," +
+    assignedCte + "," + trainedCtes(8) + "," +
+    """
+      |gr_ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 20 = 0) t
+      |  WHERE rnk <= 2),
+      |gr_ap AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+      |                 c.vec_id) AS rnk
+      |    FROM probes1 q JOIN assigned1 c
+      |      ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 20 = 0) t
+      |  WHERE rnk <= 2),
+      |gr_h AS (
+      |  SELECT e.query_id, COUNT(*) AS n_hit
+      |  FROM gr_ex e JOIN gr_ap a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY e.query_id)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) / COUNT(*) AS recall
+      |FROM gr_ex e LEFT JOIN gr_h h ON h.query_id = e.query_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   // --------------------------------------------------------------- sim22
-  /** GRAPH-WALK ANN: a BOUNDED 2-hop beam search over sim08's kNN
-    * graph — the HNSW-family retrieval pattern (navigate from an entry
+  /** GRAPH-WALK ANN: a BOUNDED 2-hop beam search over the CONSUMED
+    * kNN graph (trained+nprobe=8, [[consumedBlocking]]) — the
+    * HNSW-family retrieval pattern (navigate from an entry
     * point along stored neighbor edges, then exact-rerank the visited
     * frontier) expressed as a fixed join pipeline instead of an
     * iterative driver loop. Entry point per query = the nearest coarse
@@ -999,9 +1134,9 @@ object Similarity {
     * Scale: the walk is two equi-joins against the bounded-degree edge
     * list — per-hop fan-out is k, never a cell population — and the
     * probe side is broadcast-scale throughout; the only corpus-sized
-    * work is the edge build itself, which is sim08's cell-blocked
-    * O(n^1.5) construction, durable-seam-able exactly like the dd
-    * postings. A fixed hop budget is the honest distributed analog of
+    * work is the edge build itself, which is the consumed cell-blocked
+    * O(n^1.5·nprobe) construction, durable-seam-able exactly like the
+    * dd postings. A fixed hop budget is the honest distributed analog of
     * HNSW's sequential greedy descent: each hop is one join stage, and
     * recall grows with hops/degree rather than with any driver-side
     * iteration. */
@@ -1020,11 +1155,12 @@ object Similarity {
       .agg(min(struct((-col("csim")).as("nc"), col("pid").as("pid")))
         .as("w"))
       .select(col("query_id"), col("w").getField("pid").as("node"))
-    // sim08's edge list (out-degree 2), without its presentation sort
-    val assigned = assignCells(n, centroids(s, n))
+    // the CONSUMED edge list (trained+nprobe=8, out-degree 2 — the
+    // sim30 tier, r15 verdict #1), without its presentation sort
+    val (assigned, probes) = consumedBlocking(s, d, n)
     val c = assigned.select(col("vec_id").as("neighbor_id"),
       col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
-    val scored = assigned
+    val scored = probes
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nrm_q"), col("cell"))
       .join(c, Seq("cell"))
@@ -1059,6 +1195,7 @@ object Similarity {
   }
 
   val graphAnnSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    trainedCtes(8) + "," +
     """
       |gq AS (
       |  SELECT vec_id AS query_id, e AS eq, nrm AS nrm_q FROM n
@@ -1077,7 +1214,7 @@ object Similarity {
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
       |          c.vec_id) AS rnk
-      |    FROM assigned q JOIN assigned c
+      |    FROM probes1 q JOIN assigned1 c
       |      ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
       |  WHERE rnk <= 2),
       |g_hop1 AS (
@@ -1108,9 +1245,10 @@ object Similarity {
   /** SemDeDup END-TO-END: the semantic-dedup decision sim08's graph
     * exists to feed. Corpus = embeddings ∪ injected scaled copies
     * (dd06's augmentation — scaling preserves direction, so a copy is
-    * an exact semantic dup), near-pairs = same-IVF-cell pairs with
-    * cosine ≥ 0.95 (the blocked self-join, never all-pairs; cells from
-    * [[IvfCellsKey]], default ⌈√n⌉), and pair → CLUSTER assembly runs
+    * an exact semantic dup), near-pairs = same-trained-cell pairs with
+    * cosine ≥ 0.95 under the CONSUMED blocking ([[consumedBlocking]]:
+    * one Lloyd round + query-side nprobe=8 — the blocked self-join,
+    * never all-pairs), and pair → CLUSTER assembly runs
     * on the dedup family's one CC engine
     * ([[graft.dedup.Dedup.connectedComponentsStar]]) — the same
     * prefilter-verify-contract composition a production SemDeDup
@@ -1122,6 +1260,9 @@ object Similarity {
     * fold-exact in the oracle), so recall on true dups is structural,
     * not probabilistic. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
+    // augmented corpus bypasses normed(), so register explicitly —
+    // probeCells' graft_topk must resolve when sim09 runs first
+    graft.functions.GraftFunctions.register(s)
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("e"))
     val n = v.unionByName(v.where(col("vec_id") % 9 === 0)
@@ -1130,17 +1271,25 @@ object Similarity {
       .withColumn("nrm",
         sqrt(call_function("graft_vec_dot", col("e"), col("e"))))
       .where(col("nrm") > 0)
-    val assigned = assignCells(n, centroids(s, n))
+    val (assigned, probes) = consumedBlocking(s, d, n, variant = "-aug")
     val c = assigned.select(col("vec_id").as("id_b"), col("e").as("eb"),
       col("nrm").as("nrm_b"), col("cell"))
-    val pairs = assigned
+    // The probe/home join is ASYMMETRIC (a pair is discovered when
+    // EITHER endpoint probes the other's home cell), so the pair key
+    // canonicalizes via least/greatest + distinct AFTER the ≥0.95
+    // verify — an `id_a < id_b` pre-filter here would silently drop
+    // pairs where only the larger id probes across the boundary, and
+    // the same pair can arrive from both ends. Mirrored in the oracle.
+    val pairs = probes
       .select(col("vec_id").as("id_a"), col("e").as("ea"),
         col("nrm").as("nrm_a"), col("cell"))
       .join(c, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
       .where(call_function("graft_vec_dot", col("ea"), col("eb"))
         / (col("nrm_a") * col("nrm_b")) >= 0.95)
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
     graft.dedup.Dedup.connectedComponentsStar(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .groupBy(col("label").as("cluster_id"))
@@ -1166,11 +1315,12 @@ object Similarity {
       |cent AS (
       |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM n, cells
       |  WHERE vec_id < cells.c),
-      |""".stripMargin + assignedCte + "," + """
+      |""".stripMargin + assignedCte + "," + trainedCtes(8) + "," + """
       |pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM assigned a JOIN assigned b
-      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS id_a,
+      |    GREATEST(a.vec_id, b.vec_id) AS id_b
+      |  FROM probes1 a JOIN assigned1 b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
       |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1239,19 +1389,20 @@ object Similarity {
     * pipeline whether an embedding column actually separates its
     * classes BEFORE a training run pays for it.
     *
-    * Shape: sim08's blocked k-NN graph (never all-pairs) with the
-    * neighbor's label riding the graft_topk payload; the vote is two
+    * Shape: the CONSUMED trained+multi-probe blocked graph
+    * ([[consumedBlocking]] — never all-pairs) with the neighbor's
+    * label riding the graft_topk payload; the vote is two
     * hash aggregates — (query, label) vote counts, then argmax via
     * lexicographic min(struct(-votes, label)) (ties break to the
     * smaller label, mirrored in the oracle's ORDER BY v DESC, label). */
   def knnVote(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val assigned = assignCells(n, centroids(s, n))
+    val (assigned, probes) = consumedBlocking(s, d, n)
     val lbl = n.select(col("vec_id"), col("label"))
     val c = assigned.join(lbl, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
         col("nrm").as("nrm_c"), col("cell"), col("label").as("n_label"))
-    val scored = assigned
+    val scored = probes
       .select(col("vec_id").as("query_id"), col("e").as("eq"),
         col("nrm").as("nrm_q"), col("cell"))
       .join(c, Seq("cell"))
@@ -1279,6 +1430,7 @@ object Similarity {
   }
 
   val knnVoteSql: String = normedCte + "," + centCte + "," + assignedCte + "," +
+    trainedCtes(8) + "," +
     """
       |top AS (
       |  SELECT query_id, n_label FROM (
@@ -1286,8 +1438,8 @@ object Similarity {
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
       |                 c.vec_id) AS rnk
-      |    FROM assigned q
-      |    JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      |    FROM probes1 q
+      |    JOIN assigned1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
       |    JOIN n cn ON cn.vec_id = c.vec_id) t
       |  WHERE rnk <= 3),
       |votes AS (
@@ -1589,8 +1741,10 @@ object Similarity {
     * cos_neg − cos_pos (positive margin ⇒ the triplet violates the
     * ranking and actually trains).
     *
-    * Shape: ONE cell-blocked scored frame (sim08's O(n^1.5) regime —
-    * the anchor side is the whole corpus, nothing broadcastable)
+    * Shape: ONE cell-blocked scored frame over the CONSUMED
+    * trained+multi-probe blocking ([[consumedBlocking]] — the
+    * O(n^1.5·nprobe) regime; the anchor side is the whole corpus,
+    * nothing broadcastable)
     * feeds TWO bounded-heap graft_topk aggregates — top-1 ascending
     * cosine over same-label candidates (score = −cosine) and top-1
     * descending over different-label candidates — so per partition at
@@ -1602,13 +1756,14 @@ object Similarity {
     * identical. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val assigned = assignCells(n, centroids(s, n))
+    val (assigned, probes) = consumedBlocking(s, d, n)
     val lbl = n.select(col("vec_id"), col("label"))
-    val a = assigned.join(lbl, "vec_id")
-    val cand = a.select(col("vec_id").as("neighbor_id"),
-      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"),
-      col("label").as("n_label"))
-    val scored = a.select(col("vec_id").as("query_id"),
+    val cand = assigned.join(lbl, "vec_id")
+      .select(col("vec_id").as("neighbor_id"),
+        col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"),
+        col("label").as("n_label"))
+    val scored = probes.join(lbl, "vec_id")
+      .select(col("vec_id").as("query_id"),
         col("e").as("eq"), col("nrm").as("nrm_q"), col("cell"),
         col("label").as("q_label"))
       .join(cand, Seq("cell"))
@@ -1638,16 +1793,19 @@ object Similarity {
   }
 
   val hardNegativesSql: String = normedCte + "," + centCte + "," +
-    assignedCte + "," +
+    assignedCte + "," + trainedCtes(8) + "," +
     """
-      |al AS (
+      |alq AS (
       |  SELECT a.vec_id, a.e, a.nrm, a.cell, nn.label
-      |  FROM assigned a JOIN n nn ON nn.vec_id = a.vec_id),
+      |  FROM probes1 a JOIN n nn ON nn.vec_id = a.vec_id),
+      |alc AS (
+      |  SELECT a.vec_id, a.e, a.nrm, a.cell, nn.label
+      |  FROM assigned1 a JOIN n nn ON nn.vec_id = a.vec_id),
       |sc AS (
       |  SELECT q.vec_id AS query_id, q.label AS q_label,
       |    c.vec_id AS neighbor_id, c.label AS n_label,
       |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
-      |  FROM al q JOIN al c ON q.cell = c.cell
+      |  FROM alq q JOIN alc c ON q.cell = c.cell
       |    AND c.vec_id <> q.vec_id),
       |pos AS (
       |  SELECT query_id, neighbor_id AS pos_id, cosine AS cos_pos FROM (
@@ -2204,7 +2362,8 @@ object Similarity {
       |ORDER BY iter, cell""".stripMargin
 
   // --------------------------------------------------------------- sim25
-  /** PageRank over the sim08 kNN graph — graph-centrality curation:
+  /** PageRank over the CONSUMED kNN graph (trained+nprobe=8,
+    * [[consumedBlocking]]) — graph-centrality curation:
     * rank each corpus vector by how often the similarity graph's random
     * surfer visits it, i.e. "how prototypical is this document of its
     * neighborhood" (the selection signal for coreset/representative
@@ -2228,7 +2387,19 @@ object Similarity {
     * (Spark) and flooring `//` (DuckDB) agree exactly. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val edges = knnGraph(s, d)
+    val (assigned, probes) = consumedBlocking(s, d, n)
+    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+      col("e").as("ec"), col("nrm").as("nrm_c"), col("cell"))
+    val scored = probes
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"), col("cell"))
+      .join(cand, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    val edges = topKPerQuery(scored, 2, col("cosine"),
+        col("neighbor_id"), Seq("neighbor_id"))
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
     // vertex set checkpointed once — it re-enters every iteration's
@@ -2279,14 +2450,15 @@ object Similarity {
        |    JOIN edges e ON e.src = p.vec_id
        |    GROUP BY e.dst) si ON si.dst = nd.vec_id)""".stripMargin
 
-  val pageRankSql: String = normedCte + "," + centCte + "," + assignedCte + ",\n" +
+  val pageRankSql: String = normedCte + "," + centCte + "," + assignedCte +
+    "," + trainedCtes(8) + ",\n" +
     """edges AS (
       |  SELECT query_id AS src, neighbor_id AS dst FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
       |                 c.vec_id) AS rnk
-      |    FROM assigned q JOIN assigned c
+      |    FROM probes1 q JOIN assigned1 c
       |      ON q.cell = c.cell AND c.vec_id <> q.vec_id) t
       |  WHERE rnk <= 2),
       |nodes AS (SELECT vec_id FROM n),
@@ -2620,7 +2792,8 @@ object Similarity {
     "sim28_rrf_fusion" -> (rrfFusion _),
     "sim29_knn_multiprobe" -> (knnGraphMulti _),
     "sim30_knn_trained" -> (knnTrained _),
-    "sim31_graph_recall" -> (graphRecall _))
+    "sim31_graph_recall" -> (graphRecall _),
+    "sim32_consumed_recall" -> (consumedRecall _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2653,5 +2826,6 @@ object Similarity {
     "sim28_rrf_fusion" -> rrfFusionSql,
     "sim29_knn_multiprobe" -> knnGraphMultiSql,
     "sim30_knn_trained" -> knnTrainedSql,
-    "sim31_graph_recall" -> graphRecallSql)
+    "sim31_graph_recall" -> graphRecallSql,
+    "sim32_consumed_recall" -> consumedRecallSql)
 }
