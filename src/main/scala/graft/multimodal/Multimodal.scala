@@ -177,6 +177,51 @@ object Multimodal {
       |WHERE kind = 'image'
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm10
+  /** mm10 — the RESIZE CODEC gate ([[ImageDecode.rasterRoundtrip]]):
+    * mm04's metadata half stays registered above; THIS query drives the
+    * real rasterize → PNG encode → decode → exact-integer bilinear
+    * halve → PNG re-encode → decode path per media row and emits
+    * integer pixel checksums the oracle reproduces with pure SQL
+    * arithmetic (byte→pixel indexing + the (a+b+c+d+2)//4 closed form
+    * of the 2× kernel). Same mapPartitions decode slot as mm03 —
+    * payload bytes never shuffle, |rows| × 6 small columns do. */
+  def resizeChecksum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).select(col("media_id"), col("kind"), col("payload"))
+      .as[DecodeStub.MediaRow]
+      .mapPartitions(_.map(m =>
+        ImageDecode.rasterRoundtrip(m.media_id, m.payload)))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val resizeChecksumSql: String = mediaCte +
+    """,
+      |pix AS (
+      |  SELECT media_id, list_transform(range(0, 256), i ->
+      |    CAST(unicode(substr(text,
+      |      CAST(i % LENGTH(text) AS INT) + 1, 1)) AS BIGINT)) AS p
+      |  FROM media),
+      |outp AS (
+      |  SELECT media_id, p, list_transform(range(0, 64), j ->
+      |    (p[CAST((j // 8) * 32 + (j % 8) * 2 + 1 AS INT)]
+      |     + p[CAST((j // 8) * 32 + (j % 8) * 2 + 2 AS INT)]
+      |     + p[CAST((j // 8) * 32 + (j % 8) * 2 + 17 AS INT)]
+      |     + p[CAST((j // 8) * 32 + (j % 8) * 2 + 18 AS INT)] + 2) // 4)
+      |    AS q
+      |  FROM pix)
+      |SELECT media_id,
+      |  CAST(list_reduce(p, (a, b) -> (a * 31 + b) % 1000000007)
+      |    AS BIGINT) AS in_checksum,
+      |  CAST(list_reduce(q, (a, b) -> (a * 31 + b) % 1000000007)
+      |    AS BIGINT) AS out_checksum,
+      |  CAST(8 AS INTEGER) AS out_width,
+      |  CAST(8 AS INTEGER) AS out_height,
+      |  CAST(1 AS INTEGER) AS decoded
+      |FROM outp
+      |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- mm05
   /** Perceptual-hash near-dup over blobs — the REAL DCT pHash
     * ([[PHash]]: 32×32 grayscale → integer DCT-II → 63 AC coefficients
@@ -665,7 +710,8 @@ object Multimodal {
     "mm06_phash_clusters" -> (phashClusters _),
     "mm07_chunk_dedup" -> (chunkDedup _),
     "mm08_chunk_savings" -> (chunkSavings _),
-    "mm09_shared_frames" -> (sharedFrames _))
+    "mm09_shared_frames" -> (sharedFrames _),
+    "mm10_resize_checksum" -> (resizeChecksum _))
 
   val oracles: Seq[(String, String)] = Seq(
     "mm01_blob_stats" -> blobStatsSql,
@@ -676,7 +722,8 @@ object Multimodal {
     "mm06_phash_clusters" -> phashClustersSql,
     "mm07_chunk_dedup" -> chunkDedupSql,
     "mm08_chunk_savings" -> chunkSavingsSql,
-    "mm09_shared_frames" -> sharedFramesSql)
+    "mm09_shared_frames" -> sharedFramesSql,
+    "mm10_resize_checksum" -> resizeChecksumSql)
 }
 
 /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
@@ -694,13 +741,102 @@ object ImageDecode {
       n_bytes: Int, mean_byte: Double, checksum: Long,
       width: Int, height: Int, channels: Int, decoded: Int)
 
+  /** Exact FIXED-POINT bilinear resample of one channel (8-bit
+    * fraction, half-pixel-center source mapping, edge clamp) — the
+    * deterministic kernel behind [[resize]], [[PHash.hashImage]] and
+    * the mm10 checksum gate. Java2D's `drawImage` + rendering hints
+    * are NOT bit-stable across JVM versions/platforms (the r15 advice:
+    * hashes flow into durable seam artifacts, so platform drift would
+    * silently stale them); this kernel is pure integer arithmetic —
+    * every weight is an exact 0..256 integer, the accumulator fits a
+    * Long (255·256·256 per term), one rounding add, one shift. At an
+    * exact 2× downscale it reduces per output pixel to
+    * (p00+p10+p01+p11+2)/4 — the closed form the mm10 oracle mirrors
+    * in SQL. */
+  def bilinearChannel(src: Array[Int], sw: Int, sh: Int,
+      dw: Int, dh: Int): Array[Int] = {
+    require(src.length == sw * sh, s"raster ${src.length} != $sw x $sh")
+    require(dw > 0 && dh > 0, s"target ${dw}x$dh")
+    // axis map: source position of output index i with half-pixel
+    // centers, as pos·256; (lo, hi, frac) with ends clamped
+    def axis(i: Int, s: Int, d: Int): (Int, Int, Int) = {
+      val pos = (2L * i + 1) * s * 128 / d - 128
+      if (pos <= 0) (0, 0, 0)
+      else {
+        val i0 = (pos >> 8).toInt
+        if (i0 >= s - 1) (s - 1, s - 1, 0)
+        else (i0, i0 + 1, (pos & 255).toInt)
+      }
+    }
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val (y0, y1, fy) = axis(y, sh, dh)
+      var x = 0
+      while (x < dw) {
+        val (x0, x1, fx) = axis(x, sw, dw)
+        val p00 = src(y0 * sw + x0).toLong
+        val p10 = src(y0 * sw + x1).toLong
+        val p01 = src(y1 * sw + x0).toLong
+        val p11 = src(y1 * sw + x1).toLong
+        out(y * dw + x) = ((p00 * (256 - fx) * (256 - fy)
+          + p10 * fx * (256 - fy)
+          + p01 * (256 - fx) * fy
+          + p11 * fx * fy + 32768L) >> 16).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Deterministic GRAYSCALE extraction from a decoded image: a 1-band
+    * 8-bit gray raster reads its samples directly (routing it through
+    * `getRGB` would invoke the gray→sRGB color-management transform —
+    * CMM-dependent); everything else goes through `getRGB`'s
+    * arithmetic sRGB packing + an integer BT.601 luma
+    * ((77r+150g+29b+128)>>8 — weights sum to 256, so an r=g=b pixel
+    * maps to exactly its own value). */
+  def grayRaster(img: java.awt.image.BufferedImage)
+      : (Array[Int], Int, Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * w + x) = (77 * r + 150 * g + 29 * b + 128) >> 8
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (out, w, h)
+  }
+
   /** Real raster RESIZE in the same slot (the mm04 operator's codec
-    * half): rasterize, bilinear-scale through a Graphics2D draw
-    * (headless-safe — BufferedImage needs no display), re-encode PNG.
+    * half): rasterize via imageio, scale each channel with the exact
+    * integer [[bilinearChannel]] kernel (r15 advice: one deterministic
+    * raster path — no Graphics2D, no rendering hints), re-encode PNG.
     * None when no reader claims the payload — callers keep the
     * metadata-only fallback, so the stage stays total. PNG out
     * regardless of input container: the resize slot is also the
-    * normalize-format slot in a real pipeline. */
+    * normalize-format slot in a real pipeline. Gray inputs scale their
+    * single band and replicate (r=g=b — bit-identical to scaling the
+    * replicated channels). */
   def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     val img =
       try javax.imageio.ImageIO.read(
@@ -708,17 +844,116 @@ object ImageDecode {
       catch { case _: Exception => null }
     if (img == null) None
     else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val (ri, gi, bi) =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          val (g0, _, _) = grayRaster(img)
+          (g0, g0, g0)
+        } else {
+          val rr = new Array[Int](sw * sh)
+          val gg = new Array[Int](sw * sh)
+          val bb = new Array[Int](sw * sh)
+          var y = 0
+          while (y < sh) {
+            var x = 0
+            while (x < sw) {
+              val rgb = img.getRGB(x, y)
+              rr(y * sw + x) = (rgb >> 16) & 0xff
+              gg(y * sw + x) = (rgb >> 8) & 0xff
+              bb(y * sw + x) = rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (rr, gg, bb)
+        }
+      val ro = bilinearChannel(ri, sw, sh, w, h)
+      val go = bilinearChannel(gi, sw, sh, w, h)
+      val bo = bilinearChannel(bi, sw, sh, w, h)
       val out = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, w, h, null)
-      g.dispose()
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y,
+            (ro(y * w + x) << 16) | (go(y * w + x) << 8) | bo(y * w + x))
+          x += 1
+        }
+        y += 1
+      }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       Some(bos.toByteArray)
     }
+  }
+
+  final case class RasterChecksum(media_id: Long, in_checksum: Long,
+      out_checksum: Long, out_width: Int, out_height: Int, decoded: Int)
+
+  /** The mm10 gate's per-row pipeline — the CODEC half of mm04,
+    * end-to-end through real imageio encode/decode (r15 verdict #3:
+    * the rasterize → scale → re-encode path was suite-only; this
+    * makes it oracle-gated). Stages, all REAL:
+    *
+    *  1. rasterize the payload bytes into a deterministic 16×16 gray
+    *     raster (pixel i = byte i mod |payload|);
+    *  2. ENCODE it as PNG (imageio write #1) and DECODE it back
+    *     (imageio read #1) — `in_checksum` folds over the DECODED
+    *     samples, so it equals the pure-arithmetic oracle value iff
+    *     the codec roundtrip is lossless;
+    *  3. run [[resize]] — the actual registered operator: imageio
+    *     read #2, exact-integer bilinear halve to 8×8, PNG write #2;
+    *  4. DECODE the resized PNG (imageio read #3, RGB with r=g=b for a
+    *     gray source — [[grayRaster]]'s 256-weight luma returns the
+    *     channel value exactly) — `out_checksum` folds over those
+    *     samples.
+    *
+    * The oracle never sees a codec: it computes both checksums from
+    * the same byte→pixel arithmetic and the 2×-downscale closed form
+    * (a+b+c+d+2)//4 that [[bilinearChannel]] reduces to. Four codec
+    * traversals stand between the Spark numbers and the oracle's —
+    * any lossy or nondeterministic stage is a hash-mismatch red row.
+    * `decoded`=1 only when every imageio stage returned a raster of
+    * the expected shape; the oracle pins it to 1. Checksum fold is
+    * mm03's: c ← (c·31 + v) mod 1e9+7 from c = 0 (≡ DuckDB's
+    * list_reduce seeded with the first element). */
+  def rasterRoundtrip(id: Long, payload: Array[Byte]): RasterChecksum = {
+    def fold(a: Array[Int]): Long = {
+      var c = 0L
+      var i = 0
+      while (i < a.length) { c = (c * 31 + a(i)) % 1000000007L; i += 1 }
+      c
+    }
+    val n = payload.length
+    val pix = Array.tabulate(256)(i =>
+      if (n == 0) 0 else payload(i % n) & 0xff)
+    val src = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < 256) {
+      src.getRaster.setSample(i % 16, i / 16, 0, pix(i))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+    val back =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      catch { case _: Exception => null }
+    val resized = resize(png, 8, 8)
+    val outImg = resized.map { b =>
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    }.orNull
+    if (back != null && back.getWidth == 16 && back.getHeight == 16 &&
+        outImg != null && outImg.getWidth == 8 && outImg.getHeight == 8) {
+      val (inG, _, _) = grayRaster(back)
+      val (outG, _, _) = grayRaster(outImg)
+      RasterChecksum(id, fold(inG), fold(outG), 8, 8, decoded = 1)
+    } else // codec failed: pure-raster fallback, flagged (red vs oracle)
+      RasterChecksum(id, fold(pix),
+        fold(bilinearChannel(pix, 16, 16, 8, 8)), 8, 8, decoded = 0)
   }
 
   /** Decode features: for a real image, mean_byte/checksum run over the
@@ -888,8 +1123,13 @@ object PHash {
     hashRaster(pix)
   }
 
-  /** Decode-slot hash for real images: imageio decode → bilinear 32×32
-    * grayscale → [[hashRaster]]. None when no reader claims the bytes
+  /** Decode-slot hash for real images: imageio decode →
+    * [[ImageDecode.grayRaster]] (deterministic sample/luma extraction)
+    * → exact integer [[ImageDecode.bilinearChannel]] 32×32 resample →
+    * [[hashRaster]]. The ONLY non-integer stage left is the container
+    * decode itself (the r15 advice: Java2D's scaler + gray CMM
+    * conversion were not bit-stable across JVMs, and these hashes land
+    * in durable seam artifacts). None when no reader claims the bytes
     * (callers fall back to [[hashBytes]] — the stage stays total). */
   def hashImage(payload: Array[Byte]): Option[Long] = {
     val img =
@@ -898,22 +1138,8 @@ object PHash {
       catch { case _: Exception => null }
     if (img == null) None
     else {
-      val g32 = new java.awt.image.BufferedImage(
-        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val g = g32.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, 32, 32, null)
-      g.dispose()
-      val raster = g32.getRaster
-      val pix = new Array[Int](1024)
-      var y = 0
-      while (y < 32) {
-        var x = 0
-        while (x < 32) { pix(y * 32 + x) = raster.getSample(x, y, 0); x += 1 }
-        y += 1
-      }
-      Some(hashRaster(pix))
+      val (g0, w, h) = ImageDecode.grayRaster(img)
+      Some(hashRaster(ImageDecode.bilinearChannel(g0, w, h, 32, 32)))
     }
   }
 

@@ -66,6 +66,46 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(ImageDecode.resize("plain text".getBytes("UTF-8"), 2, 1).isEmpty)
   }
 
+  test("bilinearChannel: exact 2x downscale is the rounded 4-mean; " +
+      "same-size is identity; edges clamp") {
+    val src = Array.tabulate(16)(i => (i * 13 + 7) % 256) // 4x4
+    val half = ImageDecode.bilinearChannel(src, 4, 4, 2, 2)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (a, b) = (src(2 * y * 4 + 2 * x), src(2 * y * 4 + 2 * x + 1))
+      val (c, d) = (src((2 * y + 1) * 4 + 2 * x),
+        src((2 * y + 1) * 4 + 2 * x + 1))
+      assert(half(y * 2 + x) === (a + b + c + d + 2) / 4,
+        s"closed form diverged at ($x,$y)")
+    }
+    assert(ImageDecode.bilinearChannel(src, 4, 4, 4, 4).toSeq === src.toSeq,
+      "same-size resample must be the identity")
+    // 1x1 -> NxN upscale: everything clamps to the single source pixel
+    assert(ImageDecode.bilinearChannel(Array(200), 1, 1, 3, 3).toSeq ===
+      Seq.fill(9)(200))
+  }
+
+  test("rasterRoundtrip: codec stages are lossless and match the pure " +
+      "arithmetic the oracle computes") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val got = ImageDecode.rasterRoundtrip(42L, payload)
+    assert(got.decoded === 1, "an imageio stage failed")
+    // mirror the oracle: pixel i = byte i mod n; out = (a+b+c+d+2)//4
+    val n = payload.length
+    val pix = Array.tabulate(256)(i => payload(i % n) & 0xff)
+    def fold(a: Array[Int]): Long =
+      a.foldLeft(0L)((c, v) => (c * 31 + v) % 1000000007L)
+    assert(got.in_checksum === fold(pix),
+      "PNG encode/decode was not lossless on the source raster")
+    val out = Array.tabulate(64) { j =>
+      val (x, y) = (j % 8, j / 8)
+      (pix(2 * y * 16 + 2 * x) + pix(2 * y * 16 + 2 * x + 1)
+        + pix((2 * y + 1) * 16 + 2 * x)
+        + pix((2 * y + 1) * 16 + 2 * x + 1) + 2) / 4
+    }
+    assert(got.out_checksum === fold(out),
+      "resize through the codec diverged from the exact 2x closed form")
+  }
+
   test("mm03 over the text corpus keeps the fallback path everywhere") {
     val df = Multimodal.decodeFeatures(spark, "/root/testdata/sf0.001")
     assert(df.where(col("decoded") =!= 0).count() === 0,
