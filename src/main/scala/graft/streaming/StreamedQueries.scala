@@ -37,6 +37,22 @@ object StreamedQueries {
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Config key: OVERRIDE the state-store provider the replay
+    * harnesses pin (r15 verdict #4 — the RocksDB equality arm).
+    * Normally unset: [[replay]] pins RocksDB (transformWithState
+    * requires it), replayClosed/replayOrdered pin the in-memory
+    * HDFS-backed provider. RocksDbStateSpec sets this to the RocksDB
+    * provider and re-runs the whole st family against the default
+    * outputs — at 100 TB state scale RocksDB IS the production
+    * provider, and session_window / windowed-agg /
+    * (flat)mapGroupsWithState are exactly where provider semantics
+    * could diverge; the spec makes any divergence a cheap red test
+    * instead of a cluster incident. */
+  val ProviderOverrideKey = "spark.graft.stateStoreProvider"
+
+  private def effProvider(s: SparkSession, dflt: String): String =
+    s.conf.getOption(ProviderOverrideKey).getOrElse(dflt)
+
   /** Recursive delete for the replay input/checkpoint dirs —
     * `deleteOnExit` cannot remove non-empty directories, so without
     * this every gated run would leak parquet replay dirs and RocksDB
@@ -55,7 +71,8 @@ object StreamedQueries {
     // transformWithState requires the RocksDB state store; scoped to
     // streaming state only, so setting it session-wide is inert for
     // every batch query in the registry
-    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      effProvider(s, RocksProvider))
     val in = Files.createTempDirectory("graft-replay-in")
     val ckpt = Files.createTempDirectory("graft-replay-ckpt")
     // ≥3 part files → with maxFilesPerTrigger=1, ≥3 micro-batches:
@@ -241,7 +258,8 @@ object StreamedQueries {
     // for all of them. Measured perf-neutral at fixture scale (the
     // micro-batch plan/commit lifecycle dominates, not store opens);
     // the point is determinism, not speed.
-    s.conf.set("spark.sql.streaming.stateStore.providerClass", HdfsProvider)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      effProvider(s, HdfsProvider))
     val in = Files.createTempDirectory("graft-replayc-in")
     val ckpt = Files.createTempDirectory("graft-replayc-ckpt")
     // same state-store-partition scoping as `replay`/`replayOrdered`:
@@ -301,7 +319,8 @@ object StreamedQueries {
       outputMode: String = "append"): DataFrame = {
     // same provider note as replayClosed — except st12, whose
     // transformWithState topology passes the RocksDB provider in
-    s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      effProvider(s, provider))
     val in = Files.createTempDirectory("graft-replayo-in")
     val ckpt = Files.createTempDirectory("graft-replayo-ckpt")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
