@@ -213,13 +213,103 @@ object Sampling {
        |WHERE rnk <= ${GroupK}
        |ORDER BY r.lang, rnk""".stripMargin
 
+  // ------------------------------------------------------------- op16
+  /** Shard count for the op16 emission layout (and its Spec pins). */
+  val ShardN = 16
+
+  /** Seed for the op16 permutation — a different additive constant in
+    * the same prime-field mix as op12/op14, so two emissions with
+    * different seeds are independent permutations of the same corpus
+    * while one seed is bit-reproducible everywhere. */
+  val ShardSeed = 777767L
+
+  /** The seeded engine-neutral permutation key: op12's multiplicative
+    * mix (doc_id reduced mod M before the multiply — see op12's
+    * overflow note). NOT Spark's `hash()`/`rand()`: a training-data
+    * emission must hash identically on whatever engine re-derives or
+    * audits a shard manifest. */
+  private def shardKey(seed: Long) =
+    (col("doc_id") % HashMod * (2654435761L % HashMod) + seed) % HashMod
+
+  /** op16 — REPRODUCIBLE CORPUS SHARDING, the last step before a
+    * tokenizer/trainer handoff: the final corpus lands in [[ShardN]]
+    * deterministic, count-balanced shards, each internally ordered by
+    * a SEEDED engine-neutral permutation (cross-run shuffling: change
+    * the seed, get an independent order; keep it, get bytes a re-run
+    * reproduces exactly — `rand()`-shuffled emission resamples per
+    * retry and can never be audited).
+    *
+    * Production split of labor, both halves here:
+    *  - [[shardLayout]] is the WRITER path: shard = h(doc) mod N is a
+    *    narrow map (no global rank, no global sort — balanced in
+    *    expectation by the hash, measured in the Spec), ordering is
+    *    per-shard `sortWithinPartitions` (external sort — a shard
+    *    never has to fit in memory), one task writes one shard file.
+    *  - THIS registered query is the AUDIT manifest: per shard, the
+    *    doc count, char mass, and a position-weighted checksum that
+    *    pins the ENTIRE permutation order (any swap of two docs
+    *    changes it). The rank window routes each shard through one
+    *    task — audit-scale cost, like sim31's exact pass; the writer
+    *    path above carries no window. */
+  def corpusShards(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), shardKey(ShardSeed).as("hk"))
+      .withColumn("shard", col("hk") % ShardN)
+    val pos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    h.withColumn("pos", row_number().over(pos).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("pos") * ((col("doc_id") + col("hk")) % HashMod)
+          % HashMod).cast("long").as("perm_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val corpusShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    (doc_id % ${HashMod} * (2654435761 % ${HashMod})
+       |      + ${ShardSeed}) % ${HashMod} AS hk
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_chars, hk, hk % ${ShardN} AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY hk % ${ShardN}
+       |      ORDER BY hk, doc_id) AS pos
+       |  FROM h)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(pos * ((doc_id + hk) % ${HashMod}) % ${HashMod})
+       |    AS BIGINT) AS perm_checksum
+       |FROM p GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  /** The op16 WRITER path: `result.write.partitionBy("shard")` emits
+    * exactly `n` shard directories with ONE file each — repartition on
+    * the shard column puts every shard in exactly one task, and the
+    * in-partition sort is the seeded permutation order (external sort:
+    * shards never need to fit in memory). Layout + determinism pinned
+    * in SamplingShardSpec. */
+  def shardLayout(df: DataFrame, n: Int, seed: Long = ShardSeed)
+      : DataFrame = {
+    require(n > 0, s"shard count must be positive, got $n")
+    df.withColumn("hk", (col("doc_id") % HashMod
+        * (2654435761L % HashMod) + seed) % HashMod)
+      .withColumn("shard", col("hk") % n)
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("hk"), col("doc_id"))
+      .drop("hk")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("op12_stratified_sample" -> (stratifiedSample _),
       "op14_priority_sample" -> (prioritySample _),
-      "op15_group_priority_sample" -> (groupPrioritySample _))
+      "op15_group_priority_sample" -> (groupPrioritySample _),
+      "op16_corpus_shards" -> (corpusShards _))
 
   val oracles: Seq[(String, String)] =
     Seq("op12_stratified_sample" -> stratifiedSampleSql,
       "op14_priority_sample" -> prioritySampleSql,
-      "op15_group_priority_sample" -> groupPrioritySampleSql)
+      "op15_group_priority_sample" -> groupPrioritySampleSql,
+      "op16_corpus_shards" -> corpusShardsSql)
 }
