@@ -207,6 +207,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim09/sim32: the consumed trained+multi-probe blocking keeps " +
+    "the gate shapes — no cartesian, heap-ranked probes, no corpus window") {
+    // the r16 consumer upgrade (consumedBlocking: Lloyd-trained seam +
+    // nprobe=8 probes) must not cost the plan its scale posture: pair
+    // discovery and edge ranking stay cell-keyed equi-joins + graft_topk
+    // heaps; the only nested-loop joins are broadcast centroid attaches
+    Seq("sim09_semdedup", "sim32_consumed_recall").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian:\n$p")
+      assert(!"windowspecdefinition\\((?:vec_id|query_id)#\\d+L?".r
+        .findFirstIn(p).isDefined,
+        s"$q ranks the corpus through a per-vector window:\n$p")
+    }
+    // the heap-partial pin only reads on sim32: sim09's probe ranking
+    // sits BELOW the CC engine's localCheckpoint seam, so its final
+    // plan string starts at the materialized pair set (the probe stage
+    // itself is pinned via sim13/sim30, which share probeCells)
+    val p32 = plan("sim32_consumed_recall")
+    assert("ObjectHashAggregate.*partial_graft_topk".r
+      .findFirstIn(p32).isDefined,
+      s"sim32 probe/edge ranking lost its map-side heap partial:\n$p32")
+  }
+
   test("txt38: every GD step reduces to a 1-row gradient via map-side " +
     "partials; weight state broadcasts back; no windows, no shuffled joins") {
     val p = plan("txt38_logistic_quality")
