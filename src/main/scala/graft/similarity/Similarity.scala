@@ -723,6 +723,11 @@ object Similarity {
     * Returns (assigned, probes): candidates keep exactly ONE trained
     * cell (so a query probing p distinct cells never sees a duplicate
     * candidate), queries fan out to their 8 nearest trained cells.
+    * [[ConsumedNprobeKey]] overrides the 8 at runtime (the
+    * [[IvfCellsKey]] convention: a production tuning knob whose
+    * DEFAULT the oracles mirror — the gates pin nprobe=8, an override
+    * is a deliberate divergence for a corpus whose recall curve says
+    * otherwise).
     * The trained centroid table — ~√n × dims, the expensive reusable
     * artifact — is a durable [[graft.Seams]] seam keyed by corpus
     * fingerprint: one Lloyd round per corpus per process serves all
@@ -731,10 +736,17 @@ object Similarity {
     * augmented union) from the raw embeddings table. */
   private def consumedBlocking(s: SparkSession, d: String, n: DataFrame,
       variant: String = ""): (DataFrame, DataFrame) = {
+    val np = s.conf.getOption(ConsumedNprobeKey).map(_.toInt).getOrElse(8)
+    require(np > 0, s"$ConsumedNprobeKey must be > 0, got $np")
     val cent = graft.Seams.durable(s, d, "sim-cent1" + variant)(
       trainedCentroids(s, n, 1))
-    (assignCells(n, cent), probeCells(n, cent, 8))
+    (assignCells(n, cent), probeCells(n, cent, np))
   }
+
+  /** Config key: query-side probe width of the consumers' blocking
+    * (see [[consumedBlocking]] — default 8, chosen from the measured
+    * shipped-corpus recall curve in BASELINE.md r16). */
+  val ConsumedNprobeKey = "spark.graft.consumedNprobe"
 
   /** Top-`nprobe` nearest cells for EVERY corpus vector — the
     * corpus-side multi-probe assignment. nprobe=1 is [[assignCells]]'s

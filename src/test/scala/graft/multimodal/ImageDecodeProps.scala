@@ -49,4 +49,44 @@ object ImageDecodeProps extends Properties("imagedecode") {
         (got.mean_byte == mean) :| s"mean ${got.mean_byte} != $mean" &&
         (got.checksum == checksum) :| s"checksum ${got.checksum} != $checksum"
     }
+
+  private val rasterGen: Gen[(Int, Int, Array[Int], Int, Int)] = for {
+    sw <- Gen.chooseNum(1, 12)
+    sh <- Gen.chooseNum(1, 12)
+    px <- Gen.listOfN(sw * sh, Gen.chooseNum(0, 255))
+    dw <- Gen.chooseNum(1, 12)
+    dh <- Gen.chooseNum(1, 12)
+  } yield (sw, sh, px.toArray, dw, dh)
+
+  property("bilinearChannel: range-bounded, constant-preserving, " +
+      "identity at same size, exact 4-mean at 2x down") =
+    Prop.forAll(rasterGen) { case (sw, sh, px, dw, dh) =>
+      val out = ImageDecode.bilinearChannel(px, sw, sh, dw, dh)
+      // convexity: every output pixel is a convex combination (exact
+      // fixed-point weights summing to 2^16) of inputs, so it must lie
+      // inside the source's [min, max] envelope
+      val (lo, hi) = (px.min, px.max)
+      val bounded = out.forall(v => v >= lo && v <= hi)
+      // a constant raster resamples to the same constant at ANY size
+      val const = ImageDecode.bilinearChannel(
+        Array.fill(sw * sh)(px(0)), sw, sh, dw, dh)
+        .forall(_ == px(0))
+      val ident = ImageDecode.bilinearChannel(px, sw, sh, sw, sh)
+        .sameElements(px)
+      val halve =
+        if (sw % 2 == 0 && sh % 2 == 0) {
+          val half = ImageDecode
+            .bilinearChannel(px, sw, sh, sw / 2, sh / 2)
+          (0 until sh / 2).forall(y => (0 until sw / 2).forall { x =>
+            half(y * sw / 2 + x) == (px(2 * y * sw + 2 * x)
+              + px(2 * y * sw + 2 * x + 1)
+              + px((2 * y + 1) * sw + 2 * x)
+              + px((2 * y + 1) * sw + 2 * x + 1) + 2) / 4
+          })
+        } else true
+      bounded :| s"out of [$lo,$hi] envelope: ${out.toSeq}" &&
+        const :| "constant raster not preserved" &&
+        ident :| "same-size resample not the identity" &&
+        halve :| "2x downscale diverged from the 4-mean closed form"
+    }
 }
