@@ -189,7 +189,11 @@ object Dedup {
   /** The shared candidate/verify CTE chain: shingles → hashed sets →
     * 32-perm minhash → 4×8 banding → prefiltered candidate pairs →
     * exact-Jaccard verification. Mirrors [[verifiedPairsOn]] exactly. */
-  private val verifiedPairsCtes: String = shinglesCte + "," +
+  /** Oracle mirror of the shingle→minhash→band stage alone (sh/hs/sig/
+    * bands CTEs over `docs_aug`) — shared by [[verifiedPairsCtes]] and
+    * st17's streaming-admission oracle, which consumes the band keys
+    * without the pair verify. */
+  val sigBandCtes: String = shinglesCte + "," +
     """hs AS (
       |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
       |    list_reduce([CAST(0 AS BIGINT)] ||
@@ -208,8 +212,11 @@ object Dedup {
       |    list_reduce([CAST(0 AS BIGINT)] ||
       |      sig[CAST(8 * b.band + 1 AS INT):CAST(8 * b.band + 8 AS INT)],
       |      (acc, h) -> (acc * 31 + h) % 1000000007) AS bkey
-      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-      |pre AS (
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)"""
+      .stripMargin
+
+  private val verifiedPairsCtes: String = sigBandCtes + "," +
+    """pre AS (
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bands a JOIN bands c
       |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id

@@ -1140,6 +1140,59 @@ object StreamedQueries {
       |WHERE rnk <= 3
       |ORDER BY bucket_start, rnk""".stripMargin
 
+  // ----------------------------------------------------------------- st17
+  /** st17 — STREAMING NEAR-DUP ADMISSION ([[StreamNearDup.admit]]): as
+    * documents arrive, each claims its 4 banded-MinHash keys (dd05's
+    * exact shingle→minhash→band pipeline as stream-safe expressions)
+    * through a band-keyed flatMapGroupsWithState fold; a doc any of
+    * whose bands is owned by an EARLIER doc is flagged against that
+    * owner — the admission prefilter a streaming ingest runs before
+    * the batch verify (dd03/dd05 are the batch side of this family).
+    * The feed is the dedup family's augmented corpus (exact copies at
+    * +1M ids, suffix near-copies at +2M — both arrive AFTER their
+    * originals under the ordered-feed contract, so the original owns
+    * the bands), replayed ordered on doc_id in 3 micro-batches: a
+    * near-dup routinely lands in a DIFFERENT batch than the band
+    * owner it must be flagged against — the cross-batch band-state
+    * fold is exactly what this gate pins. Oracle = the batch
+    * min-per-band spelling over the same minhash mirror (equal
+    * because the feed is ordered: the owner at any arrival is the
+    * global min doc_id for that band). First-band-wins is a 10-bit
+    * narrower claim than dd05's 26/32+Jaccard verify — deliberately:
+    * admission flags candidates, the batch verify adjudicates. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.dedup.Dedup.docsAug(s, d)
+      .select(col("doc_id"), col("text"))
+    val verdicts = replayOrdered(s, docs, col("doc_id"))(
+      StreamNearDup.admit(s, _), outputMode = "update")
+    verdicts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("claimed_by") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_claimed"),
+        coalesce(min(when(col("claimed_by") < col("doc_id"),
+          col("claimed_by"))), lit(-1L)).as("dropped_by"))
+      .withColumn("admitted",
+        (col("n_claimed") === 0).cast(org.apache.spark.sql.types
+          .IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val streamNearDupSql: String = graft.dedup.Dedup.docsAugCte + "," +
+    graft.dedup.Dedup.sigBandCtes +
+    """,
+      |own AS (SELECT band, bkey, MIN(doc_id) AS owner
+      |  FROM bands GROUP BY band, bkey)
+      |SELECT b.doc_id, COUNT(*) AS n_bands,
+      |  CAST(SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_claimed,
+      |  CAST(COALESCE(MIN(CASE WHEN o.owner < b.doc_id THEN o.owner END),
+      |    -1) AS BIGINT) AS dropped_by,
+      |  CAST(CASE WHEN SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+      |    = 0 THEN 1 ELSE 0 END AS INTEGER) AS admitted
+      |FROM bands b JOIN own o ON o.band = b.band AND o.bkey = b.bkey
+      |GROUP BY b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -1156,7 +1209,8 @@ object StreamedQueries {
     "st13_stream_wire" -> (streamWire _),
     "st14_stream_reconnect" -> (streamReconnect _),
     "st15_stream_queue" -> (streamQueue _),
-    "st16_stream_topk" -> (streamTopTickers _))
+    "st16_stream_topk" -> (streamTopTickers _),
+    "st17_stream_neardup" -> (streamNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1174,5 +1228,6 @@ object StreamedQueries {
     "st13_stream_wire" -> streamWireSql,
     "st14_stream_reconnect" -> streamWireSql,
     "st15_stream_queue" -> streamWireSql,
-    "st16_stream_topk" -> streamTopTickersSql)
+    "st16_stream_topk" -> streamTopTickersSql,
+    "st17_stream_neardup" -> streamNearDupSql)
 }
