@@ -37,7 +37,8 @@ object SparkEntry {
       operators.Bucketed.queries ++
       operators.Reuse.queries ++
       operators.Observability.queries ++
-      operators.RuntimeFilter.queries: _*)
+      operators.RuntimeFilter.queries ++
+      operators.Skyline.queries: _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       operators.Bucketed.oracles ++
       operators.Reuse.oracles ++
       operators.Observability.oracles ++
-      operators.RuntimeFilter.oracles: _*)
+      operators.RuntimeFilter.oracles ++
+      operators.Skyline.oracles: _*)
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** op17 — the SKYLINE operator (Börzsönyi, Kossmann & Stocker, ICDE
+  * '01) as a multi-criteria data-selection step: keep exactly the
+  * documents on the Pareto frontier of (quality score, length) — no
+  * kept doc is beaten on BOTH axes by any other — the
+  * "don't-collapse-the-tradeoff" alternative to a single weighted
+  * score when curating a corpus that must balance quality against
+  * context-length coverage. Dominance is the standard weak form: e
+  * dominates d iff e ≥ d on both axes and > on at least one; tied
+  * pairs (equal on both) co-survive.
+  *
+  * The naive skyline is an all-pairs NOT EXISTS — O(n²) and a
+  * cartesian shuffle, unusable at corpus scale. This is the
+  * distributed two-level formulation:
+  *   1. collapse to ONE row per distinct score (max length per score —
+  *      a single score-keyed shuffle; every other row is dominated by
+  *      its own score-group's max and can never surface),
+  *   2. a row survives iff its max-length beats every max-length at a
+  *      STRICTLY higher score; that prefix-max splits into (a) a
+  *      within-bucket running max over fixed-width score buckets — a
+  *      bucket-partitioned window, fully distributed — and (b) a
+  *      cross-bucket prefix over the per-bucket maxima, a table with
+  *      ONE ROW PER BUCKET (score-range/width, independent of corpus
+  *      size), which is the only single-partition window — the same
+  *      disclosed tiny-side regime as the house 1-row scalar attaches.
+  * So the full plan is two narrow shuffles on the score key plus a
+  * bucket-count-sized side table: no all-pairs join, no global sort,
+  * no driver collect — the shape that survives 100×.
+  *
+  * The oracle deliberately spells the INDEPENDENT O(n²) NOT-EXISTS
+  * dominance definition (fine at oracle scale), cross-checking the
+  * bucketed prefix-max algebra against the textbook semantics rather
+  * than mirroring it. Axes are exact integers end-to-end (txt16's
+  * integer quality score restated as in txt38's label, and n_chars),
+  * so the hash gate needs no quantization discipline.
+  */
+object Skyline {
+
+  /** Fixed score-bucket width for the two-level prefix max. The
+    * cross-bucket table has (score range / width) rows — set by the
+    * SCORE DOMAIN, not the corpus size, so it stays tiny at any SF. */
+  val ScoreBucketWidth = 64L
+
+  def skylineSelect(s: SparkSession, d: String): DataFrame = {
+    // Negative-safe floor division (scores go negative; Spark `div`
+    // truncates toward zero) — the txt38 pmod spelling.
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
+    val f = Tables.documents(s, d).selectExpr(
+      "doc_id",
+      s"""4 * cast(size(array_distinct(split(text, ' '))) as bigint)
+          + 8 * cast(size(filter(split(text, ' '),
+              t -> t IN ('the','a','of'))) as bigint)
+          - (case when size(split(text, ' ')) >= ${TextAnalysis.MinTokens}
+               then 2 else 5 end)
+            * cast(size(split(text, ' ')) as bigint) as sscore""",
+      "n_chars")
+    // one row per DISTINCT score — bounded by the score domain, not the
+    // corpus; checkpointed so the three downstream derivations (within,
+    // cross-bucket prefix, frontier) never rescan the pool: the corpus
+    // lineage runs exactly twice (once to collapse, once to join back).
+    val msc = f.groupBy(col("sscore")).agg(max(col("n_chars")).as("mc"))
+      .withColumn("bkt", expr(fdiv("sscore", ScoreBucketWidth.toString)))
+      .localCheckpoint()
+    // (a) strictly-higher-score max WITHIN the bucket: distributed.
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("sscore").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = msc.withColumn("hw", max(col("mc")).over(wIn))
+    // (b) strictly-higher-BUCKET max: one row per bucket, so this
+    // single-partition window runs over a constant-sized table.
+    val wB = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = msc.groupBy(col("bkt")).agg(max(col("mc")).as("bmc"))
+      .withColumn("hb", max(col("bmc")).over(wB))
+      .select(col("bkt"), col("hb"))
+    // n_chars ≥ 1, so -1 is a safe "no higher row" neutral element.
+    val frontier = within.join(broadcast(bpre), "bkt")
+      .where(col("mc") > greatest(coalesce(col("hw"), lit(-1L)),
+        coalesce(col("hb"), lit(-1L))))
+      .select(col("sscore"), col("mc"))
+    f.join(frontier, "sscore")
+      .where(col("n_chars") === col("mc"))
+      .select(col("doc_id"), col("sscore"), col("n_chars"))
+      .orderBy(col("sscore").desc, col("doc_id"))
+  }
+
+  val skylineSelectSql: String =
+    s"""WITH sk AS (
+       |  SELECT doc_id,
+       |    4 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      + 8 * CAST(len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('the','a','of'))) AS BIGINT)
+       |      - (CASE WHEN len(string_split(text, ' '))
+       |            >= ${TextAnalysis.MinTokens} THEN 2 ELSE 5 END)
+       |        * CAST(len(string_split(text, ' ')) AS BIGINT) AS sscore,
+       |    n_chars
+       |  FROM documents)
+       |SELECT d.doc_id, d.sscore, d.n_chars
+       |FROM sk d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sk e
+       |  WHERE e.sscore >= d.sscore AND e.n_chars >= d.n_chars
+       |    AND (e.sscore > d.sscore OR e.n_chars > d.n_chars))
+       |ORDER BY d.sscore DESC, d.doc_id""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "op17_skyline_select" -> (skylineSelect _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "op17_skyline_select" -> skylineSelectSql)
+}

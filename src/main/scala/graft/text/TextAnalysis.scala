@@ -2294,9 +2294,14 @@ object TextAnalysis {
     * (|err| ≤ 10⁶, |x| ≤ 500). Floor divisions are the negative-safe
     * `(v − pmod(v, m)) div m` ≡ DuckDB `(v − ((v%m)+m)%m) // m`. */
   def logisticQualityGd(s: SparkSession, d: String): DataFrame = {
-    val S = 1000000L
-    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
-    val feat = Tables.documents(s, d).selectExpr(
+    val (steps, _) = lgdTrain(s, lgdFeat(s, d))
+    steps.reduce(_ union _).orderBy(col("iter"))
+  }
+
+  /** txt38/txt40 shared: centered permille features + the exact-integer
+    * restatement of txt16's keep-gate as the label. */
+  private def lgdFeat(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
         "cast(size(split(text, ' ')) as bigint) as nt",
         "cast(size(array_distinct(split(text, ' '))) as bigint) as nd",
         "cast(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) as bigint) as sh")
@@ -2306,6 +2311,14 @@ object TextAnalysis {
         s"""case when 4 * nd + 8 * sh
               - (case when nt >= $MinTokens then 2 else 5 end) * nt > 0
             then cast(1 as bigint) else cast(0 as bigint) end as y""")
+
+  /** txt38/txt40 shared: the 6 full-batch hard-sigmoid GD steps.
+    * Returns each step's report frame (txt38's rows) and the weights
+    * AFTER the last step — the shipped model txt40 calibrates. */
+  private def lgdTrain(s: SparkSession, feat: DataFrame)
+      : (Seq[DataFrame], DataFrame) = {
+    val S = 1000000L
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
     var w = s.range(1).selectExpr("cast(0 as bigint) as a_s",
       "cast(0 as bigint) as b1_s", "cast(0 as bigint) as b2_s")
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -2334,7 +2347,7 @@ object TextAnalysis {
           "ncor as n_correct")
       w = steps.last.select(col("a_s"), col("b1_s"), col("b2_s"))
     }
-    steps.reduce(_ union _).orderBy(col("iter"))
+    (steps.toSeq, w)
   }
 
   /** Oracle mirror of one hard-sigmoid GD step. */
@@ -2360,7 +2373,9 @@ object TextAnalysis {
        |  GROUP BY a0, b10, b20)""".stripMargin
   }
 
-  val logisticQualityGdSql: String =
+  /** txt38/txt40 shared oracle scaffolding: features + the 6-step CTE
+    * chain (lit6 = the shipped weights txt40 scores with). */
+  private lazy val lgdSqlCtes: String =
     s"""WITH lraw AS (
        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
@@ -2377,12 +2392,227 @@ object TextAnalysis {
        |lit0 AS (SELECT CAST(0 AS BIGINT) AS a_s, CAST(0 AS BIGINT) AS b1_s,
        |  CAST(0 AS BIGINT) AS b2_s),
        |""".stripMargin +
-    (1 to 6).map(lgdStepCte).mkString(",\n") + "\n" +
+    (1 to 6).map(lgdStepCte).mkString(",\n") + "\n"
+
+  val logisticQualityGdSql: String = lgdSqlCtes +
     """SELECT iter, a_s, b1_s, b2_s, loss_ppm, n_correct FROM (
       |  SELECT * FROM lit1 UNION ALL SELECT * FROM lit2
       |  UNION ALL SELECT * FROM lit3 UNION ALL SELECT * FROM lit4
       |  UNION ALL SELECT * FROM lit5 UNION ALL SELECT * FROM lit6) u
       |ORDER BY iter""".stripMargin
+
+  // ---------------------------------------------------------------- txt39
+  /** Hashed-feature bucket count for txt39 — FIXED, so the per-bucket
+    * log-ratio table is ≤ this many rows at ANY corpus size (that fixed
+    * cardinality is the whole point of hashed n-gram features: the
+    * model broadcasts no matter how big the pool gets). */
+  val DsirBuckets = 2048L
+
+  /** Selected-sample size for txt39 — constant, so the top-k heap stays
+    * O(k) per partition (op14's TakeOrderedAndProject discipline). */
+  val DsirK = 100
+
+  /** txt39 — DSIR DATA SELECTION (Xie et al., NeurIPS '23, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document in the raw pool by the log-likelihood ratio of a
+    * TARGET hashed-n-gram bag model (unigrams + bigrams — the paper's
+    * feature set; unigrams alone don't separate this corpus's shared
+    * vocabulary, bigrams carry the word-order signal) over the RAW
+    * pool's own, then draw a fixed-k sample WITHOUT replacement by
+    * Gumbel top-k — the importance-resampling step a pretraining
+    * pipeline runs to tilt a web-scale pool toward a target domain
+    * (here: the `en` slice plays the target, the whole pool plays raw;
+    * measured mean log-ratio at sf0.01: en −2.11 vs −5.2..−5.9 for the
+    * rest — a ~3.5-nat gap the Gumbel's σ≈1.28 doesn't wash out).
+    * Add-one smoothing keeps every bucket's ratio finite; the Gumbel
+    * keys make the draw a true sample from the softmax of the weights
+    * rather than a greedy top-k, yet fully deterministic (the uniform
+    * is op12's engine-neutral multiplicative hash of doc_id —
+    * reproducible bit-for-bit, never an RNG whose draw depends on
+    * partitioning).
+    *
+    * Scale shape: txt37's row form (posexplode + ONE doc-keyed sort;
+    * the bigram is lag() arithmetic, never chained array HOFs — and
+    * both feature classes leave the SAME window pass via one
+    * array-explode, not a lineage-doubling union), then features
+    * shuffle ONCE as (bucket, lang) counts into a table of AT MOST
+    * [[DsirBuckets]] rows — fixed at any corpus size, so the scored
+    * model always broadcasts (never a vocabulary-sized join: that is
+    * the published reason DSIR hashes its features). The bucket table
+    * is localCheckpoint'd (sim21's amortizable-artifact discipline —
+    * at cluster scale it'd be a written table): the corpus lineage
+    * runs EXACTLY twice end-to-end (once to count, once to score — the
+    * unigramNll count-then-rejoin shape), never once per downstream
+    * branch. The per-doc weight is a doc-keyed aggregate, and
+    * selection is `orderBy(..).limit(k)` = TakeOrderedAndProject (a
+    * k+1 heap per partition, never a global sort). Parity: each ln
+    * passes through
+    * the DECIMAL(28,6) quantization (txt21/txt22's 1-ulp lesson) and
+    * per-doc sums run IN DECIMAL — exact, order-independent,
+    * engine-identical; the Gumbel's nested ln quantizes BOTH stages
+    * (inner −ln u to the 1e-6 grid, then the outer ln reads that exact
+    * decimal), so no double ever feeds a transcendental un-quantized.
+    * The only double ops are the final output casts. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val P = 1000003L
+    val B = DsirBuckets
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val mulRed = 2654435761L % P
+    def feats = {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), posexplode(expr(
+          "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
+        .withColumn("wh", expr(
+          s"""aggregate(sequence(1, length(w)), CAST(0 AS BIGINT),
+             |  (acc, i) -> (acc * 31 + ascii(substr(w, i, 1))) % $P)"""
+            .stripMargin))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      words.withColumn("l1", lag(col("wh"), -1).over(byPos))
+        .select(col("doc_id"), col("lang"), explode(array(
+          col("wh") % B,
+          (col("wh") * 31L + col("l1")) % P % B)).as("b"))
+        .where(col("b").isNotNull)
+    }
+    // ≤ B rows; checkpointing cuts the corpus lineage so downstream
+    // branches (totals, broadcast model) never rescan the pool.
+    val cnts = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+      .localCheckpoint()
+    val tot = cnts.agg(sum(col("n_r")).as("tr"), sum(col("n_t")).as("tt"))
+    val lnw = cnts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("n_t") + 1L).cast(DoubleType) /
+            (col("tt") + B).cast(DoubleType)).cast(dec28) -
+          log((col("n_r") + 1L).cast(DoubleType) /
+            (col("tr") + B).cast(DoubleType)).cast(dec28)).as("lnw"))
+    feats.join(broadcast(lnw), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lnw")).as("w_ln"))
+      .withColumn("h", expr(s"(doc_id % $P * $mulRed + 99991) % $P"))
+      // u ∈ [1e-6, 0.999999]: never 0 (ln) and never 1 (−ln u = 0 would
+      // send the OUTER ln to −∞); both engines compute the same exact
+      // rational before the one inner transcendental.
+      .withColumn("u",
+        (col("h") % 999999L + 1L).cast(DoubleType) / lit(1000000.0))
+      .withColumn("nl", (-log(col("u"))).cast(dec28))
+      .withColumn("g", (-log(col("nl").cast(DoubleType))).cast(dec28))
+      .withColumn("sel_key", col("w_ln") + col("g"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(DsirK)
+      .select(col("doc_id"), col("n_feats"),
+        col("w_ln").cast(DoubleType).as("w_lnr"),
+        col("g").cast(DoubleType).as("gumbel"),
+        col("sel_key").cast(DoubleType).as("sel_key"))
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH dwords AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(w) + 1),
+       |          i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+       |        (acc, c) -> (acc * 31 + c) % 1000003)) AS whs
+       |  FROM documents),
+       |dbkt AS (
+       |  SELECT doc_id, lang, whs[i] % $DsirBuckets AS b
+       |  FROM dwords, unnest(range(1, len(whs) + 1)) AS t(i)
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |    (whs[i] * 31 + whs[i + 1]) % 1000003 % $DsirBuckets AS b
+       |  FROM dwords, unnest(range(1, len(whs))) AS t(i)
+       |  WHERE len(whs) >= 2),
+       |dc AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       |  FROM dbkt GROUP BY b),
+       |dt AS (SELECT CAST(SUM(n_r) AS BIGINT) AS tr,
+       |  CAST(SUM(n_t) AS BIGINT) AS tt FROM dc),
+       |dlnw AS (
+       |  SELECT b,
+       |    CAST(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tt + $DsirBuckets AS DOUBLE))
+       |        AS DECIMAL(28,6))
+       |      - CAST(ln(CAST(n_r + 1 AS DOUBLE) / CAST(tr + $DsirBuckets AS DOUBLE))
+       |        AS DECIMAL(28,6)) AS lnw
+       |  FROM dc, dt),
+       |dw AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    SUM(lnw) AS w_ln
+       |  FROM dbkt JOIN dlnw USING (b)
+       |  GROUP BY doc_id),
+       |dg AS (
+       |  SELECT doc_id, n_feats, w_ln,
+       |    CAST(-ln(CAST(nl AS DOUBLE)) AS DECIMAL(28,6)) AS g
+       |  FROM (
+       |    SELECT doc_id, n_feats, w_ln,
+       |      CAST(-ln(CAST(h % 999999 + 1 AS DOUBLE) / 1000000.0)
+       |        AS DECIMAL(28,6)) AS nl
+       |    FROM (SELECT dw.*,
+       |        (doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+       |          % 1000003 AS h
+       |      FROM dw) a) bq)
+       |SELECT doc_id, n_feats,
+       |  CAST(w_ln AS DOUBLE) AS w_lnr, CAST(g AS DOUBLE) AS gumbel,
+       |  CAST(w_ln + g AS DOUBLE) AS sel_key
+       |FROM dg
+       |ORDER BY w_ln + g DESC, doc_id
+       |LIMIT $DsirK""".stripMargin
+
+  // ---------------------------------------------------------------- txt40
+  /** txt40 — CALIBRATION AUDIT (reliability diagram + per-bin ECE terms)
+    * of txt38's shipped classifier: score the corpus with the weights
+    * the 6-step GD loop ends on, bin the predicted probability into 10
+    * equal-width bins, and report each bin's size, mean confidence, and
+    * empirical positive rate in exact integer ppm — the
+    * |confidence − accuracy| gap per bin is the term a weighted sum
+    * turns into ECE (Guo et al., ICML '17). The check a production
+    * curation gate runs before trusting a distilled quality model's
+    * scores as sampling weights (an uncalibrated model distorts the
+    * mixture even when its ACCURACY is fine).
+    *
+    * Scale shape: txt38's own — ONE corpus scan reduces to ≤ 10
+    * bin-keyed rows via map-side partial SUMs, after the 6 training
+    * scans that produce the 1-row weight state (broadcast back, never
+    * collected). All-integer arithmetic end-to-end (p and the floor
+    * divisions are nonneg, so `div` = floor in both engines) — no
+    * quantization anywhere, the hashes must match bit-for-bit. */
+  def calibrationAudit(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000L
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
+    val feat = lgdFeat(s, d)
+    val (_, w) = lgdTrain(s, feat)
+    feat.crossJoin(broadcast(w))
+      .withColumn("z",
+        col("a_s") + col("b1_s") * col("x1") + col("b2_s") * col("x2"))
+      .withColumn("p", expr(
+        s"least(greatest(${S / 2} + ${fdiv("z", "4")}, cast(0 as bigint)), ${S})"))
+      .withColumn("bin", least(expr("p div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"))
+      .selectExpr("cast(bin as bigint) as bin", "n",
+        "sp div n as conf_ppm",
+        "sy * 1000000 div n as acc_ppm",
+        "abs(sp div n - sy * 1000000 div n) as gap_ppm")
+      .orderBy(col("bin"))
+  }
+
+  val calibrationAuditSql: String = lgdSqlCtes.stripSuffix("\n") + ",\n" +
+    """cal AS (
+      |  SELECT f.y,
+      |    LEAST(GREATEST(500000 + ((w.a_s + w.b1_s * f.x1 + w.b2_s * f.x2
+      |        - (((w.a_s + w.b1_s * f.x1 + w.b2_s * f.x2) % 4 + 4) % 4)) // 4),
+      |      0), 1000000) AS p
+      |  FROM lfeat f CROSS JOIN lit6 w)
+      |SELECT CAST(LEAST(p // 100000, 9) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS conf_ppm,
+      |  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+      |  CAST(ABS(SUM(p) // COUNT(*) - SUM(y) * 1000000 // COUNT(*))
+      |    AS BIGINT) AS gap_ppm
+      |FROM cal GROUP BY 1 ORDER BY bin""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -2422,7 +2652,9 @@ object TextAnalysis {
     "txt35_vocab_coverage" -> (vocabCoverage _),
     "txt36_bpe_merge_stats" -> (bpeMergeStats _),
     "txt37_repetition" -> (repetitionFilter _),
-    "txt38_logistic_quality" -> (logisticQualityGd _))
+    "txt38_logistic_quality" -> (logisticQualityGd _),
+    "txt39_dsir_select" -> (dsirSelect _),
+    "txt40_calibration" -> (calibrationAudit _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2462,5 +2694,7 @@ object TextAnalysis {
     "txt35_vocab_coverage" -> vocabCoverageSql,
     "txt36_bpe_merge_stats" -> bpeMergeStatsSql,
     "txt37_repetition" -> repetitionFilterSql,
-    "txt38_logistic_quality" -> logisticQualityGdSql)
+    "txt38_logistic_quality" -> logisticQualityGdSql,
+    "txt39_dsir_select" -> dsirSelectSql,
+    "txt40_calibration" -> calibrationAuditSql)
 }
