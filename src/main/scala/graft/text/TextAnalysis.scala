@@ -2614,6 +2614,247 @@ object TextAnalysis {
       |    AS BIGINT) AS gap_ppm
       |FROM cal GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- txt41
+  /** MW iteration count and learning rate (η = 0.3 as tenths) for the
+    * txt41 domain-reweighting loop. */
+  val MwIters = 5
+
+  /** txt41 — DOMAIN REWEIGHTING by multiplicative weights (the DoReMi
+    * recipe, Xie et al., NeurIPS '23: upweight the domains the pooled
+    * model MISPRICES — with the Arora–Hazan–Kale LINEAR update
+    * w·(1 + η·m) standing in for the exponentiated one, the standard
+    * rational substitution since exp is exactly what cross-engine
+    * determinism can't have; disclosed, same regret family). The
+    * per-domain signal is DoReMi's excess loss restated for a unigram
+    * reference pair: mean token surprisal under the POOLED add-one
+    * model minus under the domain's OWN add-one model, in exact integer
+    * micro-nats/token — how much pooling hurts that domain (measured at
+    * sf0.01: fr 4169 > zh 3345 > de 3271 > es 2380 > en 1060, a 4×
+    * spread, so the loop genuinely tilts — the mixture the trainer
+    * would use to stop the pooled corpus starving minority domains).
+    *
+    * Scale shape: the corpus is scanned ONCE — every model derives from
+    * the (lang, token) count table (pooled counts = its token-keyed
+    * re-aggregate; per-token excess = cnt·(lnd − lnp) attached by one
+    * vocab-keyed equi-join, never a third scan), which is
+    * localCheckpoint'd (vocab×|domains| rows — sim21's
+    * amortizable-artifact discipline; a table write at cluster scale).
+    * The MW loop then runs on a |domains|-row frame: per step one
+    * 1-row Σw' broadcast back, nothing driver-collected. Parity: each
+    * ln quantizes to DECIMAL(28,6) (the txt21/txt22 1-ulp lesson), the
+    * excess sum runs IN DECIMAL, and everything after the one
+    * micro-nat floor division is BIGINT arithmetic with the
+    * negative-safe fdiv spelling. Overflow: Σcnt·(lnd−lnp)·10⁶ stays
+    * under 2⁶³ while the corpus is under ~10¹³ tokens (0.02 nat/token
+    * bound measured above) — disclosed, checked nowhere near at gate
+    * scale. */
+  def doremiMw(s: SparkSession, d: String): DataFrame = {
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
+    val dc = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+          .as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val pc = dc.groupBy(col("token")).agg(sum(col("cnt")).as("pcnt"))
+    val pt = pc.agg(sum(col("pcnt")).as("n"), count(lit(1)).as("v"))
+    val dt = dc.groupBy(col("lang")).agg(sum(col("cnt")).as("dn"))
+    val pl = pc.crossJoin(broadcast(pt))
+      .select(col("token"),
+        log((col("pcnt") + 1L).cast(DoubleType) /
+          (col("n") + col("v")).cast(DoubleType)).cast(dec28).as("lnp"))
+    val ex = dc.join(broadcast(dt), "lang").crossJoin(broadcast(pt))
+      .select(col("lang"), col("token"), col("cnt"),
+        log((col("cnt") + 1L).cast(DoubleType) /
+          (col("dn") + col("v")).cast(DoubleType)).cast(dec28).as("lnd"))
+      .join(pl, "token")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(col("cnt") * (col("lnd") - col("lnp"))).as("sx"))
+      .selectExpr("lang", "n_tok",
+        // micro-nats/token; sx·10⁶ is integer-valued (6-dp decimal)
+        fdiv("cast(sx * 1000000 as bigint)", "n_tok") + " as excess_unat")
+      .localCheckpoint() // |domains| rows; MW loop below never rescans
+    val nd = ex.agg(count(lit(1)).as("k"),
+      max(col("excess_unat")).as("mx"))
+    // normalized mispricing m ∈ [−10⁶, 10⁶]; max ≤ 0 guard keeps the
+    // division defined (degenerate flat corpus → m = excess sign only)
+    val m = ex.crossJoin(broadcast(nd))
+      .selectExpr("lang", "excess_unat", "k",
+        fdiv("excess_unat * 1000000", "greatest(mx, 1)") + " as m_ppm")
+    var w = m.selectExpr("lang", "excess_unat", "m_ppm",
+      fdiv("1000000", "k") + " as w_ppm")
+    // the renormalizing Σw' is a full-frame window over the
+    // |domains|-row state (single reference per step — a scalar-agg
+    // rejoin would double the lineage each iteration), same disclosed
+    // tiny-table regime as the 1-row scalar attaches
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to MwIters) {
+      w = w.selectExpr("lang", "excess_unat", "m_ppm",
+          fdiv(s"w_ppm * (1000000 + (${fdiv("3 * m_ppm", "10")}))", "1000000")
+            + " as wu")
+        .withColumn("tw", sum(col("wu")).over(wAll))
+        .selectExpr("lang", "excess_unat", "m_ppm",
+          fdiv("wu * 1000000", "tw") + " as w_ppm")
+      steps += w.selectExpr(s"cast($it as int) as iter", "lang",
+        "excess_unat", "w_ppm")
+    }
+    steps.reduce(_ union _).orderBy(col("iter"), col("lang"))
+  }
+
+  /** One MW step CTE for the txt41 oracle. The renormalizer is
+    * `SUM(wu) OVER ()` — ONE reference to the previous step (a scalar
+    * subquery would re-expand the whole chain per step: 2^5 corpus
+    * re-evaluations). */
+  private def mwStepCte(k: Int): String = {
+    def fd(a: String, b: String) = s"(($a) - ((($a) % $b) + $b) % $b) // $b"
+    s"""mw$k AS (
+       |  SELECT lang, excess_unat, m_ppm,
+       |    CAST(${fd("wu * 1000000", "SUM(wu) OVER ()")} AS BIGINT) AS w_ppm
+       |  FROM (SELECT lang, excess_unat, m_ppm,
+       |      ${fd(s"w_ppm * (1000000 + (${fd("3 * m_ppm", "10")}))", "1000000")} AS wu
+       |    FROM mw${k - 1}) q)""".stripMargin
+  }
+
+  val doremiMwSql: String = {
+    def fd(a: String, b: String) = s"(($a) - ((($a) % $b) + $b) % $b) // $b"
+    s"""WITH wtok AS (
+       |  SELECT lang, t.token
+       |  FROM documents,
+       |    unnest(list_filter(string_split(text, ' '),
+       |      w -> length(w) > 0)) AS t(token)),
+       |wdc AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM wtok GROUP BY 1, 2),
+       |wpc AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS pcnt
+       |  FROM wdc GROUP BY token),
+       |wpt AS (SELECT CAST(SUM(pcnt) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS v FROM wpc),
+       |wdt AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS dn
+       |  FROM wdc GROUP BY lang),
+       |wpl AS (SELECT token,
+       |    CAST(ln(CAST(pcnt + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+       |      AS DECIMAL(28,6)) AS lnp
+       |  FROM wpc, wpt),
+       |wex AS (
+       |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+       |    SUM(cnt * (lnd - lnp)) AS sx
+       |  FROM (
+       |    SELECT wdc.lang, wdc.token, wdc.cnt,
+       |      CAST(ln(CAST(wdc.cnt + 1 AS DOUBLE) / CAST(wdt.dn + wpt.v AS DOUBLE))
+       |        AS DECIMAL(28,6)) AS lnd,
+       |      wpl.lnp
+       |    FROM wdc JOIN wdt USING (lang) JOIN wpl USING (token), wpt) e
+       |  GROUP BY lang),
+       |wexu AS (SELECT lang, n_tok,
+       |    CAST(${fd("CAST(sx * 1000000 AS BIGINT)", "n_tok")} AS BIGINT)
+       |      AS excess_unat
+       |  FROM wex),
+       |wnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(MAX(excess_unat) AS BIGINT) AS mx FROM wexu),
+       |mw0 AS (
+       |  SELECT lang, excess_unat,
+       |    CAST(${fd("excess_unat * 1000000", "GREATEST(mx, 1)")} AS BIGINT)
+       |      AS m_ppm,
+       |    CAST(${fd("1000000", "k")} AS BIGINT) AS w_ppm
+       |  FROM wexu, wnd),
+       |""".stripMargin +
+      (1 to MwIters).map(mwStepCte).mkString(",\n") + "\n" +
+      (1 to MwIters).map(k =>
+        s"SELECT $k AS iter, lang, excess_unat, w_ppm FROM mw$k")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY iter, lang")
+  }
+
+  // ---------------------------------------------------------------- txt42
+  /** Minimum bigram frequency for txt42 — prunes the hapax tail before
+    * the unigram joins (PMI of a once-seen pair is noise). */
+  val PmiMinCount = 5L
+
+  /** txt42 — PMI COLLOCATION mining (Church & Hanks, CL '90): the
+    * top-20 word bigrams by pointwise mutual information
+    * ln(p(xy)/(p(x)p(y))) among pairs seen ≥ [[PmiMinCount]] times —
+    * the collocation table a tokenizer/vocabulary designer reads before
+    * committing merge rules (high-PMI pairs are the multi-word units
+    * worth single tokens; txt36's BPE merges rank by raw frequency,
+    * this ranks by ASSOCIATION — the two lists disagree exactly where
+    * it matters).
+    *
+    * Scale shape: txt37's row form (posexplode + lag over ONE doc-keyed
+    * sort) feeds both count tables — bigrams keyed on the pair, unigrams
+    * on the word (two corpus passes, the unigramNll count/rejoin
+    * budget); the ≥ min-count filter prunes the bigram table BEFORE its
+    * two vocab-keyed equi-joins (AQE picks the strategy — the pruned
+    * side is small at gate scale but GROWS with the corpus, so it is
+    * never pinned broadcast); totals are 1-row broadcasts; top-20 is
+    * TakeOrderedAndProject. Parity: the PMI argument is composed of
+    * IEEE-deterministic double divisions in the SAME association order
+    * in both engines — (c_xy/N_b) / (c_x/N_u) / (c_y/N_u), integer
+    * ratios each exact to cast — then ONE ln quantized to
+    * DECIMAL(28,6) (txt21/txt22), which also makes the ORDER BY key
+    * engine-identical; the double in the output is a final cast. */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    def words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = words.withColumn("w2", lag(col("w"), -1).over(byPos))
+      .where(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= PmiMinCount)
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("n_u"))
+    val nb = bi.agg(sum(col("c_xy")).as("n_b"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi_d",
+        log((col("c_xy").cast(DoubleType) / col("n_b").cast(DoubleType)) /
+          (col("c_x").cast(DoubleType) / col("n_u").cast(DoubleType)) /
+          (col("c_y").cast(DoubleType) / col("n_u").cast(DoubleType)))
+          .cast(dec28))
+      .orderBy(col("pmi_d").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        col("pmi_d").cast(DoubleType).as("pmi"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH pw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |pbi AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2,
+       |    CAST(COUNT(*) AS BIGINT) AS c_xy
+       |  FROM pw, unnest(range(1, len(ws))) AS t(i)
+       |  WHERE len(ws) >= 2
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $PmiMinCount),
+       |puni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(ws) AS w FROM pw) u
+       |  GROUP BY w),
+       |pnu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_u FROM puni),
+       |pnb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_b FROM pbi)
+       |SELECT b.w1, b.w2, b.c_xy,
+       |  CAST(CAST(ln((CAST(b.c_xy AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      / (CAST(x.c AS DOUBLE) / CAST(n_u AS DOUBLE))
+       |      / (CAST(y.c AS DOUBLE) / CAST(n_u AS DOUBLE)))
+       |    AS DECIMAL(28,6)) AS DOUBLE) AS pmi
+       |FROM pbi b
+       |  JOIN puni x ON b.w1 = x.w
+       |  JOIN puni y ON b.w2 = y.w, pnu, pnb
+       |ORDER BY CAST(ln((CAST(b.c_xy AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      / (CAST(x.c AS DOUBLE) / CAST(n_u AS DOUBLE))
+       |      / (CAST(y.c AS DOUBLE) / CAST(n_u AS DOUBLE)))
+       |    AS DECIMAL(28,6)) DESC, b.w1, b.w2
+       |LIMIT 20""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -2654,7 +2895,9 @@ object TextAnalysis {
     "txt37_repetition" -> (repetitionFilter _),
     "txt38_logistic_quality" -> (logisticQualityGd _),
     "txt39_dsir_select" -> (dsirSelect _),
-    "txt40_calibration" -> (calibrationAudit _))
+    "txt40_calibration" -> (calibrationAudit _),
+    "txt41_doremi_mw" -> (doremiMw _),
+    "txt42_pmi_collocations" -> (pmiCollocations _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2696,5 +2939,7 @@ object TextAnalysis {
     "txt37_repetition" -> repetitionFilterSql,
     "txt38_logistic_quality" -> logisticQualityGdSql,
     "txt39_dsir_select" -> dsirSelectSql,
-    "txt40_calibration" -> calibrationAuditSql)
+    "txt40_calibration" -> calibrationAuditSql,
+    "txt41_doremi_mw" -> doremiMwSql,
+    "txt42_pmi_collocations" -> pmiCollocationsSql)
 }
