@@ -49,11 +49,8 @@ object Skyline {
     * SCORE DOMAIN, not the corpus size, so it stays tiny at any SF. */
   val ScoreBucketWidth = 64L
 
-  def skylineSelect(s: SparkSession, d: String): DataFrame = {
-    // Negative-safe floor division (scores go negative; Spark `div`
-    // truncates toward zero) — the txt38 pmod spelling.
-    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
-    val f = Tables.documents(s, d).selectExpr(
+  def skylineSelect(s: SparkSession, d: String): DataFrame =
+    frontierOf(Tables.documents(s, d).selectExpr(
       "doc_id",
       s"""4 * cast(size(array_distinct(split(text, ' '))) as bigint)
           + 8 * cast(size(filter(split(text, ' '),
@@ -61,7 +58,17 @@ object Skyline {
           - (case when size(split(text, ' ')) >= ${TextAnalysis.MinTokens}
                then 2 else 5 end)
             * cast(size(split(text, ' ')) as bigint) as sscore""",
-      "n_chars")
+      "n_chars"))
+
+  /** The two-level skyline algebra over an arbitrary
+    * (doc_id, sscore, n_chars) frame — factored out so the property
+    * suite can drive it against brute-force dominance on generated
+    * inputs, not just the fixture corpus. Contract: n_chars > −1 (the
+    * prefix-max neutral element below; lengths are nonnegative). */
+  def frontierOf(f: DataFrame): DataFrame = {
+    // Negative-safe floor division (scores go negative; Spark `div`
+    // truncates toward zero) — the txt38 pmod spelling.
+    def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
     // one row per DISTINCT score — bounded by the score domain, not the
     // corpus; checkpointed so the three downstream derivations (within,
     // cross-bucket prefix, frontier) never rescan the pool: the corpus

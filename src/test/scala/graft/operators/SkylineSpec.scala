@@ -44,26 +44,7 @@ class SkylineSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 4L),
       (4L, 9L, 6L), (5L, 8L, 6L)).toDF("doc_id", "sscore", "n_chars")
-    // drive the same algebra on a hand-built frame via a temp view of
-    // the production path's internals: re-run the public operator over
-    // a fixture directory is not possible here, so replay the algebra
-    val msc = rows.groupBy(col("sscore")).agg(max(col("n_chars")).as("mc"))
-      .withColumn("bkt", expr("((sscore) - pmod((sscore), 64)) div 64"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bkt")).orderBy(col("sscore").desc)
-      .rowsBetween(Long.MinValue, -1)
-    val wB = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bkt").desc).rowsBetween(Long.MinValue, -1)
-    val within = msc.withColumn("hw", max(col("mc")).over(wIn))
-    val bpre = msc.groupBy(col("bkt")).agg(max(col("mc")).as("bmc"))
-      .withColumn("hb", max(col("bmc")).over(wB))
-      .select(col("bkt"), col("hb"))
-    val frontier = within.join(bpre, "bkt")
-      .where(col("mc") > greatest(coalesce(col("hw"), lit(-1L)),
-        coalesce(col("hb"), lit(-1L))))
-      .select(col("sscore"), col("mc"))
-    val kept = rows.join(frontier, "sscore")
-      .where(col("n_chars") === col("mc"))
+    val kept = Skyline.frontierOf(rows)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // (10,5)×2 co-survive; (10,4) dominated by them; (9,6) survives
     // (nothing has both higher score and ≥ length); (8,6) dominated by
