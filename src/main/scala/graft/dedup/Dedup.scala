@@ -1883,8 +1883,76 @@ object Dedup {
         |ORDER BY cl.doc_id""".stripMargin
       .replace("MIN_TOKENS", graft.text.TextAnalysis.MinTokens.toString)
 
+  // ---------------------------------------------------------------- dd23
+  /** dd23 — LEAKAGE-PROOF SPLIT ASSIGNMENT: train/val/test membership
+    * decided per near-dup CLUSTER, not per document — every member of
+    * a cluster inherits the split of its cluster id, so a near-dup of
+    * a training document can NEVER land in val/test (the
+    * train-test-contamination failure mode that doc-keyed hash splits
+    * like txt09 cannot prevent and txt24 can only AUDIT; cluster-level
+    * splitting is the published fix — e.g. Penedo et al. RefinedWeb
+    * §3.3's dedup-before-split discipline). The split hash is op12's
+    * engine-neutral multiplicative mix of the CLUSTER id (80/10/10),
+    * so membership is reproducible bit-for-bit, append-stable, and
+    * independent of partitioning.
+    *
+    * Scale shape: rides the shared verified-pair seam and the ONE CC
+    * engine exactly like dd22 (labels = one row per non-singleton
+    * doc, O(log n) star-contraction rounds); the assignment itself is
+    * one cluster-label left join + a narrow codegen'd hash projection —
+    * no new shuffles beyond the label attach. The zero-leakage
+    * property is BY CONSTRUCTION (same cluster ⇒ same hash input ⇒
+    * same split); ClusterSplitSpec additionally re-verifies it
+    * against the verified-pair set. Oracle = the independent
+    * recursive-CTE components + the same hash arithmetic. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
+    val labels = connectedComponentsStar(
+      ngramPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+    docsAug(s, d).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label").as("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("h", expr(
+        s"(cluster_id % $M * $mulRed + 99991) % $M % 100"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val clusterSplitSql: String =
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      verifiedPairsCtes + "," +
+      """cspairs AS (
+        |  SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+        |csedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cspairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cspairs),
+        |cswalk(id, label) AS (
+        |  SELECT src, src FROM csedges
+        |  UNION
+        |  SELECT e.dst, w.label FROM cswalk w JOIN csedges e
+        |    ON e.src = w.id),
+        |cscomp AS (SELECT id, MIN(label) AS lbl FROM cswalk GROUP BY id),
+        |csasg AS (
+        |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS cluster_id
+        |  FROM docs_aug d LEFT JOIN cscomp c ON c.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (cluster_id % 1000003 * (2654435761 % 1000003)
+        |      + 99991) % 1000003 % 100 < 80 THEN 'train'
+        |    WHEN (cluster_id % 1000003 * (2654435761 % 1000003)
+        |      + 99991) % 1000003 % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM csasg
+        |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd22_keeper_election" -> (keeperElection _),
+    "dd23_cluster_split" -> (clusterSplit _),
     "dd21_winnow_substrings" -> (winnowSubstrings _),
     "dd01_exact_groups" -> (exactGroups _),
     "dd02_exact_dedup" -> (exactDedup _),
@@ -1909,6 +1977,7 @@ object Dedup {
 
   val oracles: Seq[(String, String)] = Seq(
     "dd22_keeper_election" -> keeperElectionSql,
+    "dd23_cluster_split" -> clusterSplitSql,
     "dd21_winnow_substrings" -> winnowSubstringsSql,
     "dd01_exact_groups" -> exactGroupsSql,
     "dd02_exact_dedup" -> exactDedupSql,
