@@ -926,4 +926,42 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx === 2,
       s"txt36 expected 2 exchanges (vocab agg + pair agg), got $hashEx:\n$p")
   }
+
+  /** The new-selection plans, pinned AFTER execution (AQE finalizes the
+    * executed plan only then; checkpointed artifacts truncate lineage,
+    * so the scan counts below assert the per-branch rescans are GONE,
+    * not just moved). */
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+  private def scans(p: String): Int =
+    p.linesIterator.count(_.contains("Scan parquet"))
+
+  test("txt39: score pass reuses the checkpointed bucket model — " +
+    "broadcast attach, bounded-heap selection, no per-branch rescans") {
+    val p = executed("txt39_dsir_select")
+    assert(scans(p) <= 2, s"txt39 rescans the corpus per branch:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"txt39 selection is a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"txt39 bucket model not broadcast:\n$p")
+  }
+
+  test("op17: skyline never goes pairwise — two corpus passes, no " +
+    "nested-loop/cartesian, frontier attach is an equi-join") {
+    val p = executed("op17_skyline_select")
+    assert(scans(p) <= 2, s"op17 rescans the corpus per branch:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"op17 fell back to an all-pairs join:\n$p")
+  }
+
+  test("txt41: the MW loop runs entirely off the two checkpointed " +
+    "artifacts — the final plan touches no parquet at all") {
+    val p = executed("txt41_doremi_mw")
+    assert(scans(p) === 0,
+      s"txt41 MW loop rescans the corpus:\n$p")
+  }
 }
