@@ -66,6 +66,7 @@ object GraftSession {
     * definition so the two harnesses can never drift. */
   def resetCaches(s: SparkSession): Unit = {
     graft.dedup.Dedup.releaseCaches(s)
+    graft.text.TextAnalysis.releaseCaches(s)
     s.catalog.clearCache()
     s.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

@@ -608,7 +608,8 @@ object SkewBench {
             "4 * cast(size(array_distinct(split(text, ' '))) as bigint)" +
               " + 8 * cast(size(filter(split(text, ' ')," +
               " t -> t IN ('the','a','of'))) as bigint)" +
-              " - (case when size(split(text, ' ')) >= 10 then 2 else 5 end)" +
+              s" - (case when size(split(text, ' ')) >= " +
+              s"${text.TextAnalysis.MinTokens} then 2 else 5 end)" +
               " * cast(size(split(text, ' ')) as bigint) as s",
             "n_chars as c")
           .groupBy(col("s")).agg(max(col("c")).as("mc"))

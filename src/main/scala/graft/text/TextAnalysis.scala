@@ -2294,7 +2294,7 @@ object TextAnalysis {
     * (|err| ≤ 10⁶, |x| ≤ 500). Floor divisions are the negative-safe
     * `(v − pmod(v, m)) div m` ≡ DuckDB `(v − ((v%m)+m)%m) // m`. */
   def logisticQualityGd(s: SparkSession, d: String): DataFrame = {
-    val (steps, _) = lgdTrain(s, lgdFeat(s, d))
+    val (steps, _) = lgdTrained(s, d)
     steps.reduce(_ union _).orderBy(col("iter"))
   }
 
@@ -2312,9 +2312,34 @@ object TextAnalysis {
               - (case when nt >= $MinTokens then 2 else 5 end) * nt > 0
             then cast(1 as bigint) else cast(0 as bigint) end as y""")
 
-  /** txt38/txt40 shared: the 6 full-batch hard-sigmoid GD steps.
-    * Returns each step's report frame (txt38's rows) and the weights
-    * AFTER the last step — the shipped model txt40 calibrates. */
+  /** txt38/txt40 shared: the 6 full-batch hard-sigmoid GD steps,
+    * trained ONCE per (session, dir) — the Dedup.pairsCache discipline:
+    * both consumers run in the same gate/bench session, and the 6
+    * corpus scans are the whole cost, so the 1-row-per-step frames are
+    * checkpointed and shared rather than retrained per query. Returns
+    * each step's report frame (txt38's rows) and the weights AFTER the
+    * last step — the shipped model txt40 calibrates. */
+  private val lgdCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[DataFrame], DataFrame)]
+  private def lgdTrained(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) =
+    lgdCache.computeIfAbsent((s, d), _ => {
+      val (steps, w) = lgdTrain(s, lgdFeat(s, d))
+      (steps.map(_.localCheckpoint()), w.localCheckpoint())
+    })
+
+  /** Harness hook (GraftSession.resetCaches, between gated queries):
+    * drop this session's trained-model entries — the per-query cache
+    * hygiene unpersists the checkpoint blocks, so a surviving map entry
+    * would be a dangling frame (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and
+    * bench isolation wants each query to pay its own training anyway.
+    * Mirror of [[graft.dedup.Dedup.releaseCaches]]. */
+  def releaseCaches(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    lgdCache.keySet.asScala.filter(_._1 eq s).toSeq
+      .foreach(k => lgdCache.remove(k))
+  }
+
   private def lgdTrain(s: SparkSession, feat: DataFrame)
       : (Seq[DataFrame], DataFrame) = {
     val S = 1000000L
@@ -2582,7 +2607,7 @@ object TextAnalysis {
     val S = 1000000L
     def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
     val feat = lgdFeat(s, d)
-    val (_, w) = lgdTrain(s, feat)
+    val (_, w) = lgdTrained(s, d)
     feat.crossJoin(broadcast(w))
       .withColumn("z",
         col("a_s") + col("b1_s") * col("x1") + col("b2_s") * col("x2"))
@@ -2679,11 +2704,16 @@ object TextAnalysis {
       .localCheckpoint() // |domains| rows; MW loop below never rescans
     val nd = ex.agg(count(lit(1)).as("k"),
       max(col("excess_unat")).as("mx"))
-    // normalized mispricing m ∈ [−10⁶, 10⁶]; max ≤ 0 guard keeps the
-    // division defined (degenerate flat corpus → m = excess sign only)
+    // normalized mispricing clamped to [−10⁶, 10⁶]: dividing by the MAX
+    // excess bounds m from above only — a domain mispriced far BELOW
+    // the best-separated one (excess ≪ −3.33·mx) would otherwise drive
+    // the linear factor negative and corrupt the weights identically in
+    // both engines, where the hash gate can't see it. max ≤ 0 guard
+    // keeps the division defined on a degenerate flat corpus.
     val m = ex.crossJoin(broadcast(nd))
       .selectExpr("lang", "excess_unat", "k",
-        fdiv("excess_unat * 1000000", "greatest(mx, 1)") + " as m_ppm")
+        s"greatest(least(${fdiv("excess_unat * 1000000", "greatest(mx, 1)")}, " +
+          "1000000), -1000000) as m_ppm")
     var w = m.selectExpr("lang", "excess_unat", "m_ppm",
       fdiv("1000000", "k") + " as w_ppm")
     // the renormalizing Σw' is a full-frame window over the
@@ -2757,8 +2787,9 @@ object TextAnalysis {
        |  CAST(MAX(excess_unat) AS BIGINT) AS mx FROM wexu),
        |mw0 AS (
        |  SELECT lang, excess_unat,
-       |    CAST(${fd("excess_unat * 1000000", "GREATEST(mx, 1)")} AS BIGINT)
-       |      AS m_ppm,
+       |    CAST(GREATEST(LEAST(
+       |      ${fd("excess_unat * 1000000", "GREATEST(mx, 1)")},
+       |      1000000), -1000000) AS BIGINT) AS m_ppm,
        |    CAST(${fd("1000000", "k")} AS BIGINT) AS w_ppm
        |  FROM wexu, wnd),
        |""".stripMargin +

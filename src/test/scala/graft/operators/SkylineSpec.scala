@@ -25,7 +25,8 @@ class SkylineSpec extends AnyFunSuite {
       s"""4 * cast(size(array_distinct(split(text, ' '))) as bigint)
           + 8 * cast(size(filter(split(text, ' '),
               t -> t IN ('the','a','of'))) as bigint)
-          - (case when size(split(text, ' ')) >= 10 then 2 else 5 end)
+          - (case when size(split(text, ' '))
+               >= ${graft.text.TextAnalysis.MinTokens} then 2 else 5 end)
             * cast(size(split(text, ' ')) as bigint) as s""",
       "n_chars as c").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

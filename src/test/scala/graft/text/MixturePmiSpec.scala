@@ -44,9 +44,22 @@ class MixturePmiSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length)
     val pmis = rows.map(_._4).toSeq
     assert(pmis == pmis.sorted.reverse, s"pmi not non-increasing: $pmis")
-    // association beats frequency: the top-PMI pair must not simply be
-    // the most frequent pair (txt36's merge ranking) — if it ever is,
-    // the two rankings stopped disagreeing and the query lost its point
-    assert(rows.head._3 < rows.map(_._3).max)
+    // FIXTURE pin (not an invariant — a corpus where they coincide is
+    // valid): on this corpus the association ranking must disagree with
+    // the raw-frequency ranking — the top-PMI pair is not the globally
+    // most frequent bigram, computed independently below
+    val topFreq = graft.Tables.documents(spark, dir)
+      .selectExpr("filter(split(text, ' '), w -> length(w) > 0) as ws")
+      .selectExpr("posexplode(ws) as (pos, w)", "ws")
+      .selectExpr("w as w1", "try_element_at(ws, pos + 2) as w2")
+      .where(org.apache.spark.sql.functions.col("w2").isNotNull)
+      .groupBy("w1", "w2").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("w1"),
+        org.apache.spark.sql.functions.col("w2"))
+      .limit(1).collect().head
+    assert((rows.head._1, rows.head._2) !=
+      (topFreq.getString(0), topFreq.getString(1)),
+      "fixture no longer separates PMI ranking from frequency ranking")
   }
 }
