@@ -2328,6 +2328,14 @@ object TextAnalysis {
       (steps.map(_.localCheckpoint()), w.localCheckpoint())
     })
 
+  /** The txt38 training plan fully lazy (no checkpoint/cache) — plan-
+    * shape tests inspect this; runtime goes through [[lgdTrained]].
+    * Mirror of [[graft.dedup.Dedup.ngramPairsPlan]]. */
+  private[graft] def lgdTrainPlan(s: SparkSession, d: String): DataFrame = {
+    val (steps, _) = lgdTrain(s, lgdFeat(s, d))
+    steps.reduce(_ union _).orderBy(col("iter"))
+  }
+
   /** Harness hook (GraftSession.resetCaches, between gated queries):
     * drop this session's trained-model entries — the per-query cache
     * hygiene unpersists the checkpoint blocks, so a surviving map entry

@@ -233,7 +233,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("txt38: every GD step reduces to a 1-row gradient via map-side " +
     "partials; weight state broadcasts back; no windows, no shuffled joins") {
-    val p = plan("txt38_logistic_quality")
+    // inspect the LAZY training plan (the registry query rides the
+    // per-session checkpointed model, which truncates lineage to
+    // ExistingRDD scans — the ngramPairsPlan precedent)
+    val p = graft.text.TextAnalysis.lgdTrainPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     // the per-step scan must compress to one row per partition BEFORE
     // any exchange (the 1-row group key makes partials the whole game)
     assert("partial_sum".r.findFirstIn(p).isDefined,
