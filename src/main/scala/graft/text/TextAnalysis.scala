@@ -2323,10 +2323,8 @@ object TextAnalysis {
     (SparkSession, String), (Seq[DataFrame], DataFrame)]
   private def lgdTrained(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) =
-    lgdCache.computeIfAbsent((s, d), _ => {
-      val (steps, w) = lgdTrain(s, lgdFeat(s, d))
-      (steps.map(_.localCheckpoint()), w.localCheckpoint())
-    })
+    lgdCache.computeIfAbsent((s, d),
+      _ => lgdTrain(s, lgdFeat(s, d), checkpointSteps = true))
 
   /** The txt38 training plan fully lazy (no checkpoint/cache) — plan-
     * shape tests inspect this; runtime goes through [[lgdTrained]].
@@ -2348,15 +2346,21 @@ object TextAnalysis {
       .foreach(k => lgdCache.remove(k))
   }
 
-  private def lgdTrain(s: SparkSession, feat: DataFrame)
-      : (Seq[DataFrame], DataFrame) = {
+  /** checkpointSteps: checkpoint each step AS IT IS BUILT so the next
+    * step chains on the materialized frame (6 corpus scans total); a
+    * checkpoint pass after the loop would re-run each step's chained
+    * lineage — 21 scans, measured 3.3× — and fully lazy (false) the
+    * union re-derives earlier steps the same way (fine for plan tests,
+    * the per-scan cost is one 1-row-group aggregate). */
+  private def lgdTrain(s: SparkSession, feat: DataFrame,
+      checkpointSteps: Boolean = false): (Seq[DataFrame], DataFrame) = {
     val S = 1000000L
     def fdiv(a: String, b: String) = s"(($a) - pmod(($a), $b)) div $b"
     var w = s.range(1).selectExpr("cast(0 as bigint) as a_s",
       "cast(0 as bigint) as b1_s", "cast(0 as bigint) as b2_s")
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (it <- 1 to 6) {
-      steps += feat.crossJoin(broadcast(w))
+      val step = feat.crossJoin(broadcast(w))
         .withColumn("z",
           col("a_s") + col("b1_s") * col("x1") + col("b2_s") * col("x2"))
         .withColumn("p", expr(
@@ -2378,6 +2382,7 @@ object TextAnalysis {
           s"b2_s - (${fdiv(fdiv("se2", "n"), "10000")}) as b2_s",
           s"${fdiv("see", "n")} as loss_ppm",
           "ncor as n_correct")
+      steps += (if (checkpointSteps) step.localCheckpoint() else step)
       w = steps.last.select(col("a_s"), col("b1_s"), col("b2_s"))
     }
     (steps.toSeq, w)
