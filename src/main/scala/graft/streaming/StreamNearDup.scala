@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
@@ -70,17 +72,69 @@ object StreamNearDup {
     docs
       .withColumn("hsh", call_function("graft_shingle_hashes", col("text")))
       .withColumn("sig", call_function("graft_minhash32", col("hsh")))
-      .select(explode(expr(
-        s"""transform(sequence(0, ${Bands - 1}), b ->
-           |  cast(b as bigint) * 1000000007L
-           |    + aggregate(slice(sig, 8 * b + 1, 8), 0L,
-           |        (acc, h) -> (acc * 31 + h) % 1000000007))"""
-          .stripMargin)).as("band_key"),
-        col("doc_id"))
+      .select(explode(bandKeys).as("band_key"), col("doc_id"))
       .as[BandRow]
       .groupByKey(_.band_key)
       .flatMapGroupsWithState[Long, BandVerdict](
         OutputMode.Update(), GroupStateTimeout.NoTimeout)(claim)
+      .toDF()
+  }
+
+  private def bandKeys = expr(
+    s"""transform(sequence(0, ${Bands - 1}), b ->
+       |  cast(b as bigint) * 1000000007L
+       |    + aggregate(slice(sig, 8 * b + 1, 8), 0L,
+       |        (acc, h) -> (acc * 31 + h) % 1000000007))"""
+      .stripMargin)
+
+  final case class BandRowT(band_key: Long, doc_id: Long, ts: Timestamp)
+
+  /** TTL fold: a band claim whose owner has seen no traffic for
+    * `ttlMs` of EVENT time is evicted when the watermark passes its
+    * deadline — the next arrival on that band is re-admitted as the
+    * new owner. Event-time (not processing-time) aging keeps the
+    * replay deterministic: the stream's own progress drives eviction,
+    * so a checkpoint recovery or an audit re-run ages identically.
+    * This is the production profile at 100 TB — the distinct-band
+    * population IS the state bound, and without aging it grows with
+    * corpus lifetime; with it, state is O(bands live inside one TTL
+    * window). Pinned (eviction AND re-admission) in
+    * StreamNearDupSpec. */
+  private def claimTtl(ttlMs: Long)(key: Long, rows: Iterator[BandRowT],
+      state: GroupState[Long]): Iterator[BandVerdict] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var owner = if (state.exists) state.get else Long.MaxValue
+      val arr = rows.toArray.sortBy(_.doc_id)
+      val out = arr.map { r =>
+        if (r.doc_id < owner) owner = r.doc_id
+        BandVerdict(r.doc_id, key, owner)
+      }
+      state.update(owner)
+      state.setTimeoutTimestamp(arr.map(_.ts.getTime).max + ttlMs)
+      out.iterator
+    }
+  }
+
+  /** [[admit]] with event-time TTL on the band-claim state. `docs`
+    * must carry an event-time column `ts`; `delay` is the watermark
+    * delay, `ttlMs` the claim's time-to-live past its last arrival. */
+  def admitTtl(s: SparkSession, docs: DataFrame, delay: String,
+      ttlMs: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    implicit val bandEnc = Encoders.product[BandRowT]
+    implicit val verdictEnc = Encoders.product[BandVerdict]
+    implicit val longEnc = Encoders.scalaLong
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("hsh", call_function("graft_shingle_hashes", col("text")))
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+      .select(explode(bandKeys).as("band_key"), col("doc_id"), col("ts"))
+      .as[BandRowT]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+        claimTtl(ttlMs))
       .toDF()
   }
 }

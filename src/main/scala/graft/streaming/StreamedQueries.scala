@@ -1193,6 +1193,61 @@ object StreamedQueries {
       |GROUP BY b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- st18
+  /** st18 — STREAMING HEAVY HITTERS ([[StreamHeavyHitters]]): the
+    * corpus token stream replayed through the bucket-sharded
+    * Misra–Gries `transformWithState` fold (O(buckets·k) state,
+    * independent of vocabulary and stream length — the bound that
+    * makes "top tokens, live" possible where an exact streaming
+    * count-by-token cannot be watermarked). Same sketch-is-routing
+    * contract as the batch twin txt18: the streaming summaries are
+    * CANDIDATES (per-cell MG guarantee: any token with global count >
+    * cell_seen/k survives its cell's final summary, and cell_seen ≤
+    * n_total ⇒ every φ=1/200-heavy token survives at k=400), and the
+    * gate output is the EXACT recount over the broadcast candidate
+    * set with the φ threshold — deterministic under ANY replay
+    * order/chunking, which is what lets a plain GROUP BY/HAVING
+    * oracle hash-pin a sketch whose internal counters are
+    * order-dependent. Final state per cell is selected by max
+    * cell_seen (strictly monotone per touched cell — st01's last-
+    * emission idiom), so the gate pins the fold's FINAL summaries
+    * across micro-batch boundaries, not the union of snapshots. */
+  def streamHeavy(s: SparkSession, d: String): DataFrame = {
+    val k = 400 // 2x the 1/phi=200 bound, same margin as txt18
+    val buckets = 8 // state shards; summary memory = buckets*k cells
+    val toks = graft.Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val emissions = replay(s, toks)(
+      StreamHeavyHitters.run(s, _, buckets, k).toDF())
+    // final snapshot per cell via a per-bucket max window — the frame
+    // is STATE-sized (≤ buckets·k·batches emission rows), never
+    // corpus-sized, so the window is bounded by construction
+    val candidates = emissions
+      .withColumn("mx",
+        max(col("cell_seen")).over(Window.partitionBy(col("bucket"))))
+      .where(col("cell_seen") === col("mx"))
+      .select(col("token")).distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), "token") // map-side candidate filter
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .where(col("cnt") * 200 > col("n_total"))
+      .select(col("token"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val streamHeavySql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |nz AS (SELECT token FROM toks WHERE token <> ''),
+      |tot AS (SELECT COUNT(*) AS n_total FROM nz)
+      |SELECT token, COUNT(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+      |FROM nz
+      |GROUP BY token
+      |HAVING COUNT(*) * 200 > (SELECT n_total FROM tot)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st01_stream_ivf" -> (streamIvf _),
     "st02_stream_kmv" -> (streamKmv _),
@@ -1210,7 +1265,8 @@ object StreamedQueries {
     "st14_stream_reconnect" -> (streamReconnect _),
     "st15_stream_queue" -> (streamQueue _),
     "st16_stream_topk" -> (streamTopTickers _),
-    "st17_stream_neardup" -> (streamNearDup _))
+    "st17_stream_neardup" -> (streamNearDup _),
+    "st18_stream_heavy" -> (streamHeavy _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1229,5 +1285,6 @@ object StreamedQueries {
     "st14_stream_reconnect" -> streamWireSql,
     "st15_stream_queue" -> streamWireSql,
     "st16_stream_topk" -> streamTopTickersSql,
-    "st17_stream_neardup" -> streamNearDupSql)
+    "st17_stream_neardup" -> streamNearDupSql,
+    "st18_stream_heavy" -> streamHeavySql)
 }

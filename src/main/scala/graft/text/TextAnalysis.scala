@@ -2845,14 +2845,18 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(expr(
         "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = words.withColumn("w2", lag(col("w"), -1).over(byPos))
+    val biAll = words.withColumn("w2", lag(col("w"), -1).over(byPos))
       .where(col("w2").isNotNull)
       .groupBy(col("w").as("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
-      .where(col("c_xy") >= PmiMinCount)
+    val bi = biAll.where(col("c_xy") >= PmiMinCount)
     val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val nu = uni.agg(sum(col("c")).as("n_u"))
-    val nb = bi.agg(sum(col("c_xy")).as("n_b"))
+    // p(xy) normalizes by the TOTAL bigram mass (pre-threshold), per
+    // the Church–Hanks definition — the >= PmiMinCount filter prunes
+    // which PAIRS are reported, not the probability denominator
+    // (r16 advice: thresholded n_b inflated every pmi by a constant).
+    val nb = biAll.agg(sum(col("c_xy")).as("n_b"))
     bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
@@ -2872,19 +2876,19 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM documents),
-       |pbi AS (
+       |pbiall AS (
        |  SELECT ws[i] AS w1, ws[i + 1] AS w2,
        |    CAST(COUNT(*) AS BIGINT) AS c_xy
        |  FROM pw, unnest(range(1, len(ws))) AS t(i)
        |  WHERE len(ws) >= 2
-       |  GROUP BY 1, 2
-       |  HAVING COUNT(*) >= $PmiMinCount),
+       |  GROUP BY 1, 2),
+       |pbi AS (SELECT * FROM pbiall WHERE c_xy >= $PmiMinCount),
        |puni AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(ws) AS w FROM pw) u
        |  GROUP BY w),
        |pnu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_u FROM puni),
-       |pnb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_b FROM pbi)
+       |pnb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_b FROM pbiall)
        |SELECT b.w1, b.w2, b.c_xy,
        |  CAST(CAST(ln((CAST(b.c_xy AS DOUBLE) / CAST(n_b AS DOUBLE))
        |      / (CAST(x.c AS DOUBLE) / CAST(n_u AS DOUBLE))
@@ -2898,6 +2902,122 @@ object TextAnalysis {
        |      / (CAST(y.c AS DOUBLE) / CAST(n_u AS DOUBLE)))
        |    AS DECIMAL(28,6)) DESC, b.w1, b.w2
        |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- txt43
+  /** txt43 — OKAPI BM25 ranked retrieval (Robertson & Walker '94; the
+    * Lucene idf variant ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2, b=0.75):
+    * the first 5 documents play the queries (their term sets, qtf
+    * ignored), every other document is ranked by
+    * Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — the lexical
+    * ranker of every BM25+dense hybrid stack; sim28's RRF fusion
+    * consumes THIS ranking as its lexical arm (the ensemble it cites
+    * is now real, not a stand-in second dense ranker).
+    *
+    * Scale shape: tf is ONE (doc,term)-keyed count shuffle (the txt07
+    * postings seam recomputed — vocabulary-sized, grows with the
+    * corpus); df one vocab-keyed count; query terms and idf a ≤
+    * |q|·|terms/doc| broadcast — so the scoring join is a MAP-SIDE
+    * candidate filter (only postings whose term appears in some query
+    * survive), then one doc-keyed thin join attaches dl (never
+    * broadcast: dl is corpus-sized; AQE picks the strategy), and the
+    * ranking is the bounded-heap `graft_topk` — no window, no global
+    * sort, ≤ k rows per query per partition cross the last shuffle.
+    * Parity (txt25 recipe): idf's ln is quantized to DECIMAL(28,6);
+    * the tf-normalization factor is pure double rational arithmetic
+    * in the SAME association order in both engines; each term weight
+    * re-quantizes to DECIMAL(28,6) so the per-(query,doc) sum is
+    * exact and order-independent; the output double is a final cast. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Shared BM25 ranking seam: (query_id, neighbor_id, score, rnk) for
+    * query docs doc_id < 5, top-k by bounded heap. Consumed by txt43
+    * and by sim28's hybrid RRF fusion. */
+  def bm25Ranked(s: SparkSession, d: String, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avgdl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = tf.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val qidf = df.join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("token"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).cast(dec28).as("idf"),
+        col("avgdl"))
+    val perDoc = tf.join(broadcast(qidf), "token")
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .withColumn("w", (col("idf").cast(DoubleType)
+          * (col("tf") * lit(Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+            + lit(Bm25B) * col("dl") / col("avgdl"))))
+        .cast(dec28))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("sd"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("sd").cast(DoubleType).as("score"))
+    perDoc.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("score"),
+        col("neighbor_id").cast(LongType),
+        struct(col("neighbor_id"), col("score")), lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.neighbor_id"), col("col.score"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
+  }
+
+  def bm25Retrieval(s: SparkSession, d: String): DataFrame =
+    bm25Ranked(s, d, 10).orderBy(col("query_id"), col("rnk"))
+
+  /** CTE body (no WITH) through `bmr` = ranked (query_id, neighbor_id,
+    * score, rnk) — embedded by txt43's oracle and sim28's. */
+  val bm25CteBody: String =
+    """bmtok AS (
+      |  SELECT doc_id, t.token FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(token)
+      |  WHERE LENGTH(t.token) > 0),
+      |bmtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM bmtok GROUP BY 1, 2),
+      |bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |  FROM bmtf GROUP BY doc_id),
+      |bmst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM bmdl),
+      |bmdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM bmtf GROUP BY token),
+      |bmq AS (SELECT doc_id AS query_id, token FROM bmtf
+      |  WHERE doc_id < 5),
+      |bmqi AS (SELECT q.query_id, q.token,
+      |  CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |    AS DECIMAL(28,6)) AS idf, avgdl
+      |  FROM bmq q JOIN bmdf USING (token), bmst),
+      |bmsc AS (SELECT qi.query_id, f.doc_id AS neighbor_id,
+      |  CAST(SUM(CAST(CAST(qi.idf AS DOUBLE) * (f.tf * 2.2)
+      |    / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / qi.avgdl))
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS score
+      |  FROM bmtf f JOIN bmqi qi USING (token)
+      |    JOIN bmdl l ON l.doc_id = f.doc_id
+      |  WHERE f.doc_id <> qi.query_id
+      |  GROUP BY 1, 2),
+      |bmr AS (SELECT query_id, neighbor_id, score,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM bmsc)""".stripMargin
+
+  val bm25RetrievalSql: String = "WITH " + bm25CteBody +
+    """
+      |SELECT query_id, neighbor_id, score, rnk FROM bmr
+      |WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -2941,7 +3061,8 @@ object TextAnalysis {
     "txt39_dsir_select" -> (dsirSelect _),
     "txt40_calibration" -> (calibrationAudit _),
     "txt41_doremi_mw" -> (doremiMw _),
-    "txt42_pmi_collocations" -> (pmiCollocations _))
+    "txt42_pmi_collocations" -> (pmiCollocations _),
+    "txt43_bm25" -> (bm25Retrieval _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -2985,5 +3106,6 @@ object TextAnalysis {
     "txt39_dsir_select" -> dsirSelectSql,
     "txt40_calibration" -> calibrationAuditSql,
     "txt41_doremi_mw" -> doremiMwSql,
-    "txt42_pmi_collocations" -> pmiCollocationsSql)
+    "txt42_pmi_collocations" -> pmiCollocationsSql,
+    "txt43_bm25" -> bm25RetrievalSql)
 }
