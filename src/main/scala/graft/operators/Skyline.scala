@@ -81,7 +81,12 @@ object Skyline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = msc.withColumn("hw", max(col("mc")).over(wIn))
     // (b) strictly-higher-BUCKET max: one row per bucket, so this
-    // single-partition window runs over a constant-sized table.
+    // single-partition window runs over a table bounded by the score
+    // DOMAIN / ScoreBucketWidth — the score is ~[-5·nt, +4·nt] in the
+    // longest document's token count, so extreme-length outliers widen
+    // it (slowly: rows grow with max doc length, never with corpus
+    // cardinality). At 100 TB, derive the width from an observed score
+    // range to pin the row count truly constant.
     val wB = Window.orderBy(col("bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bpre = msc.groupBy(col("bkt")).agg(max(col("mc")).as("bmc"))

@@ -2339,7 +2339,13 @@ object TextAnalysis {
     * hygiene unpersists the checkpoint blocks, so a surviving map entry
     * would be a dangling frame (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and
     * bench isolation wants each query to pay its own training anyway.
-    * Mirror of [[graft.dedup.Dedup.releaseCaches]]. */
+    * Mirror of [[graft.dedup.Dedup.releaseCaches]]. NOTE: this hook
+    * (via resetCaches/releaseCaches) is the SOLE eviction path — a
+    * session stopped without it pins its entries (and their
+    * checkpointed frames) for the JVM lifetime; acceptable for the
+    * harness and for long-lived production sessions that own the
+    * hook, but a session-churning embedder should call releaseCaches
+    * on teardown. */
   def releaseCaches(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     lgdCache.keySet.asScala.filter(_._1 eq s).toSeq
