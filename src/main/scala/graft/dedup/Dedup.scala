@@ -1950,7 +1950,172 @@ object Dedup {
         |FROM csasg
         |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd24
+  /** dd24 — the CURATION PIPELINE composed END-TO-END as one query:
+    * dedup keeper election (dd22) → leakage-proof cluster split (dd23)
+    * → quality gate (txt03's documented thresholds over the dd22
+    * score's components) → repetition gate (txt37's Gopher ppm rules,
+    * run over the SAME augmented corpus) → per-language training
+    * budget (op12's engine-neutral stratified hash thinning, applied
+    * to the train split only — eval sets are never thinned) → seeded
+    * shard assignment (op16's permutation key) → the per-(split,
+    * shard) emission MANIFEST: doc count, token mass, and an id
+    * checksum that pins exact membership. The pieces are all
+    * individually gated; THIS entry pins that their seams actually
+    * compose (shared verified-pair seam + ONE CC engine + one doc
+    * scan feeding score, gates, and hashes) — what a real pipeline
+    * ships is the composition, not the parts.
+    *
+    * Scale shape: nothing new — the pair seam and star-contraction CC
+    * are the dd22/dd23 precomputes; the score/gates are narrow
+    * codegen'd projections plus txt37's ONE doc-keyed sort; budget
+    * rates are a |langs|-row broadcast; every hash is the op12/op16
+    * prime-field mix (reduced-mod before multiply — overflow-safe at
+    * any doc_id); the manifest is one (split, shard)-keyed aggregate
+    * of ≤ 3·[[graft.operators.Sampling.ShardN]] groups. */
+  def curationManifest(s: SparkSession, d: String): DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
+    val toks = split(col("text"), " ")
+    val stopHits =
+      size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
+    val base = docsAug(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"),
+        (size(array_distinct(toks)).cast(LongType).cast(DoubleType)
+          / size(toks)).as("uniq"),
+        (stopHits.cast(DoubleType) / size(toks)).as("stopr"))
+      .withColumn("score",
+        col("uniq") * 2.0 + col("stopr") * 4.0 +
+          when(col("n_tokens") >= graft.text.TextAnalysis.MinTokens, 0.5)
+            .otherwise(-1.0) - 1.5)
+    val labels = connectedComponentsStar(
+      ngramPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+    val clustered = base
+      .join(labels.select(col("id").as("doc_id"), col("label").as("lbl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+    val keepers = clustered.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id")))
+        .as("w"))
+      .select(col("cluster_id"), col("w").getField("id").as("keeper_id"))
+    // txt37 verdicts over the same corpus; docs too short to carry a
+    // 5-gram have no verdict row — pass them (txt37's own convention)
+    val rep = graft.text.TextAnalysis.repetitionOn(s, docsAug(s, d))
+      .select(col("doc_id"), col("verdict"))
+    val kept = clustered.join(keepers, Seq("cluster_id"))
+      .where(col("doc_id") === col("keeper_id"))
+      .where(col("n_tokens") >= graft.text.TextAnalysis.MinTokens &&
+        col("uniq") >= graft.text.TextAnalysis.MinUniqueRatio)
+      .join(rep, Seq("doc_id"), "left")
+      .where(coalesce(col("verdict"), lit("ok")) === "ok")
+      .withColumn("h_split", expr(
+        s"(cluster_id % $M * $mulRed + 99991) % $M % 100"))
+      .withColumn("split",
+        when(col("h_split") < 80, "train").when(col("h_split") < 90, "val")
+          .otherwise("test"))
+    val rates = kept.where(col("split") === "train")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        least(lit(1.0), lit(graft.operators.Sampling.BudgetPerLang)
+          / col("n").cast(DoubleType)).as("rate"))
+    val sampled = kept.join(broadcast(rates), Seq("lang"), "left")
+      .where(col("split") =!= "train" ||
+        (col("doc_id") % M * mulRed + 99991L) % M <
+          floor(coalesce(col("rate"), lit(1.0)) * M).cast(LongType))
+    sampled
+      .withColumn("shard", expr(s"(doc_id % $M * $mulRed + " +
+        s"${graft.operators.Sampling.ShardSeed}) % $M % " +
+        s"${graft.operators.Sampling.ShardN}"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum((col("doc_id") % M * mulRed + 99991L) % M).cast(LongType)
+          .as("id_checksum"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  val curationManifestSql: String = {
+    val budget = graft.operators.Sampling.BudgetPerLang
+    val seed = graft.operators.Sampling.ShardSeed
+    val shards = graft.operators.Sampling.ShardN
+    docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      verifiedPairsCtes + "," +
+      graft.text.TextAnalysis.repetitionCtesFor("docs_aug", "cm") + "," +
+      s"""cmpairs AS (
+        |  SELECT id_a, id_b FROM ver WHERE jaccard >= 0.8),
+        |cmedges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM cmpairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM cmpairs),
+        |cmwalk(id, label) AS (
+        |  SELECT src, src FROM cmedges
+        |  UNION
+        |  SELECT e.dst, w.label FROM cmwalk w JOIN cmedges e
+        |    ON e.src = w.id),
+        |cmcomp AS (SELECT id, MIN(label) AS lbl FROM cmwalk GROUP BY id),
+        |cmbase AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopr
+        |  FROM docs_aug),
+        |cmsc AS (
+        |  SELECT doc_id, lang, n_tokens, uniq,
+        |    uniq * 2.0 + stopr * 4.0 +
+        |    (CASE WHEN n_tokens >= MIN_TOKENS THEN 0.5 ELSE -1.0 END)
+        |      - 1.5 AS score
+        |  FROM cmbase),
+        |cmcl AS (
+        |  SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.uniq, sc.score,
+        |    COALESCE(c.lbl, sc.doc_id) AS cluster_id
+        |  FROM cmsc sc LEFT JOIN cmcomp c ON c.id = sc.doc_id),
+        |cmk AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM cmcl) t WHERE rn = 1),
+        |cmkept AS (
+        |  SELECT cl.doc_id, cl.lang, cl.n_tokens, cl.cluster_id,
+        |    CASE WHEN (cl.cluster_id % 1000003 * (2654435761 % 1000003)
+        |        + 99991) % 1000003 % 100 < 80 THEN 'train'
+        |      WHEN (cl.cluster_id % 1000003 * (2654435761 % 1000003)
+        |        + 99991) % 1000003 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM cmcl cl JOIN cmk k USING (cluster_id)
+        |  LEFT JOIN cmrep r ON r.doc_id = cl.doc_id
+        |  WHERE cl.doc_id = k.keeper_id
+        |    AND cl.n_tokens >= MIN_TOKENS AND cl.uniq >= MIN_UNIQ
+        |    AND COALESCE(r.verdict, 'ok') = 'ok'),
+        |cmrates AS (
+        |  SELECT lang, LEAST(1.0, $budget / COUNT(*)) AS rate
+        |  FROM cmkept WHERE split = 'train' GROUP BY lang),
+        |cmsam AS (
+        |  SELECT s.doc_id, s.lang, s.n_tokens, s.split
+        |  FROM cmkept s LEFT JOIN cmrates r USING (lang)
+        |  WHERE s.split <> 'train'
+        |     OR (s.doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+        |        % 1000003
+        |        < CAST(FLOOR(COALESCE(r.rate, 1.0) * 1000003) AS BIGINT)),
+        |cmsh AS (
+        |  SELECT doc_id, n_tokens, split,
+        |    (doc_id % 1000003 * (2654435761 % 1000003) + $seed)
+        |      % 1000003 % $shards AS shard
+        |  FROM cmsam)
+        |SELECT split, shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM((doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+        |    % 1000003) AS BIGINT) AS id_checksum
+        |FROM cmsh GROUP BY 1, 2
+        |ORDER BY split, shard""".stripMargin
+      .replace("MIN_TOKENS", graft.text.TextAnalysis.MinTokens.toString)
+      .replace("MIN_UNIQ", graft.text.TextAnalysis.MinUniqueRatio.toString)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd24_curation_manifest" -> (curationManifest _),
     "dd22_keeper_election" -> (keeperElection _),
     "dd23_cluster_split" -> (clusterSplit _),
     "dd21_winnow_substrings" -> (winnowSubstrings _),
@@ -1976,6 +2141,7 @@ object Dedup {
     "dd18_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "dd24_curation_manifest" -> curationManifestSql,
     "dd22_keeper_election" -> keeperElectionSql,
     "dd23_cluster_split" -> clusterSplitSql,
     "dd21_winnow_substrings" -> winnowSubstringsSql,

@@ -2187,9 +2187,15 @@ object TextAnalysis {
     * window algebra. Thresholds (300000 dup-5-gram ppm / 69000
     * top-bigram ppm) sit at the fixture's p90 so the gate pins BOTH
     * verdict classes. */
-  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+  def repetitionFilter(s: SparkSession, d: String): DataFrame =
+    repetitionOn(s, Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** txt37's algebra over ANY (doc_id, text) frame — dd24's composed
+    * curation pipeline runs it on the augmented dedup corpus. */
+  private[graft] def repetitionOn(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
     val P = 1000003L
-    val words = Tables.documents(s, d)
+    val words = docs
       .select(col("doc_id"), posexplode(expr(
         "filter(split(text, ' '), w -> length(w) > 0)")).as(Seq("pos", "w")))
       .withColumn("wh", expr(
@@ -2222,8 +2228,47 @@ object TextAnalysis {
       .withColumn("verdict",
         when(col("dup5_ppm") > 300000L || col("top2_ppm") > 69000L,
           "repetitive").otherwise("ok"))
-      .orderBy(col("doc_id"))
   }
+
+  /** txt37's oracle CTE chain over source CTE `srcCte`, names prefixed
+    * `p`, ending in `${p}rep(doc_id, …, verdict)` — embedded by dd24. */
+  private[graft] def repetitionCtesFor(srcCte: String, p: String): String =
+    s"""${p}w1 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM $srcCte),
+      |${p}w2 AS (
+      |  SELECT doc_id, list_transform(ws, w ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(w) + 1), i ->
+      |          CAST(unicode(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000003)) AS whs
+      |  FROM ${p}w1),
+      |${p}bg AS (
+      |  SELECT doc_id, (whs[i] * 31 + whs[i + 1]) % 1000003 AS b
+      |  FROM ${p}w2, unnest(range(1, len(whs))) AS t(i)
+      |  WHERE len(whs) >= 2),
+      |${p}g5 AS (
+      |  SELECT doc_id, (whs[i] * 923521 + whs[i + 1] * 29791 +
+      |    whs[i + 2] * 961 + whs[i + 3] * 31 + whs[i + 4]) % 1000003 AS g
+      |  FROM ${p}w2, unnest(range(1, len(whs) - 3)) AS t(i)
+      |  WHERE len(whs) >= 5),
+      |${p}d5 AS (
+      |  SELECT doc_id, SUM(c) AS n_grams,
+      |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM ${p}g5 GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |${p}t2 AS (
+      |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c
+      |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM ${p}bg GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |${p}rep AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN dup_occ * 1000000 // n_grams > 300000
+      |      OR top_c * 1000000 // n_bigrams > 69000
+      |      THEN 'repetitive' ELSE 'ok' END AS verdict
+      |  FROM ${p}d5 d JOIN ${p}t2 USING (doc_id))""".stripMargin
 
   val repetitionFilterSql: String =
     """WITH w1 AS (
