@@ -468,6 +468,29 @@ object SkewBench {
       println(f"""{"metric":"knn_scale","vectors":$big,"nprobe":$npB,"train_rounds":$trB,"cell_sec":$bigSec%.2f,"edges":"${bigRows.head}","note":"sim08/sim30 cell-blocked kNN graph at the 1M-vector scale point; brute at this n is projected in BASELINE.md from the measured 60k crossover"}""")
     }
 
+    // nprobe PRICING at the 1M point (r16 verdict #8): the consumed
+    // recall policy (trained + nprobe=8; curve says 16 → 0.725 on the
+    // shipped corpus) was priced from sf0.1 cost points only — these
+    // arms put a 1M-scale cost receipt behind the next recall bump or
+    // its refusal. SINGLE pass each (disclosed: a pricing receipt,
+    // not a min-of-2 regression gate — the nprobe=16 candidate join
+    // alone is ~8x the knnbigt arm's). Same 64 g-driver opt-in.
+    for (np <- Seq(8, 16) if fams.contains(s"knnbig$np")) {
+      graft.functions.GraftFunctions.register(spark)
+      val big = math.max(1000000L, n / 4)
+      val bDir = s"/tmp/graft-skew-knn-$big"
+      generateVecs(spark, bDir, big)
+      val bigVecs = spark.read.parquet(bDir)
+      val (rows, sec) = timed(
+        graft.similarity.Similarity.knnGraphOn(spark, bigVecs,
+            nprobe = np, trainRounds = 1)
+          .groupBy()
+          .agg(count(lit(1)).as("n_edges"),
+            sum(col("neighbor_id")).cast("long").as("edge_sum"))
+          .collect().map(_.toString).sorted.toSeq)
+      println(f"""{"metric":"knn_nprobe_price","vectors":$big,"nprobe":$np,"train_rounds":1,"cell_sec":$sec%.2f,"passes":1,"edges":"${rows.head}","note":"1M-scale cost receipt for the recall dial (consumed policy nprobe=8; curve 16 -> 0.725 at sf0.1)"}""")
+    }
+
     // --- kNN recall/cost curve on the SHIPPED corpus (explicit opt-in:
     // `knnship`). The SkewBench knn20/knn arms measure recall on
     // SYNTHETIC clustered corpora; the r15 verdict's open question was

@@ -3070,6 +3070,110 @@ object TextAnalysis {
       |WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- txt44
+  /** txt44 — DIRICHLET-smoothed query-likelihood ranking (Zhai &
+    * Lafferty, SIGIR '01; μ=2000): the language-modeling alternative
+    * to txt43's BM25 — rank documents by log P(q|d) under a Dirichlet-
+    * smoothed document LM, spelled in the MATCH-ONLY decomposition
+    * score = Σ_{t∈q∩d} ln(1 + tf/(μ·p(t|C))) + |q|·ln(μ/(dl+μ)) so
+    * the term sum touches only postings whose term appears in some
+    * query (the same map-side broadcast-filter shape as txt43; the
+    * naive spelling scores every (query, doc) pair — corpus × queries,
+    * the thing that dies at scale). Candidates = docs sharing ≥ 1
+    * query term, the txt43 contract. Shares the tf/dl seams and the
+    * collection LM p(t|C) = cf_t/|C|.
+    *
+    * Parity (txt25): both ln families quantize to DECIMAL(28,6) after
+    * fixed-order double arithmetic; the per-(query,doc) sum runs in
+    * DECIMAL (exact, order-independent), the length-norm term is one
+    * more quantized DECIMAL added before the final double cast. */
+  val QlMu = 2000.0
+
+  def queryLikelihood(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val coll = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val tot = dl.agg(sum(col("dl")).as("n_coll"))
+    val qterms = tf.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val qn = qterms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_qterms"))
+    // per query term: the collection-LM denominator μ·p(t|C)
+    val qlm = coll.join(broadcast(qterms), "token")
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("token"),
+        (lit(QlMu) * (col("cf").cast(DoubleType)
+          / col("n_coll").cast(DoubleType))).as("mu_pc"))
+    val matched = tf.join(broadcast(qlm), "token")
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("w",
+        log(lit(1.0) + col("tf") / col("mu_pc")).cast(dec28))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("sw"))
+    val perDoc = matched.join(dl, "doc_id")
+      .join(broadcast(qn), "query_id")
+      .withColumn("norm",
+        (col("n_qterms").cast(DoubleType)
+          * log(lit(QlMu) / (col("dl") + lit(QlMu)))).cast(dec28))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        (col("sw").cast(DoubleType) + col("norm").cast(DoubleType))
+          .as("score"))
+    perDoc.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("score"),
+        col("neighbor_id").cast(LongType),
+        struct(col("neighbor_id"), col("score")), lit(10)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.neighbor_id"), col("col.score"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queryLikelihoodSql: String =
+    """WITH qltok AS (
+      |  SELECT doc_id, t.token FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(token)
+      |  WHERE LENGTH(t.token) > 0),
+      |qltf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM qltok GROUP BY 1, 2),
+      |qldl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |  FROM qltf GROUP BY doc_id),
+      |qlcf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM qltf GROUP BY token),
+      |qltot AS (SELECT CAST(SUM(dl) AS BIGINT) AS n_coll FROM qldl),
+      |qlq AS (SELECT doc_id AS query_id, token FROM qltf
+      |  WHERE doc_id < 5),
+      |qlqn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_qterms
+      |  FROM qlq GROUP BY query_id),
+      |qlm AS (SELECT q.query_id, q.token,
+      |  2000.0 * (CAST(cf AS DOUBLE) / CAST(n_coll AS DOUBLE)) AS mu_pc
+      |  FROM qlq q JOIN qlcf USING (token), qltot),
+      |qlmt AS (SELECT m.query_id, f.doc_id,
+      |  CAST(SUM(CAST(ln(1.0 + f.tf / m.mu_pc) AS DECIMAL(28,6)))
+      |    AS DECIMAL(38,6)) AS sw
+      |  FROM qltf f JOIN qlm m USING (token)
+      |  WHERE f.doc_id <> m.query_id
+      |  GROUP BY 1, 2),
+      |qlsc AS (SELECT t.query_id, t.doc_id AS neighbor_id,
+      |  CAST(t.sw AS DOUBLE) + CAST(CAST(CAST(n.n_qterms AS DOUBLE)
+      |      * ln(2000.0 / (l.dl + 2000.0)) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS score
+      |  FROM qlmt t
+      |  JOIN qldl l ON l.doc_id = t.doc_id
+      |  JOIN qlqn n ON n.query_id = t.query_id)
+      |SELECT query_id, neighbor_id, score, rnk FROM (
+      |  SELECT query_id, neighbor_id, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM qlsc) t
+      |WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
     "txt02_langid" -> (langId _),
@@ -3113,7 +3217,8 @@ object TextAnalysis {
     "txt40_calibration" -> (calibrationAudit _),
     "txt41_doremi_mw" -> (doremiMw _),
     "txt42_pmi_collocations" -> (pmiCollocations _),
-    "txt43_bm25" -> (bm25Retrieval _))
+    "txt43_bm25" -> (bm25Retrieval _),
+    "txt44_query_likelihood" -> (queryLikelihood _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -3158,5 +3263,6 @@ object TextAnalysis {
     "txt40_calibration" -> calibrationAuditSql,
     "txt41_doremi_mw" -> doremiMwSql,
     "txt42_pmi_collocations" -> pmiCollocationsSql,
-    "txt43_bm25" -> bm25RetrievalSql)
+    "txt43_bm25" -> bm25RetrievalSql,
+    "txt44_query_likelihood" -> queryLikelihoodSql)
 }

@@ -918,6 +918,19 @@ class PlanSpec extends AnyFunSuite {
       s"sim28 ranks through a window:\n$p")
   }
 
+  test("txt43/txt44: lexical ranking is bounded-heap (no window) and " +
+    "the scoring join is a broadcast candidate filter") {
+    for (q <- Seq("txt43_bm25", "txt44_query_likelihood")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the graft_topk partial heaps:\n$p")
+      assert(!p.contains("Window"),
+        s"$q ranks through a window (one task per query at scale):\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q scoring join is not a broadcast candidate filter:\n$p")
+    }
+  }
+
   test("txt36: pair stats run over the vocab, not the corpus — corpus " +
     "stage is one hash-agg off a text-only pruned scan; top-20 is a " +
     "partial-heap TakeOrdered") {
