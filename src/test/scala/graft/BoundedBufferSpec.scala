@@ -36,7 +36,9 @@ class BoundedBufferSpec extends AnyFunSuite {
     *    ≤ codewords(8) items; Lloyd/centroid updates ≤ dims(64); PQ
     *    codebook training updates ≤ dims-per-subspace(16); trained
     *    coarse-centroid updates ≤ dims(64);
-    *    token-weight assembly ≤ subvector count (4).
+    *    token-weight assembly ≤ subvector count (4); sim33's residual
+    *    code/LUT assembly duplicates sim21's three sites with the
+    *    same ≤ subspaces(4) / ≤ codewords(8) bounds.
     *  - Advanced: per-document token→count map — bounded by one
     *    document's own token count (row-size-bounded).
     *  - TextAnalysis: txt27's BPE merge-list assembly — exactly the
@@ -44,7 +46,7 @@ class BoundedBufferSpec extends AnyFunSuite {
     */
   private val allow: Map[String, Int] = Map(
     "streaming/StreamedQueries.scala" -> 1,
-    "similarity/Similarity.scala" -> 10,
+    "similarity/Similarity.scala" -> 13,
     "text/TextAnalysis.scala" -> 1,
     "relational/Advanced.scala" -> 1)
 
