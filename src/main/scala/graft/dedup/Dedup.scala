@@ -1976,6 +1976,25 @@ object Dedup {
   def curationManifest(s: SparkSession, d: String): DataFrame = {
     val M = 1000003L
     val mulRed = 2654435761L % M
+    curationSelected(s, d)
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        sum((col("doc_id") % M * mulRed + 99991L) % M).cast(LongType)
+          .as("id_checksum"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  /** dd24's selected corpus BEFORE the manifest aggregate — one row
+    * per surviving (keeper, gated, budgeted) document with its split
+    * and shard. The writer path emits THIS frame
+    * (`write.partitionBy("split", "shard")`); CurationEmitSpec pins
+    * that a manifest recomputed from the written files equals the
+    * gated manifest — the manifest describes the bytes shipped. */
+  private[graft] def curationSelected(s: SparkSession, d: String)
+      : DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
     val toks = split(col("text"), " ")
     val stopHits =
       size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
@@ -2026,12 +2045,8 @@ object Dedup {
       .withColumn("shard", expr(s"(doc_id % $M * $mulRed + " +
         s"${graft.operators.Sampling.ShardSeed}) % $M % " +
         s"${graft.operators.Sampling.ShardN}"))
-      .groupBy(col("split"), col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
-        sum((col("doc_id") % M * mulRed + 99991L) % M).cast(LongType)
-          .as("id_checksum"))
-      .orderBy(col("split"), col("shard"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("split"), col("shard"))
   }
 
   val curationManifestSql: String = {

@@ -3134,8 +3134,10 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val queryLikelihoodSql: String =
-    """WITH qltok AS (
+  /** CTE body (no WITH) through `qlr` = ranked (query_id, neighbor_id,
+    * score, rnk) — embedded by txt44's oracle and txt45's. */
+  val qlCteBody: String =
+    """qltok AS (
       |  SELECT doc_id, t.token FROM documents,
       |    unnest(string_split(text, ' ')) AS t(token)
       |  WHERE LENGTH(t.token) > 0),
@@ -3165,14 +3167,71 @@ object TextAnalysis {
       |    AS DOUBLE) AS score
       |  FROM qlmt t
       |  JOIN qldl l ON l.doc_id = t.doc_id
-      |  JOIN qlqn n ON n.query_id = t.query_id)
-      |SELECT query_id, neighbor_id, score, rnk FROM (
-      |  SELECT query_id, neighbor_id, score,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
-      |  FROM qlsc) t
+      |  JOIN qlqn n ON n.query_id = t.query_id),
+      |qlr AS (SELECT query_id, neighbor_id, score,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM qlsc)""".stripMargin
+
+  val queryLikelihoodSql: String = "WITH " + qlCteBody +
+    """
+      |SELECT query_id, neighbor_id, score, rnk FROM qlr
       |WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- txt45
+  /** txt45 — LEXICAL-RANKER AGREEMENT audit: per query, the Jaccard
+    * overlap between txt43's BM25 top-10 and txt44's query-likelihood
+    * top-10 — the measured disagreement that motivates rank fusion
+    * (RRF's premise is that independent rankers surface different
+    * relevant candidates; if the two lexical rankers agreed perfectly,
+    * sim28's lexical arm would add nothing over either alone). Same
+    * family as sim14/sim31's recall audits: a retrieval deployment
+    * reads this table BEFORE deciding an ensemble is worth 2× the
+    * query cost.
+    *
+    * Scale shape: both inputs are the k·|queries|-row rank lists (the
+    * sketch/rank seams, never corpus-sized); the audit is two counts
+    * and an equi-join on those tiny frames. jaccard is one double
+    * division of exact counts. */
+  def rankerAgreement(s: SparkSession, d: String): DataFrame = {
+    val a = bm25Ranked(s, d, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val b = queryLikelihood(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val common = a.join(b, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val na = a.groupBy(col("query_id")).agg(count(lit(1)).as("n_bm25"))
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_ql"))
+    na.join(nb, "query_id").join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_bm25"), col("n_ql"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType)
+        / (col("n_bm25") + col("n_ql") - col("n_common"))
+          .cast(DoubleType))
+      .orderBy(col("query_id"))
+  }
+
+  val rankerAgreementSql: String = "WITH " + bm25CteBody + ",\n" +
+    qlCteBody +
+    """,
+      |aga AS (SELECT query_id, neighbor_id FROM bmr WHERE rnk <= 10),
+      |agb AS (SELECT query_id, neighbor_id FROM qlr WHERE rnk <= 10),
+      |agc AS (SELECT a.query_id, COUNT(*) AS n_common
+      |  FROM aga a JOIN agb b USING (query_id, neighbor_id)
+      |  GROUP BY a.query_id),
+      |agna AS (SELECT query_id, COUNT(*) AS n_bm25 FROM aga
+      |  GROUP BY query_id),
+      |agnb AS (SELECT query_id, COUNT(*) AS n_ql FROM agb
+      |  GROUP BY query_id)
+      |SELECT a.query_id, a.n_bm25, b.n_ql,
+      |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+      |    / CAST(a.n_bm25 + b.n_ql - COALESCE(c.n_common, 0) AS DOUBLE)
+      |    AS jaccard
+      |FROM agna a JOIN agnb b USING (query_id)
+      |LEFT JOIN agc c ON c.query_id = a.query_id
+      |ORDER BY a.query_id""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "txt01_token_stats" -> (tokenStats _),
@@ -3218,7 +3277,8 @@ object TextAnalysis {
     "txt41_doremi_mw" -> (doremiMw _),
     "txt42_pmi_collocations" -> (pmiCollocations _),
     "txt43_bm25" -> (bm25Retrieval _),
-    "txt44_query_likelihood" -> (queryLikelihood _))
+    "txt44_query_likelihood" -> (queryLikelihood _),
+    "txt45_ranker_agreement" -> (rankerAgreement _))
 
   val oracles: Seq[(String, String)] = Seq(
     "txt01_token_stats" -> tokenStatsSql,
@@ -3264,5 +3324,6 @@ object TextAnalysis {
     "txt41_doremi_mw" -> doremiMwSql,
     "txt42_pmi_collocations" -> pmiCollocationsSql,
     "txt43_bm25" -> bm25RetrievalSql,
-    "txt44_query_likelihood" -> queryLikelihoodSql)
+    "txt44_query_likelihood" -> queryLikelihoodSql,
+    "txt45_ranker_agreement" -> rankerAgreementSql)
 }
