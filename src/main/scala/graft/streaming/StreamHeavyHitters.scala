@@ -53,26 +53,39 @@ object StreamHeavyHitters {
       // ONE store lookup per key per batch — each exists()/get() is a
       // state-store read on the hot path under RocksDB
       val prior = if (state.exists()) Some(state.get()) else None
-      val m = prior match {
-        case Some(st) => scala.collection.mutable.LinkedHashMap(
-          st.tokens.zip(st.counts): _*)
-        case None => scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      }
-      var seen = prior.map(_.seen).getOrElse(0L)
-      rows.foreach { t =>
-        seen += 1
-        m.get(t.token) match {
-          case Some(c) => m(t.token) = c + 1
-          case None if m.size < k => m(t.token) = 1L
-          case None => // decrement-all step: every counter pays one
-            m.mapValuesInPlace((_, c) => c - 1)
-            m.filterInPlace((_, c) => c > 0)
-        }
-      }
-      state.update(MgState(m.keys.toList, m.values.toList, seen))
-      m.iterator.map { case (tk, c) => Summary(key, tk, c, seen) }.toList
+      val next = mgFold(prior, rows.map(_.token), k)
+      state.update(next)
+      next.tokens.zip(next.counts).iterator
+        .map { case (tk, c) => Summary(key, tk, c, next.seen) }.toList
         .iterator
     }
+  }
+
+  /** The pure Misra–Gries fold one state cell runs per micro-batch —
+    * extracted so MgProps can pin the sketch invariants directly
+    * (candidates ⊇ tokens with count > seen/k; every counter a valid
+    * lower bound: true − seen/k ≤ counter ≤ true) across ARBITRARY
+    * chunkings of the stream, the exact incremental-maintenance
+    * regime st18 replays. */
+  private[streaming] def mgFold(prior: Option[MgState],
+      toks: Iterator[String], k: Int): MgState = {
+    val m = prior match {
+      case Some(st) => scala.collection.mutable.LinkedHashMap(
+        st.tokens.zip(st.counts): _*)
+      case None => scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    }
+    var seen = prior.map(_.seen).getOrElse(0L)
+    toks.foreach { t =>
+      seen += 1
+      m.get(t) match {
+        case Some(c) => m(t) = c + 1
+        case None if m.size < k => m(t) = 1L
+        case None => // decrement-all step: every counter pays one
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+    }
+    MgState(m.keys.toList, m.values.toList, seen)
   }
 
   /** (token) stream → per-cell MG summaries. `buckets` shards the
