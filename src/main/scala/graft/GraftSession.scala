@@ -41,8 +41,48 @@ object GraftSession {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    installCacheDrain(s)
     s
   }
+
+  /** Application-end drain for the JVM-wide (session, dir)-keyed
+    * operator caches (Dedup's signature/pair seams, TextAnalysis's
+    * trained-model entries). resetCaches/releaseCaches is the
+    * per-session eviction path, but a session stopped WITHOUT it pins
+    * its entries — and their frames — in the maps for the JVM
+    * lifetime. This listener makes the documented contract automatic:
+    * when the SparkContext stops (one per JVM, so every keyed session
+    * is dead at that point), every entry is dropped. Registered at
+    * most once per context. */
+  private[graft] final class CacheDrainListener
+      extends org.apache.spark.scheduler.SparkListener {
+    override def onApplicationEnd(
+        end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+      drainOperatorCaches()
+  }
+
+  /** The listener's action, callable directly (spec pin): drop every
+    * entry in the JVM-wide operator caches. Returns entries dropped. */
+  private[graft] def drainOperatorCaches(): Int =
+    graft.dedup.Dedup.drainAllCaches() +
+      graft.text.TextAnalysis.drainAllCaches()
+
+  private val drainInstalled =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
+
+  /** Register the [[CacheDrainListener]] on this session's context,
+    * once per context (getOrCreate hands the same context to every
+    * caller; a duplicate listener would just double-drain a pair of
+    * empty maps, but once is the contract). */
+  def installCacheDrain(s: SparkSession): Unit =
+    drainInstalled.synchronized {
+      val sc = s.sparkContext
+      if (!drainInstalled.containsKey(sc)) {
+        sc.addSparkListener(new CacheDrainListener)
+        drainInstalled.put(sc, java.lang.Boolean.TRUE)
+      }
+    }
 
   /** Turn on durable seam artifacts (Seams + the minhash sig seam) for
     * the harness mains. NOT set for unit tests (they pin the

@@ -359,6 +359,26 @@ object Dedup {
     }
   }
 
+  /** JVM-wide drain for the application-end listener
+    * ([[graft.GraftSession.installCacheDrain]]): when the (one per
+    * JVM) SparkContext stops, every session keyed in these maps is
+    * dead, so drop EVERY entry. unpersist is best-effort — the blocks
+    * die with the context anyway; the point is releasing the map's
+    * strong references so the dead sessions and their frames are
+    * collectable. Returns the number of entries dropped (spec pin). */
+  private[graft] def drainAllCaches(): Int = {
+    import scala.jdk.CollectionConverters._
+    Seq(sigCache, pairsCache).map { cache =>
+      val ks = cache.keySet.asScala.toSeq
+      ks.foreach { k =>
+        Option(cache.remove(k)).foreach { f =>
+          try f.unpersist() catch { case _: Throwable => () }
+        }
+      }
+      ks.size
+    }.sum
+  }
+
   /** Candidate pairs (id_a < id_b) from the banded-signature equi-join.
     * Candidate generation never touches the shingle arrays: bands carry
     * (doc_id, band, bkey) — 24 bytes a row through the shuffle
@@ -2021,6 +2041,12 @@ object Dedup {
     // 5-gram have no verdict row — pass them (txt37's own convention)
     val rep = graft.text.TextAnalysis.repetitionOn(s, docsAug(s, d))
       .select(col("doc_id"), col("verdict"))
+    // Gates apply to the ELECTED keeper only — a cluster whose
+    // max-score member fails a gate drops entirely, with no fallback
+    // election. Intended: near-dup members are ~identical text, so a
+    // quality/repetition failure on the best-scoring member indicts
+    // the whole cluster; electing a lower-scoring sibling would ship
+    // a strictly worse copy of content the gate just rejected.
     val kept = clustered.join(keepers, Seq("cluster_id"))
       .where(col("doc_id") === col("keeper_id"))
       .where(col("n_tokens") >= graft.text.TextAnalysis.MinTokens &&
@@ -2037,9 +2063,14 @@ object Dedup {
       .select(col("lang"),
         least(lit(1.0), lit(graft.operators.Sampling.BudgetPerLang)
           / col("n").cast(DoubleType)).as("rate"))
+    // Thinning draws with ThinSeed, NOT the split seed: on singleton
+    // clusters cluster_id == doc_id, so reusing the split's additive
+    // constant would make the thinned sample a deterministic function
+    // of the split residue rather than an independent draw.
     val sampled = kept.join(broadcast(rates), Seq("lang"), "left")
       .where(col("split") =!= "train" ||
-        (col("doc_id") % M * mulRed + 99991L) % M <
+        (col("doc_id") % M * mulRed + graft.operators.Sampling.ThinSeed)
+          % M <
           floor(coalesce(col("rate"), lit(1.0)) * M).cast(LongType))
     sampled
       .withColumn("shard", expr(s"(doc_id % $M * $mulRed + " +
@@ -2052,6 +2083,7 @@ object Dedup {
   val curationManifestSql: String = {
     val budget = graft.operators.Sampling.BudgetPerLang
     val seed = graft.operators.Sampling.ShardSeed
+    val thin = graft.operators.Sampling.ThinSeed
     val shards = graft.operators.Sampling.ShardN
     docsAugCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
       verifiedPairsCtes + "," +
@@ -2111,7 +2143,7 @@ object Dedup {
         |  SELECT s.doc_id, s.lang, s.n_tokens, s.split
         |  FROM cmkept s LEFT JOIN cmrates r USING (lang)
         |  WHERE s.split <> 'train'
-        |     OR (s.doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+        |     OR (s.doc_id % 1000003 * (2654435761 % 1000003) + $thin)
         |        % 1000003
         |        < CAST(FLOOR(COALESCE(r.rate, 1.0) * 1000003) AS BIGINT)),
         |cmsh AS (

@@ -11,12 +11,14 @@ import graft.Tables
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The media table is derived deterministically from `documents`
-  * (payload = the UTF-8 text bytes) because the container ships no
-  * image/audio codecs — the DECODE STEP IS A STUB (see
-  * [[DecodeStub.decode]]), but everything Spark-side is real: the
-  * binary+struct schema, column pruning to the blob only when needed,
-  * the typed mapPartitions batch shape, and the explode-based frame
-  * sampler.
+  * (payload = the UTF-8 text bytes, upgraded to real PNG/BMP/GIF
+  * encodings where an operator needs pixels) — image decode is REAL
+  * `javax.imageio` (see [[ImageDecode.decode]] and the mm03/mm10 codec
+  * traversals); only the audio/video codec step remains a
+  * deterministic fake, since the container ships no such codecs.
+  * Everything Spark-side is real: the binary+struct schema, column
+  * pruning to the blob only when needed, the typed mapPartitions
+  * batch shape, and the explode-based frame sampler.
   *
   * Scale design: payload bytes never enter a shuffle — every operator
   * is a narrow map/explode over the scan, so 100 TB of blobs stream

@@ -223,6 +223,13 @@ object Sampling {
     * while one seed is bit-reproducible everywhere. */
   val ShardSeed = 777767L
 
+  /** Seed for dd24/dd25's train-budget thinning draw. Distinct from
+    * the split seed (99991) so that on singleton clusters — where
+    * cluster_id == doc_id, the common case — the thinning sample is
+    * independent of the split residue, and from [[ShardSeed]] so it
+    * is independent of the shard layout. */
+  val ThinSeed = 424243L
+
   /** The seeded engine-neutral permutation key: op12's multiplicative
     * mix (doc_id reduced mod M before the multiply — see op12's
     * overflow note). NOT Spark's `hash()`/`rand()`: a training-data

@@ -121,6 +121,11 @@ object StreamNearDup {
     * delay, `ttlMs` the claim's time-to-live past its last arrival. */
   def admitTtl(s: SparkSession, docs: DataFrame, delay: String,
       ttlMs: Long): DataFrame = {
+    // A non-positive TTL would put the claim's deadline at/before the
+    // group's own max event time, and setTimeoutTimestamp throws when
+    // the deadline doesn't exceed the watermark — failing the whole
+    // query at runtime. Reject it at plan-build time instead.
+    require(ttlMs > 0, s"ttlMs must be positive (got $ttlMs)")
     graft.functions.GraftFunctions.register(s)
     implicit val bandEnc = Encoders.product[BandRowT]
     implicit val verdictEnc = Encoders.product[BandVerdict]

@@ -2384,17 +2384,29 @@ object TextAnalysis {
     * hygiene unpersists the checkpoint blocks, so a surviving map entry
     * would be a dangling frame (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and
     * bench isolation wants each query to pay its own training anyway.
-    * Mirror of [[graft.dedup.Dedup.releaseCaches]]. NOTE: this hook
-    * (via resetCaches/releaseCaches) is the SOLE eviction path — a
-    * session stopped without it pins its entries (and their
-    * checkpointed frames) for the JVM lifetime; acceptable for the
-    * harness and for long-lived production sessions that own the
-    * hook, but a session-churning embedder should call releaseCaches
-    * on teardown. */
+    * Mirror of [[graft.dedup.Dedup.releaseCaches]]. NOTE: eviction
+    * paths are this hook (via resetCaches/releaseCaches, per-session)
+    * and the application-end drain
+    * ([[graft.GraftSession.installCacheDrain]], JVM-wide at context
+    * stop) — a session-churning embedder inside a LONG-LIVED context
+    * should still call releaseCaches on teardown, since the listener
+    * only fires when the whole application ends. */
   def releaseCaches(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     lgdCache.keySet.asScala.filter(_._1 eq s).toSeq
       .foreach(k => lgdCache.remove(k))
+  }
+
+  /** JVM-wide drain for the application-end listener — see
+    * [[graft.dedup.Dedup.drainAllCaches]] for the contract. Like
+    * [[releaseCaches]], dropping the map references is the whole job
+    * here: the checkpoint blocks die with the stopping context, and
+    * what outlives it is only this map's strong references. */
+  private[graft] def drainAllCaches(): Int = {
+    import scala.jdk.CollectionConverters._
+    val ks = lgdCache.keySet.asScala.toSeq
+    ks.foreach(lgdCache.remove)
+    ks.size
   }
 
   /** checkpointSteps: checkpoint each step AS IT IS BUILT so the next
