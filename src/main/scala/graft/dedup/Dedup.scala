@@ -357,6 +357,11 @@ object Dedup {
         Option(cache.remove(k)).foreach(_.unpersist())
       }
     }
+    dd25Cache.keySet.asScala.filter(_._1 eq s).toSeq.foreach { k =>
+      Option(dd25Cache.remove(k)).foreach { case (a, b) =>
+        a.unpersist(); b.unpersist()
+      }
+    }
   }
 
   /** JVM-wide drain for the application-end listener
@@ -368,7 +373,7 @@ object Dedup {
     * collectable. Returns the number of entries dropped (spec pin). */
   private[graft] def drainAllCaches(): Int = {
     import scala.jdk.CollectionConverters._
-    Seq(sigCache, pairsCache).map { cache =>
+    val fromPairs = Seq(sigCache, pairsCache).map { cache =>
       val ks = cache.keySet.asScala.toSeq
       ks.foreach { k =>
         Option(cache.remove(k)).foreach { f =>
@@ -377,6 +382,13 @@ object Dedup {
       }
       ks.size
     }.sum
+    val ks25 = dd25Cache.keySet.asScala.toSeq
+    ks25.foreach { k =>
+      Option(dd25Cache.remove(k)).foreach { case (a, b) =>
+        try { a.unpersist(); b.unpersist() } catch { case _: Throwable => () }
+      }
+    }
+    fromPairs + ks25.size
   }
 
   /** Candidate pairs (id_a < id_b) from the banded-signature equi-join.
@@ -1993,16 +2005,22 @@ object Dedup {
     * prime-field mix (reduced-mod before multiply — overflow-safe at
     * any doc_id); the manifest is one (split, shard)-keyed aggregate
     * of ≤ 3·[[graft.operators.Sampling.ShardN]] groups. */
-  def curationManifest(s: SparkSession, d: String): DataFrame = {
+  def curationManifest(s: SparkSession, d: String): DataFrame =
+    manifestFrom(curationSelected(s, d)).orderBy(col("split"), col("shard"))
+
+  /** The (split, shard) manifest aggregate over a selected-corpus
+    * frame: doc count, token mass, and the prime-field id checksum
+    * that pins exact membership. Shared by dd24's batch manifest and
+    * all three of dd25's manifests (yesterday's, today's, and the
+    * from-written-files recompute in the specs). */
+  private[graft] def manifestFrom(sel: DataFrame): DataFrame = {
     val M = 1000003L
     val mulRed = 2654435761L % M
-    curationSelected(s, d)
-      .groupBy(col("split"), col("shard"))
+    sel.groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast(LongType).as("n_tokens"),
         sum((col("doc_id") % M * mulRed + 99991L) % M).cast(LongType)
           .as("id_checksum"))
-      .orderBy(col("split"), col("shard"))
   }
 
   /** dd24's selected corpus BEFORE the manifest aggregate — one row
@@ -2013,12 +2031,29 @@ object Dedup {
     * gated manifest — the manifest describes the bytes shipped. */
   private[graft] def curationSelected(s: SparkSession, d: String)
       : DataFrame = {
-    val M = 1000003L
-    val mulRed = 2654435761L % M
+    val base = curationAttrsOn(s, docsAug(s, d))
+    val labels = connectedComponentsStar(
+      ngramPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+    val clustered = base
+      .join(labels.select(col("id").as("doc_id"), col("label").as("lbl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+    curationSelectFrom(electKeepers(clustered))
+  }
+
+  /** Shared dd24/dd25 per-doc curation attributes: token stats, the
+    * quality score, and txt37's repetition verdict (docs too short to
+    * carry a 5-gram have no verdict row — pass them, txt37's own
+    * convention, hence the coalesce). One doc scan feeds score, gates,
+    * and hashes; extracting it keeps the batch (dd24) and incremental
+    * (dd25) pipelines formula-identical BY CONSTRUCTION, which is what
+    * dd25's full-recompute oracle equality rests on. */
+  private[graft] def curationAttrsOn(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
     val toks = split(col("text"), " ")
     val stopHits =
       size(expr("filter(split(text, ' '), t -> t IN ('the','a','of'))"))
-    val base = docsAug(s, d)
+    val base = docs
       .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"),
         (size(array_distinct(toks)).cast(LongType).cast(DoubleType)
           / size(toks)).as("uniq"),
@@ -2027,32 +2062,49 @@ object Dedup {
         col("uniq") * 2.0 + col("stopr") * 4.0 +
           when(col("n_tokens") >= graft.text.TextAnalysis.MinTokens, 0.5)
             .otherwise(-1.0) - 1.5)
-    val labels = connectedComponentsStar(
-      ngramPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
-    val clustered = base
-      .join(labels.select(col("id").as("doc_id"), col("label").as("lbl")),
-        Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+    val rep = graft.text.TextAnalysis.repetitionOn(s, docs)
+      .select(col("doc_id"), col("verdict"))
+    base.join(rep, Seq("doc_id"), "left")
+      .withColumn("verdict", coalesce(col("verdict"), lit("ok")))
+      .drop("stopr")
+  }
+
+  /** Keeper election over a clustered attrs frame (doc_id, lang,
+    * n_tokens, uniq, score, verdict, cluster_id): max score, doc_id
+    * tiebreak — ONE row per cluster. The (max over per-cluster maxima)
+    * composition under this tiebreak is what lets dd25 elect over
+    * {history cluster keepers} ∪ {increment docs} and still equal a
+    * full-recompute election over all members. */
+  private def electKeepers(clustered: DataFrame): DataFrame = {
     val keepers = clustered.groupBy(col("cluster_id"))
       .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id")))
         .as("w"))
       .select(col("cluster_id"), col("w").getField("id").as("keeper_id"))
-    // txt37 verdicts over the same corpus; docs too short to carry a
-    // 5-gram have no verdict row — pass them (txt37's own convention)
-    val rep = graft.text.TextAnalysis.repetitionOn(s, docsAug(s, d))
-      .select(col("doc_id"), col("verdict"))
+    clustered.join(keepers, Seq("cluster_id"))
+      .where(col("doc_id") === col("keeper_id"))
+      .select(col("cluster_id"), col("doc_id"), col("lang"),
+        col("n_tokens"), col("uniq"), col("score"), col("verdict"))
+  }
+
+  /** The dd24 selection tail over elected keeper rows (cluster_id,
+    * doc_id, lang, n_tokens, uniq, score, verdict): quality +
+    * repetition gates → cluster-hash split → per-lang train budget →
+    * seeded shard. Shared by dd24 (batch) and dd25 (yesterday's
+    * emission from the store AND today's merged selection) so the
+    * three can never drift. */
+  private[graft] def curationSelectFrom(keepers: DataFrame): DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
     // Gates apply to the ELECTED keeper only — a cluster whose
     // max-score member fails a gate drops entirely, with no fallback
     // election. Intended: near-dup members are ~identical text, so a
     // quality/repetition failure on the best-scoring member indicts
     // the whole cluster; electing a lower-scoring sibling would ship
     // a strictly worse copy of content the gate just rejected.
-    val kept = clustered.join(keepers, Seq("cluster_id"))
-      .where(col("doc_id") === col("keeper_id"))
+    val kept = keepers
       .where(col("n_tokens") >= graft.text.TextAnalysis.MinTokens &&
         col("uniq") >= graft.text.TextAnalysis.MinUniqueRatio)
-      .join(rep, Seq("doc_id"), "left")
-      .where(coalesce(col("verdict"), lit("ok")) === "ok")
+      .where(col("verdict") === "ok")
       .withColumn("h_split", expr(
         s"(cluster_id % $M * $mulRed + 99991) % $M % 100"))
       .withColumn("split",
@@ -2161,7 +2213,398 @@ object Dedup {
       .replace("MIN_UNIQ", graft.text.TextAnalysis.MinUniqueRatio.toString)
   }
 
+  // ---------------------------------------------------------------- dd25
+  /** dd25 corpus: "yesterday's" curated history vs "today's" crawl
+    * increment, split deterministically from `documents` (dd18's
+    * convention). The planted increment docs exercise every
+    * incremental-update path a daily pipeline hits:
+    *  - `%13==1` history copies (+" extra token"): JOIN an existing
+    *    history cluster;
+    *  - `%17==2` history copies (+" the of a the of a"): join with a
+    *    stopword-boosted score (stopr carries weight 4), biasing
+    *    toward keeper DISPLACEMENT;
+    *  - `%35==0` increment copies (+" extra token"): form NEW
+    *    multi-doc clusters entirely inside the increment.
+    * Which side of a merged cluster wins election is data-dependent
+    * (appending two fresh word types can RAISE uniq and with it the
+    * score), so CurationIncSpec pins the three cases — join with the
+    * history keeper retained, join with it displaced, and in-increment
+    * cluster — from the measured merged clustering, not from plant
+    * family membership. */
+  private[graft] def dd25Hist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .where(col("doc_id") % 5 =!= 0)
+
+  private[graft] def dd25Inc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val hist = docs.where(col("doc_id") % 5 =!= 0)
+    val incBase = docs.where(col("doc_id") % 5 === 0)
+    incBase
+      .unionByName(hist.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"), col("lang")))
+      .unionByName(hist.where(col("doc_id") % 17 === 2)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(col("text"), lit(" the of a the of a")).as("text"),
+          col("lang")))
+      .unionByName(incBase.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"), col("lang")))
+  }
+
+  /** Yesterday's persisted curation state — the TWO compact artifacts a
+    * daily pipeline carries between runs, built once per (session,
+    * corpus) and durable under the seam cache like the minhash sig
+    * store:
+    *  - the SIGNATURE store (doc_id, cluster_id, hsh, sig): one row
+    *    per history doc, what the increment band-joins against;
+    *  - the KEEPER store (cluster_id, doc_id, lang, n_tokens, uniq,
+    *    score, verdict): ONE row per history cluster — its elected
+    *    keeper with the attributes re-election and gating need.
+    * History TEXT never leaves yesterday's run: today's update touches
+    * only these metadata frames (the keeper store is #clusters rows;
+    * the sig store is the same artifact any incremental near-dup
+    * scheme persists — dd14/dd18's argument). */
+  private val dd25Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+  private[graft] def dd25Stores(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    dd25Cache.computeIfAbsent((s, d), _ => {
+      val sigStore = graft.Seams.durable(s, d, "dd25-sigstore") {
+        val sg = withHashedShingles(s, dd25Hist(s, d))
+          .select(col("doc_id"), col("hsh"))
+          .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+        val labels = connectedComponentsStar(verifiedPairsOn(sg)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        sg.join(labels.select(col("id").as("doc_id"),
+            col("label").as("lbl")), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+          .select(col("doc_id"), col("cluster_id"), col("hsh"), col("sig"))
+      }
+      val keepStore = graft.Seams.durable(s, d, "dd25-keepstore") {
+        val clustered = curationAttrsOn(s, dd25Hist(s, d))
+          .join(sigStore.select(col("doc_id"), col("cluster_id")),
+            Seq("doc_id"))
+        electKeepers(clustered)
+      }
+      (sigStore, keepStore)
+    })
+
+  /** dd25 — INCREMENTAL CURATION: today's selected corpus derived from
+    * yesterday's stores + the increment, with history text NEVER
+    * rescanned (the no-rescan plan shape is pinned in
+    * CurationIncSpec against parquet-backed stores). The derivation is
+    * EXACT, not approximate — it equals a full dd24-style recompute
+    * over the concatenated corpus, which is precisely what the DuckDB
+    * oracle does. The exactness rests on three lemmas:
+    *  1. banded-MinHash candidacy, the ≥26 prefilter, and exact
+    *     Jaccard are all PER-PAIR deterministic and corpus-independent,
+    *     so history–history edges today == history–history edges
+    *     yesterday == the store's cluster_id;
+    *  2. components over (contracted history clusters + new edges) ==
+    *     components over all edges (union-find contraction), and with
+    *     cluster_id = min member id, min-label CC over contracted
+    *     nodes reproduces the full-recompute cluster ids;
+    *  3. keeper election (max score, min doc_id tiebreak) composes:
+    *     the best of {per-cluster bests ∪ increment docs} is the best
+    *     of all members.
+    * Gates/split/budget/shard are [[curationSelectFrom]], shared with
+    * dd24 — the budget rates legitimately recompute over the MERGED
+    * keeper set (they are corpus-global by definition), but from
+    * metadata only.
+    *
+    * Scale shape: the increment (small) is the only text scanned; the
+    * history side is two metadata/signature artifacts read from
+    * parquet; the band join's shuffle key cardinality grows with the
+    * corpus (bounded bucket population); CC runs on the TOUCHED
+    * component subgraph only — O(increment), not O(history). */
+  private[graft] def incrementalCurationSelectedFrom(s: SparkSession,
+      sigStore: DataFrame, keepStore: DataFrame, inc: DataFrame)
+      : DataFrame =
+    curationSelectFrom(electKeepers(
+      incrementalCurationMergedFrom(s, sigStore, keepStore, inc)))
+
+  /** The merged clustering BEFORE election — one row per election
+    * candidate (history cluster keepers + increment docs) with its
+    * final cluster id. Exposed separately so CurationIncSpec can pin
+    * the fixture's case coverage (joined / displaced / in-increment
+    * clusters) on the real merged structure. */
+  private[graft] def incrementalCurationMergedFrom(s: SparkSession,
+      sigStore: DataFrame, keepStore: DataFrame, inc: DataFrame)
+      : DataFrame = {
+    GraftFunctions.register(s)
+    val incAttrs = curationAttrsOn(s, inc)
+    val incSig = withHashedShingles(s, inc)
+      .select(col("doc_id"), col("hsh"))
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+    val bh = withBandKeys(sigStore.select(col("doc_id"), col("sig")))
+      .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("bkey"))
+    val bi = withBandKeys(incSig.select(col("doc_id"), col("sig")))
+      .select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("bkey"))
+    val candHI = bh.join(bi, Seq("band", "bkey"))
+      .where(call_function("graft_positional_eq_count",
+        col("sig_a"), col("sig_b")) >= 26)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sigAll = sigStore.select(col("doc_id"), col("hsh"))
+      .unionByName(incSig.select(col("doc_id"), col("hsh")))
+    val verHI = attachVerify(sigAll, candHI).select(col("id_a"), col("id_b"))
+    val ba = bi.select(col("id_b").as("id_a"), col("sig_b").as("sig_a"),
+      col("band"), col("bkey"))
+    val candII = ba.join(bi, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b") &&
+        call_function("graft_positional_eq_count",
+          col("sig_a"), col("sig_b")) >= 26)
+      .select(col("id_a"), col("id_b")).distinct()
+    val verII = attachVerify(incSig, candII).select(col("id_a"), col("id_b"))
+    // CC nodes: history CLUSTER ids (pre-contracted components) and
+    // increment doc ids — disjoint domains (history ids are %5≠0,
+    // increment base ids %5=0, planted ids +5e6 and up)
+    val edges = verHI
+      .join(sigStore.select(col("doc_id").as("id_a"), col("cluster_id")),
+        Seq("id_a"))
+      .select(col("cluster_id").as("src"), col("id_b").as("dst"))
+      .unionByName(verII.select(col("id_a").as("src"),
+        col("id_b").as("dst")))
+    val labels = connectedComponentsStar(edges)
+    val cands = keepStore
+      .select(col("cluster_id").as("node"), col("doc_id"), col("lang"),
+        col("n_tokens"), col("uniq"), col("score"), col("verdict"))
+      .unionByName(incAttrs
+        .select(col("doc_id").as("node"), col("doc_id"), col("lang"),
+          col("n_tokens"), col("uniq"), col("score"), col("verdict")))
+    cands
+      .join(labels.select(col("id").as("node"), col("label")),
+        Seq("node"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("node")))
+  }
+
+  private[graft] def incrementalCurationSelected(s: SparkSession,
+      d: String): DataFrame = {
+    val (sigStore, keepStore) = dd25Stores(s, d)
+    incrementalCurationSelectedFrom(s, sigStore, keepStore, dd25Inc(s, d))
+  }
+
+  /** dd25's gated output: the UPDATED per-(split, shard) manifest plus
+    * a `changed` flag vs yesterday's manifest — the exact row set an
+    * incremental emitter drives its partition rewrites from
+    * ([[emitCurationIncrement]]). Cells the increment didn't touch
+    * read changed=0 and carry byte-identical manifest entries;
+    * cells the update emptied (cluster merges can REMOVE a keeper)
+    * surface with n_docs=0. Yesterday's manifest re-derives from the
+    * keeper store through the SAME selection tail, so old and new
+    * can't drift formula-wise. */
+  def incrementalCurationManifest(s: SparkSession, d: String): DataFrame = {
+    val (sigStore, keepStore) = dd25Stores(s, d)
+    val newMan = manifestFrom(
+      incrementalCurationSelectedFrom(s, sigStore, keepStore,
+        dd25Inc(s, d))).as("nw")
+    val oldMan = manifestFrom(curationSelectFrom(keepStore)).as("od")
+    newMan.join(oldMan, Seq("split", "shard"), "full_outer")
+      .select(col("split"), col("shard"),
+        coalesce(col("nw.n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("nw.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nw.id_checksum"), lit(0L)).as("id_checksum"),
+        when(col("nw.n_docs") <=> col("od.n_docs") &&
+          col("nw.n_tokens") <=> col("od.n_tokens") &&
+          col("nw.id_checksum") <=> col("od.id_checksum"), 0)
+          .otherwise(1).as("changed"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  /** The incremental EMITTER: bring an existing dd24-layout emission
+    * directory (yesterday's `partitionBy(split, shard)` output) up to
+    * date with today's corpus by rewriting ONLY the (split, shard)
+    * partitions whose manifest entry changed — unchanged partitions'
+    * files are never touched (CurationIncSpec pins mtimes), emptied
+    * partitions are deleted. Dynamic partition overwrite does the
+    * selective rewrite; the ≤3·ShardN-row manifest collect is the
+    * driver-side receipt that decides which partitions those are. */
+  def emitCurationIncrement(s: SparkSession, d: String, out: String): Unit = {
+    val man = incrementalCurationManifest(s, d).collect()
+    val changed = man.filter(_.getAs[Int]("changed") == 1)
+    val toWrite = changed.filter(_.getAs[Long]("n_docs") > 0)
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard"))).toSet
+    val toDrop = changed.filter(_.getAs[Long]("n_docs") == 0L)
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard")))
+    if (toWrite.nonEmpty) {
+      val keys = toWrite.map { case (sp, sh) => s"$sp/$sh" }.toSeq
+      val sel = incrementalCurationSelected(s, d)
+        .where(concat_ws("/", col("split"), col("shard")).isin(keys: _*))
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try sel.write.mode("overwrite").partitionBy("split", "shard")
+        .parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    toDrop.foreach { case (sp, sh) =>
+      val dir = new java.io.File(out, s"split=$sp/shard=$sh")
+      Option(dir.listFiles).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+  }
+
+  /** The full dd24-style curation pipeline as oracle CTEs over a
+    * parametric (doc_id, text, lang) source CTE `src`, names prefixed
+    * `p`, ending in `${p}man(split, shard, n_docs, n_tokens,
+    * id_checksum)`. DuckDB recomputes FROM SCRATCH over whatever
+    * corpus `src` holds — dd25 feeds it the concatenated
+    * history+increment corpus, so hash equality against the Spark
+    * side's store-based derivation IS the incremental-exactness
+    * theorem. Formulas mirror [[curationAttrsOn]] /
+    * [[curationSelectFrom]] / [[manifestFrom]] exactly (dd24's cm
+    * chain, parameterized). */
+  private def curationPipeCtes(src: String, p: String): String = {
+    val budget = graft.operators.Sampling.BudgetPerLang
+    val seed = graft.operators.Sampling.ShardSeed
+    val thin = graft.operators.Sampling.ThinSeed
+    val shards = graft.operators.Sampling.ShardN
+    val mt = graft.text.TextAnalysis.MinTokens
+    val mu = graft.text.TextAnalysis.MinUniqueRatio
+    s"""${p}sh AS (
+      |  SELECT doc_id, LENGTH(text) AS n_len,
+      |    list_distinct(list_transform(range(1, LENGTH(text) - 1),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS shingles
+      |  FROM $src),
+      |${p}hs AS (
+      |  SELECT doc_id, list_distinct(list_transform(shingles, s ->
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(range(1, LENGTH(s) + 1),
+      |      i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) % 1000000007))) AS hsh
+      |  FROM ${p}sh),
+      |${p}sig AS (
+      |  SELECT doc_id, hsh, list_transform(range(0, 32), j ->
+      |    list_min(list_transform(hsh, h ->
+      |      (((2654435761 * (CAST(j AS BIGINT) + 1)) % 1000000007) * h
+      |       + (CAST(j AS BIGINT) * 12345 + 678)) % 1000000007))) AS sig
+      |  FROM ${p}hs),
+      |${p}bands AS (
+      |  SELECT doc_id, sig, b.band,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      sig[CAST(8 * b.band + 1 AS INT):CAST(8 * b.band + 8 AS INT)],
+      |      (acc, h) -> (acc * 31 + h) % 1000000007) AS bkey
+      |  FROM ${p}sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |${p}pre AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM ${p}bands a JOIN ${p}bands c
+      |    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+      |  WHERE list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
+      |         THEN 1 ELSE 0 END)) >= 26),
+      |${p}vrf AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+      |      / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
+      |  FROM ${p}pre JOIN ${p}hs sa ON sa.doc_id = id_a
+      |  JOIN ${p}hs sb ON sb.doc_id = id_b),
+      |${p}edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM ${p}vrf WHERE jaccard >= 0.8
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM ${p}vrf WHERE jaccard >= 0.8),
+      |${p}walk(id, label) AS (
+      |  SELECT src, src FROM ${p}edges
+      |  UNION
+      |  SELECT e.dst, w.label FROM ${p}walk w JOIN ${p}edges e
+      |    ON e.src = w.id),
+      |${p}comp AS (SELECT id, MIN(label) AS lbl FROM ${p}walk GROUP BY id),
+      |${p}base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS uniq,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stopr
+      |  FROM $src),
+      |${p}sc AS (
+      |  SELECT doc_id, lang, n_tokens, uniq,
+      |    uniq * 2.0 + stopr * 4.0 +
+      |    (CASE WHEN n_tokens >= $mt THEN 0.5 ELSE -1.0 END)
+      |      - 1.5 AS score
+      |  FROM ${p}base),
+      |${p}cl AS (
+      |  SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.uniq, sc.score,
+      |    COALESCE(c.lbl, sc.doc_id) AS cluster_id
+      |  FROM ${p}sc sc LEFT JOIN ${p}comp c ON c.id = sc.doc_id),
+      |${p}k AS (
+      |  SELECT cluster_id, doc_id AS keeper_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY score DESC, doc_id) AS rn
+      |    FROM ${p}cl) t WHERE rn = 1),
+      |""".stripMargin +
+      graft.text.TextAnalysis.repetitionCtesFor(src, p + "r") + "," +
+      s"""${p}kept AS (
+      |  SELECT cl.doc_id, cl.lang, cl.n_tokens, cl.cluster_id,
+      |    CASE WHEN (cl.cluster_id % 1000003 * (2654435761 % 1000003)
+      |        + 99991) % 1000003 % 100 < 80 THEN 'train'
+      |      WHEN (cl.cluster_id % 1000003 * (2654435761 % 1000003)
+      |        + 99991) % 1000003 % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM ${p}cl cl JOIN ${p}k k USING (cluster_id)
+      |  LEFT JOIN ${p}rrep r ON r.doc_id = cl.doc_id
+      |  WHERE cl.doc_id = k.keeper_id
+      |    AND cl.n_tokens >= $mt AND cl.uniq >= $mu
+      |    AND COALESCE(r.verdict, 'ok') = 'ok'),
+      |${p}rates AS (
+      |  SELECT lang, LEAST(1.0, $budget / COUNT(*)) AS rate
+      |  FROM ${p}kept WHERE split = 'train' GROUP BY lang),
+      |${p}sam AS (
+      |  SELECT s.doc_id, s.lang, s.n_tokens, s.split
+      |  FROM ${p}kept s LEFT JOIN ${p}rates r USING (lang)
+      |  WHERE s.split <> 'train'
+      |     OR (s.doc_id % 1000003 * (2654435761 % 1000003) + $thin)
+      |        % 1000003
+      |        < CAST(FLOOR(COALESCE(r.rate, 1.0) * 1000003) AS BIGINT)),
+      |${p}shd AS (
+      |  SELECT doc_id, n_tokens, split,
+      |    (doc_id % 1000003 * (2654435761 % 1000003) + $seed)
+      |      % 1000003 % $shards AS shard
+      |  FROM ${p}sam),
+      |${p}man AS (
+      |  SELECT split, shard, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM((doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+      |      % 1000003) AS BIGINT) AS id_checksum
+      |  FROM ${p}shd GROUP BY 1, 2)""".stripMargin
+  }
+
+  val incrementalCurationSql: String =
+    """WITH RECURSIVE
+      |docs0 AS (SELECT doc_id, text, lang FROM documents),
+      |hist AS (SELECT doc_id, text, lang FROM docs0 WHERE doc_id % 5 <> 0),
+      |incb AS (SELECT doc_id, text, lang FROM docs0 WHERE doc_id % 5 = 0),
+      |allc AS (
+      |  SELECT doc_id, text, lang FROM hist
+      |  UNION ALL SELECT doc_id, text, lang FROM incb
+      |  UNION ALL SELECT doc_id + 5000000, text || ' extra token', lang
+      |    FROM hist WHERE doc_id % 13 = 1
+      |  UNION ALL SELECT doc_id + 7000000,
+      |    text || ' the of a the of a', lang
+      |    FROM hist WHERE doc_id % 17 = 2
+      |  UNION ALL SELECT doc_id + 6000000, text || ' extra token', lang
+      |    FROM incb WHERE doc_id % 7 = 0),
+      |""".stripMargin +
+      curationPipeCtes("allc", "n") + "," +
+      curationPipeCtes("hist", "o") + "\n" +
+      """SELECT COALESCE(n.split, o.split) AS split,
+      |  COALESCE(n.shard, o.shard) AS shard,
+      |  COALESCE(n.n_docs, 0) AS n_docs,
+      |  COALESCE(n.n_tokens, 0) AS n_tokens,
+      |  COALESCE(n.id_checksum, 0) AS id_checksum,
+      |  CASE WHEN n.n_docs IS NOT DISTINCT FROM o.n_docs
+      |    AND n.n_tokens IS NOT DISTINCT FROM o.n_tokens
+      |    AND n.id_checksum IS NOT DISTINCT FROM o.id_checksum
+      |    THEN 0 ELSE 1 END AS changed
+      |FROM nman n FULL OUTER JOIN oman o
+      |  ON n.split = o.split AND n.shard = o.shard
+      |ORDER BY split, shard""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd25_incremental_curation" -> (incrementalCurationManifest _),
     "dd24_curation_manifest" -> (curationManifest _),
     "dd22_keeper_election" -> (keeperElection _),
     "dd23_cluster_split" -> (clusterSplit _),
@@ -2188,6 +2631,7 @@ object Dedup {
     "dd18_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "dd25_incremental_curation" -> incrementalCurationSql,
     "dd24_curation_manifest" -> curationManifestSql,
     "dd22_keeper_election" -> keeperElectionSql,
     "dd23_cluster_split" -> clusterSplitSql,
