@@ -125,7 +125,7 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     // optional family filter after n:
-    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select
+    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select / pqgeom
     val fams = args.drop(1).toSet
     def want(f: String): Boolean = fams.isEmpty || fams.contains(f)
     val dir = s"/tmp/graft-skew-$n"
@@ -543,6 +543,58 @@ object SkewBench {
         val sampled = rows.filter(_._1 % 20 == 0)
         val recall = sampled.count(exact.contains).toDouble / exact.size
         println(f"""{"metric":"knn_shipped_recall","sf":"$sfDir","nprobe":$nprobe,"train_rounds":$trained,"cell_sec":${math.min(s1, s2)}%.2f,"recall_top2":$recall%.3f,"note":"full consumer-shaped graph build on the shipped corpus; truth = exact top-2 at the 1-in-20 audit sample"}""")
+      }
+    }
+
+    // --- sim18's raw-vs-residual PQ dial across corpus GEOMETRIES
+    // (r17 verdict #2): every residual-encoding number so far was
+    // measured on the shipped near-isotropic corpus, where residual
+    // LOSES (‖r‖ = 1.17‖v‖, recall@3 0.533 raw → 0.267 res). This
+    // family re-runs the sim18 two-arm reconstruction-error audit and
+    // the sim21/sim33 end-to-end recall@3 probes — the same registry
+    // functions, unmodified — on generateVecs's CLUSTERED corpus
+    // (~n/10 genuine centroids + 0.3-scale noise, the locally-dense
+    // shape real embedding corpora have, where the coarse quantizer
+    // captures variance and the faiss contract predicts residual
+    // wins) at the shipped size and at 10×. One row per geometry in
+    // BASELINE.md makes the deploy-time encoding dial two-column:
+    // measure sim18 on YOUR corpus, read the arm that wins there.
+    if (want("pqgeom")) {
+      graft.functions.GraftFunctions.register(spark)
+      val sim = graft.similarity.Similarity
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      def clustered(nv: Long): String = {
+        val base = s"/tmp/graft-skew-pqgeom-$nv"
+        val eDir = s"$base/embeddings.parquet"
+        if (!new File(s"$eDir/_SUCCESS").isFile) {
+          generateVecs(spark, s"$base/raw", nv)
+          spark.read.parquet(s"$base/raw")
+            .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+            .write.mode("overwrite").parquet(eDir)
+        }
+        base
+      }
+      for ((geom, base) <- Seq(("shipped", sfDir),
+          ("clustered2k", clustered(2000L)),
+          ("clustered20k", clustered(20000L)))) {
+        val (err, errSec) = timed(sim.pqError(spark, base).collect())
+        val armMean = err.groupBy(_.getString(0)).map { case (t, rs) =>
+          t -> rs.map(_.getAs[Double]("mean_err_vec")).sum / rs.length
+        }
+        val exact = sim.cosineTopK(spark, base)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recall3(df: DataFrame): (Double, Double) = {
+          val (rows, sec) = timed(df
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+          (rows.count(exact.contains).toDouble / exact.size, sec)
+        }
+        val (rRaw, sRaw) = recall3(sim.ivfPq(spark, base))
+        val (rRes, sRes) = recall3(sim.ivfPqResidual(spark, base))
+        println(f"""{"metric":"pq_geometry","geometry":"$geom","mean_err_vec_raw":${armMean("raw")}%.4f,"mean_err_vec_res":${armMean("res")}%.4f,"recall3_raw":$rRaw%.3f,"recall3_res":$rRes%.3f,"err_sec":$errSec%.2f,"raw_sec":$sRaw%.2f,"res_sec":$sRes%.2f,"note":"sim18 two-arm audit + sim21/sim33 end-to-end recall@3 vs exact; truth = 5-query exact top-3"}""")
+        GraftSession.resetCaches(spark)
       }
     }
 

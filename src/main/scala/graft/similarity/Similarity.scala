@@ -2258,10 +2258,16 @@ object Similarity {
     * coarse quantizer captures no variance, the residual int8 grid is
     * COARSER than the raw one, and sim18's two-arm audit gates the
     * result (mean_err_vec 0.207 raw → 0.334 res; end-to-end recall@3
-    * 0.533 → 0.267, both measured at sf0.01, r17). Residual coding
-    * pays off exactly when corpora cluster (real embedding
-    * distributions, where the centroid absorbs most of the norm); at
-    * deploy time sim18's table IS the dial that picks the encoding.
+    * 0.533 → 0.267, both measured at sf0.01, r17). The r18 SkewBench
+    * `pqgeom` sweep measured WHEN residual wins: on a clustered corpus
+    * whose ⌈√n⌉ cells roughly resolve the true clusters (~4 clusters/
+    * cell) residual takes recall@3 0.933 vs raw 0.867 — but scale the
+    * SAME geometry 10× (⌈√n⌉ cells fall to ~14 clusters/cell) and
+    * residual collapses to 0.133. "Clustered corpus" is not the
+    * precondition; "cells ≈ cluster count" is, and it silently breaks
+    * under growth (BASELINE.md r18 table). At deploy time sim18's
+    * two-arm table on the ACTUAL corpus IS the dial that picks the
+    * encoding — re-read it after major corpus growth.
     *
     * Mechanics beyond sim21: ADC keeps the query FLOAT (true
     * asymmetric distance — LUT_m[k] = round(⟨q_m, csub_mk⟩)) plus a
