@@ -28,6 +28,17 @@ object TextAnalysis {
   val MinTokens = 10
   val MinUniqueRatio = 0.3
 
+  /** How many rounds the gated txt46 BPE trajectory trains. Defined
+    * here (not at the txt46 section) because txt27's oracle val
+    * initializes earlier in the object and reads [[FertilityMerges]]
+    * — a forward val reference would silently read 0. */
+  val BpeTrainRounds = 5
+
+  /** How many trained merges txt27's fertility encoder applies (the
+    * size the round-0 candidate list had before the r18 upgrade, so
+    * fertility stays comparable across rounds). */
+  val FertilityMerges = 20
+
   // ---------------------------------------------------------------- t01
   /** Token counting: whitespace tokens, distinct tokens, alpha-run
     * tokens (the BPE-ish regex pass). */
@@ -1383,55 +1394,40 @@ object TextAnalysis {
     * pretoken under a REAL greedy BPE encoder, the number every
     * token-budget plan needs before committing a corpus mix (a language
     * at fertility 2.3 costs 2.3× its word count in context window).
-    * The tokenizer is txt36's own merge table applied for real: the
-    * top-20 round-0 merge candidates (rank = frequency DESC, pair ASC —
-    * txt36's exact ordering; a full training loop would re-rank after
-    * each merge, this list is the first round's candidates, disclosed),
-    * applied to every pretoken in rank order, each merge rewriting ALL
-    * its non-overlapping occurrences leftmost-first — classic BPE
-    * encoding. The rewrite trick keeps it declarative AND exact: merge
-    * i replaces its 2-char pair with the single out-of-alphabet symbol
-    * chr(127+i) (pretokens are [a-z0-9]; the corpus is pinned ASCII),
-    * so a fold of 20 codegen'd `replace` calls IS the encoder and the
-    * final string length IS the subword count — merged symbols can
-    * never re-merge because no pair contains a placeholder.
+    * The tokenizer is the TRAINED merge table applied for real: txt46's
+    * multi-round BPE loop ([[bpeTrain]], [[FertilityMerges]] rounds —
+    * the r17 verdict's ask; the round-0 candidate list this consumed
+    * before is now disclosed history), applied to every pretoken in
+    * round order, each merge rewriting ALL its non-overlapping
+    * occurrences leftmost-first — classic BPE encoding-by-replay. The
+    * rewrite trick keeps it declarative AND exact: round k's merge
+    * replaces its 2-symbol pair with the single out-of-alphabet char
+    * chr(127+k) (pretokens are [a-z0-9]; the corpus is pinned ASCII),
+    * and since every earlier merge output is itself one placeholder
+    * char, EVERY pattern is exactly 2 chars — a fold of codegen'd
+    * `replace` calls IS the encoder and the final string length IS the
+    * subword count. Unlike the round-0 list, trained patterns DO
+    * contain earlier placeholders — that is what lets "the"-like
+    * 3-char subwords emerge from two rounds.
     *
-    * Scale: the merge table is a training ARTIFACT — 20 rows from
-    * txt36's vocab-collapsed pass (Heaps-law sublinear), broadcast onto
-    * the corpus scan; the encode is one codegen'd map stage, one
-    * |languages|-cardinality hash aggregate with map-side partials; no
-    * explode — the per-doc fold happens inside a single projection. */
+    * Scale: the merge table is a training ARTIFACT — [[bpeTrain]]'s
+    * vocab-collapsed loop (Heaps-law sublinear, never the corpus) —
+    * entering the plan as a LITERAL array; the encode is one codegen'd
+    * map stage, one |languages|-cardinality hash aggregate with
+    * map-side partials; no explode — the per-doc fold happens inside a
+    * single projection. */
   def tokenFertility(s: SparkSession, d: String): DataFrame = {
     val pre = "'[a-z]+|[0-9]+', 0"
-    val vocab = Tables.documents(s, d)
-      .select(explode(expr(s"regexp_extract_all(text, $pre)")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val top = vocab.where(length(col("tok")) >= 2)
-      .select(col("cnt"), explode(expr(
-        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
-        .as("pair"))
-      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-      .orderBy(col("n").desc, col("pair")).limit(20)
-    // pack each merge as pair||placeholder (3 chars) so the encode fold
-    // is a homogeneous string list in BOTH engines; the 20-row window
-    // sort is post-limit (merge-table scale, not corpus scale)
-    val merges = top
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
-      .select(concat(col("pair"), expr("chr(127 + rnk)")).as("m"),
-        col("rnk"))
-      .groupBy()
-      // bounded: exactly the top-20 merge rows reach this aggregate
-      .agg(expr("transform(sort_array(collect_list(struct(rnk, m))), p -> p.m)")
-        .as("ms"))
+    val ms = bpeTrain(s, d, FertilityMerges)
+      .map { case (k, pair, _, _, _) => pair + (127 + k).toChar }
+    val msCol = array(ms.map(lit): _*)
     Tables.documents(s, d)
-      .crossJoin(broadcast(merges))
       .select(col("lang"),
         size(expr(s"regexp_extract_all(text, $pre)")).cast(LongType).as("w"),
-        expr(s"""aggregate(regexp_extract_all(text, $pre), 0L,
-                 (a, tk) -> a + length(aggregate(ms, tk,
-                   (acc, m) -> replace(acc, substring(m, 1, 2),
-                     substring(m, 3, 1)))))""").as("sw"))
+        aggregate(expr(s"regexp_extract_all(text, $pre)"), lit(0L),
+          (a, tk) => a + length(aggregate(msCol, tk,
+            (acc, m) => call_function("replace", acc,
+              substring(m, 1, 2), substring(m, 3, 1))))).as("sw"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w")).as("n_words"),
@@ -1445,25 +1441,10 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  val tokenFertilitySql: String =
-    """WITH vocab AS (
-      |  SELECT tok, COUNT(*) AS cnt FROM (
-      |    SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
-      |    FROM documents) t
-      |  GROUP BY tok),
-      |bp AS (
-      |  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair, cnt
-      |  FROM vocab, UNNEST(range(1, length(tok))) AS u(i)
-      |  WHERE length(tok) >= 2),
-      |topm AS (
-      |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
-      |  FROM bp GROUP BY pair
-      |  ORDER BY n DESC, pair LIMIT 20),
-      |merges AS (
-      |  SELECT list(pair || chr(127 + CAST(rnk AS INT)) ORDER BY rnk) AS ms
-      |  FROM (
-      |    SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
-      |    FROM topm) r),
+  val tokenFertilitySql: String = bpeRoundCtes(FertilityMerges) + s""",
+      |merges AS (SELECT [${(1 to FertilityMerges).map(k =>
+          s"(SELECT pair || chr(${127 + k}) FROM b$k)").mkString(", ")}]
+      |  AS ms),
       |tf AS (
       |  SELECT lang,
       |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS w,
@@ -2163,6 +2144,150 @@ object TextAnalysis {
       |FROM pairs GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- txt46
+  /** txt46 — the MULTI-ROUND BPE training loop (Sennrich et al. '16,
+    * the actual algorithm — txt36 is its round 0): per round, count
+    * adjacent symbol pairs over the pretoken VOCAB weighted by
+    * pretoken frequency, take the best pair (count DESC, pair ASC),
+    * merge it EVERYWHERE, recount. The representation that keeps every
+    * round a single codegen'd string op in BOTH engines is PLACEHOLDER
+    * SPACE (txt27's trick, now load-bearing for training): round k's
+    * merged symbol is the single out-of-alphabet char chr(127+k), so
+    * every symbol — original [a-z0-9] char or earlier merge — is
+    * exactly ONE character, every pair is a 2-char substring, and
+    * applying a merge is one literal `replace` (leftmost
+    * non-overlapping = BPE's greedy rewrite). The trained table is
+    * emitted with both sides EXPANDED back to original character
+    * sequences (round, left_sym, right_sym, n).
+    *
+    * Scale shape: the corpus-sized stage is ONE pretoken hash-agg
+    * (round 0, Heaps-law key cardinality); each round after touches
+    * only the vocab, localCheckpointed per round (sim24's loop-seam
+    * pattern) so lineage stays flat across rounds. The per-round
+    * 1-row collect IS the trained parameter coming back to the driver
+    * — txt38's weight-readback shape, disclosed. The oracle unrolls
+    * the same N rounds as chained CTEs (pair count → 1-row best →
+    * vocab rewrite) and expands placeholders through the same merge
+    * chain — a hash match means DuckDB's from-scratch training picked
+    * the identical merge at every round. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Int, String, String, String, Long)]]
+
+  /** Trained merges: (round, pair-in-placeholder-space (2 chars),
+    * left/right sides expanded to original chars, weighted count).
+    * Round k's merged symbol is chr(127+k). */
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] =
+    bpeCache.computeIfAbsent((s, d, rounds), _ =>
+      bpeTrainOn(s, Tables.documents(s, d), rounds))
+
+  /** The training loop over any (text) frame — BpeTrainSpec pins the
+    * trajectory against hand-computed BPE on a tiny corpus. */
+  private[graft] def bpeTrainOn(s: SparkSession, docs: DataFrame,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+      var vocab = docs
+        .select(explode(expr(
+          "regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("seg", col("tok"))
+        .localCheckpoint()
+      val expansion = scala.collection.mutable.Map.empty[Char, String]
+      def expand(c: Char): String = expansion.getOrElse(c, c.toString)
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (k <- 1 to rounds) {
+        val best = vocab.where(length(col("seg")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(seg) - 1), i -> substring(seg, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()
+        // a corpus can in principle run dry of pairs before N rounds;
+        // the shipped corpora never do — stop training rather than
+        // emit a phantom merge
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          val ph = (127 + k).toChar
+          expansion(ph) = expand(pair(0)) + expand(pair(1))
+          out += ((k, pair, expand(pair(0)), expand(pair(1)),
+            best(0).getLong(1)))
+          vocab = vocab.withColumn("seg",
+              call_function("replace", col("seg"), lit(pair),
+                lit(ph.toString)))
+            .localCheckpoint()
+        }
+      }
+      vocab.unpersist()
+      out.result()
+  }
+
+  def bpeTrainedMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d, BpeTrainRounds)
+      .map { case (k, _, l, r, n) => (k, l, r, n) }
+      .toDF("round", "left_sym", "right_sym", "n")
+      .orderBy(col("round"))
+  }
+
+  /** The unrolled training-round CTE chain: `v0` (pretoken vocab with
+    * seg = tok) then per round k: `p$k` pair counts over `v${k-1}`,
+    * `b$k` the 1-row argmax, `v$k` the rewritten vocab. Shared by the
+    * txt46 oracle (N=[[BpeTrainRounds]]) and txt27's trained-encoder
+    * oracle (N=[[FertilityMerges]]). */
+  private def bpeRoundCtes(rounds: Int): String = {
+    // MATERIALIZED is load-bearing: v(k-1) is referenced twice per
+    // round (pair count + rewrite), so DuckDB's default CTE inlining
+    // would expand the chain 2^rounds times — at the 20-round encoder
+    // depth that is literally millions of inlined parquet scans
+    // ("too many open files" long before any result). Materializing
+    // each round's state bounds every CTE to ONE evaluation — the
+    // same role localCheckpoint plays on the Spark side.
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT tok, COUNT(*) AS cnt, tok AS seg FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        |    FROM documents) t
+        |  GROUP BY tok)""".stripMargin)
+    for (k <- 1 to rounds) sb.append(
+      s""",
+        |p$k AS (
+        |  SELECT substr(seg, CAST(i AS INTEGER), 2) AS pair,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM v${k - 1}, UNNEST(range(1, length(seg))) AS u(i)
+        |  WHERE length(seg) >= 2
+        |  GROUP BY pair),
+        |b$k AS MATERIALIZED (
+        |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+        |v$k AS MATERIALIZED (
+        |  SELECT tok, cnt, replace(seg, b$k.pair, chr(${127 + k})) AS seg
+        |  FROM v${k - 1}, b$k)""".stripMargin)
+    sb.toString
+  }
+
+  /** Expansion of a 1-char symbol expression back to original chars:
+    * placeholders chr(128)..chr(127+k-1) resolve through the earlier
+    * merges' full expansions (`f$j` CTEs); original chars pass. */
+  private def bpeExpandCase(cExpr: String, k: Int): String =
+    if (k == 1) cExpr
+    else "(CASE " + (1 until k).map(j =>
+      s"WHEN $cExpr = chr(${127 + j}) THEN (SELECT ex FROM f$j)")
+      .mkString(" ") + s" ELSE $cExpr END)"
+
+  val bpeTrainedMergesSql: String = {
+    val n = BpeTrainRounds
+    val fCtes = (1 to n).map(k =>
+      s"""f$k AS (SELECT ${bpeExpandCase("substr(pair, 1, 1)", k)}
+         |  || ${bpeExpandCase("substr(pair, 2, 1)", k)} AS ex
+         |  FROM b$k)""".stripMargin).mkString(",\n")
+    val branches = (1 to n).map(k =>
+      s"""SELECT CAST($k AS INTEGER) AS round,
+         |  ${bpeExpandCase("substr(pair, 1, 1)", k)} AS left_sym,
+         |  ${bpeExpandCase("substr(pair, 2, 1)", k)} AS right_sym,
+         |  n FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+    bpeRoundCtes(n) + ",\n" + fCtes + "\n" + branches + "\nORDER BY round"
+  }
+
   // ---------------------------------------------------------------- txt37
   /** txt37 — REPETITION filter (the Gopher/MassiveText "repetitive
     * document" rules, Rae et al. §A1.1, restated for a line-less
@@ -2395,6 +2520,8 @@ object TextAnalysis {
     import scala.jdk.CollectionConverters._
     lgdCache.keySet.asScala.filter(_._1 eq s).toSeq
       .foreach(k => lgdCache.remove(k))
+    bpeCache.keySet.asScala.filter(_._1 eq s).toSeq
+      .foreach(k => bpeCache.remove(k))
   }
 
   /** JVM-wide drain for the application-end listener — see
@@ -2406,7 +2533,9 @@ object TextAnalysis {
     import scala.jdk.CollectionConverters._
     val ks = lgdCache.keySet.asScala.toSeq
     ks.foreach(lgdCache.remove)
-    ks.size
+    val kb = bpeCache.keySet.asScala.toSeq
+    kb.foreach(bpeCache.remove)
+    ks.size + kb.size
   }
 
   /** checkpointSteps: checkpoint each step AS IT IS BUILT so the next
@@ -3282,6 +3411,7 @@ object TextAnalysis {
     "txt34_linear_probe" -> (linearProbeGd _),
     "txt35_vocab_coverage" -> (vocabCoverage _),
     "txt36_bpe_merge_stats" -> (bpeMergeStats _),
+    "txt46_bpe_train" -> (bpeTrainedMerges _),
     "txt37_repetition" -> (repetitionFilter _),
     "txt38_logistic_quality" -> (logisticQualityGd _),
     "txt39_dsir_select" -> (dsirSelect _),
@@ -3329,6 +3459,7 @@ object TextAnalysis {
     "txt34_linear_probe" -> linearProbeGdSql,
     "txt35_vocab_coverage" -> vocabCoverageSql,
     "txt36_bpe_merge_stats" -> bpeMergeStatsSql,
+    "txt46_bpe_train" -> bpeTrainedMergesSql,
     "txt37_repetition" -> repetitionFilterSql,
     "txt38_logistic_quality" -> logisticQualityGdSql,
     "txt39_dsir_select" -> dsirSelectSql,
