@@ -125,7 +125,7 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     // optional family filter after n:
-    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select / pqgeom
+    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select / pqgeom / curate
     val fams = args.drop(1).toSet
     def want(f: String): Boolean = fams.isEmpty || fams.contains(f)
     val dir = s"/tmp/graft-skew-$n"
@@ -702,6 +702,59 @@ object SkewBench {
           require(!(a._1 >= b._1 && a._2 >= b._2),
             s"frontier not an anti-chain: $a dominates $b")
         println(f"""{"metric":"select_ops","docs":$nSel,"dsir_sec":$dsirSec%.2f,"skyline_sec":$skySec%.2f,"frontier_pairs":${pairs.size},"distinct_scores":${msc.length},"note":"txt39 two-pass DSIR (fixed-k, reproducible) + op17 bucketed skyline (= independent prefix-max sweep, anti-chain)"}""")
+      }
+    }
+
+    // --- dd24/dd25 curation pipelines at corpus scale (r17 verdict
+    // #5): the end-to-end composition had sf0.1 cost only (~8 s); this
+    // prices it on the select arms' 150k/400k-doc corpora and asserts
+    // the manifest contracts IN-RUN: the draw is bit-reproducible
+    // across re-runs, and ZERO verified near-dup pairs survive with
+    // both ends selected (two emitted near-dups = dedup failure — the
+    // "no straddling pairs" contract at the only place it can be
+    // violated, the emission). dd25 decomposes into yesterday's store
+    // build (the amortized artifact) vs the daily incremental update —
+    // the ratio IS the argument for running incremental at 100 TB.
+    if (want("curate")) {
+      import graft.dedup.Dedup
+      for (nSel <- Seq(150000L, 400000L)) {
+        val selDir = s"/tmp/graft-skew-select-$nSel"
+        generate(spark, s"$selDir/documents.parquet", nSel)
+        def manOnce: Seq[String] = Dedup.curationManifest(spark, selDir)
+          .collect().map(_.toString).toSeq
+        val (m1, ms1) = timed(manOnce)
+        val (m2, ms2) = timed(manOnce)
+        require(m1 == m2,
+          "curation manifest not reproducible across re-runs")
+        val manSec = math.min(ms1, ms2)
+        val nDocs = m1.size
+        // straddle contract: reuses the same cached pair seam the
+        // manifest consumed, so this prices one join, not a rebuild
+        val sel = Dedup.curationSelected(spark, selDir)
+          .select(col("doc_id"))
+        val straddle = Dedup.minhashLsh(spark, selDir)
+          .select(col("id_a"), col("id_b"))
+          .join(sel.withColumnRenamed("doc_id", "id_a"), "id_a")
+          .join(sel.withColumnRenamed("doc_id", "id_b"), "id_b")
+          .count()
+        require(straddle == 0L,
+          s"$straddle verified near-dup pairs emitted on BOTH ends")
+        val (_, storeSec) = timed {
+          val (sg, kp) = Dedup.dd25Stores(spark, selDir)
+          (sg.count(), kp.count())
+        }
+        def incOnce: Seq[String] =
+          Dedup.incrementalCurationManifest(spark, selDir)
+            .collect().map(_.toString).toSeq
+        val (i1, is1) = timed(incOnce)
+        val (i2, is2) = timed(incOnce)
+        require(i1 == i2,
+          "incremental manifest not reproducible across re-runs")
+        val incSec = math.min(is1, is2)
+        val changed = Dedup.incrementalCurationManifest(spark, selDir)
+          .where(col("changed") === 1).count()
+        println(f"""{"metric":"curate_scale","docs":$nSel,"dd24_manifest_sec":$manSec%.2f,"manifest_cells":$nDocs,"straddling_pairs":$straddle,"dd25_store_build_sec":$storeSec%.2f,"dd25_incremental_sec":$incSec%.2f,"changed_cells":$changed,"note":"dd24 batch curation + dd25 incremental (store build amortized vs daily update) at select-arm scale; re-draw equality and zero-straddle asserted in-run"}""")
+        GraftSession.resetCaches(spark)
       }
     }
 

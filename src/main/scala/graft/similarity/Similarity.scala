@@ -2430,6 +2430,118 @@ object Similarity {
       |WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- sim34
+  /** sim34 — INCREMENTAL INDEX APPEND (the faiss `add` contract;
+    * dd25's daily-append theme on the ANN side): yesterday's IVF index
+    * = centroids picked from HISTORY (vec_id % 5 ≠ 0) plus history
+    * cell assignments; today's increment (vec_id % 5 = 0) is assigned
+    * to the EXISTING centroids with NO retrain — the cheap daily path
+    * every vector store runs between reindex jobs. The gated output is
+    * the STALENESS audit that tells you when that stops being safe:
+    * per cell, population and mean squared distance-to-centroid for
+    * history vs increment members, and their ratio (`drift`). A cell
+    * whose increment members sit systematically farther out is where
+    * the frozen quantizer has stopped resolving the growing corpus —
+    * the same degradation the r18 `pqgeom` sweep measured from the
+    * other end (residual recall collapsing as clusters-per-cell grew),
+    * now observable per-cell, per-append, WITHOUT ground truth.
+    *
+    * Scale shape: centroids broadcast (⌈√n_hist⌉ rows); both
+    * assignments are the one-hash-aggregate argmax (one shuffled row
+    * per vector); output is ≤ |cells| rows. Nothing touches history
+    * text/vectors beyond the assignment pass a production system runs
+    * once and persists — the frame here recomputes it only because a
+    * gate needs the whole answer in one query.
+    *
+    * Float parity: per-member dist² is a fixed-order left fold of
+    * (x−c)² (IEEE-deterministic in both engines), quantized to
+    * DECIMAL(28,6) BEFORE the per-cell SUM (exact, order-independent,
+    * map-side-partial safe); each mean divides the exact decimal by
+    * the exact count as one final double; drift guards the
+    * centroid-only cell (mean 0) with NULL rather than an Inf. */
+  def ivfAppend(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val hist = n.where(col("vec_id") % 5 =!= 0)
+    val inc = n.where(col("vec_id") % 5 === 0)
+    val cent = centroids(s, hist)
+    def r2sum(side: DataFrame, nName: String, sName: String): DataFrame =
+      assignCells(side, cent)
+        .join(broadcast(cent), col("cell") === col("pid"))
+        .withColumn("r2", expr(
+          """cast(aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)),
+            |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
+            .stripMargin))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(nName), sum(col("r2")).as(sName))
+    val h = r2sum(hist, "n_hist", "s_hist")
+    val i = r2sum(inc, "n_inc", "s_inc")
+    h.join(i, Seq("cell"), "left")
+      .select(col("cell"),
+        col("n_hist"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"),
+        (col("s_hist").cast("double") / col("n_hist")).as("mean_r2_hist"),
+        when(col("n_inc") > 0,
+          col("s_inc").cast("double") / col("n_inc")).as("mean_r2_inc"),
+        when(col("n_inc") > 0 && col("s_hist") > 0,
+          (col("s_inc").cast("double") / col("n_inc"))
+            / (col("s_hist").cast("double") / col("n_hist")))
+          .as("drift"))
+      .orderBy(col("cell"))
+  }
+
+  val ivfAppendSql: String = normedCte + "," +
+    """hist AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |inc AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      |cellsh AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM hist),
+      |centh AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM hist, cellsh
+      |  WHERE vec_id < cellsh.c),
+      |ah AS (
+      |  SELECT vec_id, e, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM hist v CROSS JOIN centh c) t WHERE rn = 1),
+      |ai AS (
+      |  SELECT vec_id, e, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM inc v CROSS JOIN centh c) t WHERE rn = 1),
+      |rh AS (
+      |  SELECT a.cell, COUNT(*) AS n_hist,
+      |    SUM(CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6))) AS s_hist
+      |  FROM ah a JOIN centh c ON c.pid = a.cell
+      |  GROUP BY a.cell),
+      |ri AS (
+      |  SELECT a.cell, COUNT(*) AS n_inc,
+      |    SUM(CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6))) AS s_inc
+      |  FROM ai a JOIN centh c ON c.pid = a.cell
+      |  GROUP BY a.cell)
+      |SELECT rh.cell, rh.n_hist,
+      |  COALESCE(ri.n_inc, 0) AS n_inc,
+      |  CAST(rh.s_hist AS DOUBLE) / rh.n_hist AS mean_r2_hist,
+      |  CASE WHEN ri.n_inc > 0
+      |    THEN CAST(ri.s_inc AS DOUBLE) / ri.n_inc END AS mean_r2_inc,
+      |  CASE WHEN ri.n_inc > 0 AND rh.s_hist > 0
+      |    THEN (CAST(ri.s_inc AS DOUBLE) / ri.n_inc)
+      |       / (CAST(rh.s_hist AS DOUBLE) / rh.n_hist) END AS drift
+      |FROM rh LEFT JOIN ri ON ri.cell = rh.cell
+      |ORDER BY rh.cell""".stripMargin
+
   // --------------------------------------------------------------- sim23
   /** Binary (sign-bit) quantization ANN — 1 bit per dimension, 32×
     * smaller than fp32: each vector packs into ONE 64-bit word
@@ -3040,7 +3152,8 @@ object Similarity {
     "sim30_knn_trained" -> (knnTrained _),
     "sim31_graph_recall" -> (graphRecall _),
     "sim32_consumed_recall" -> (consumedRecall _),
-    "sim33_ivfpq_residual" -> (ivfPqResidual _))
+    "sim33_ivfpq_residual" -> (ivfPqResidual _),
+    "sim34_ivf_append" -> (ivfAppend _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -3075,5 +3188,6 @@ object Similarity {
     "sim30_knn_trained" -> knnTrainedSql,
     "sim31_graph_recall" -> graphRecallSql,
     "sim32_consumed_recall" -> consumedRecallSql,
-    "sim33_ivfpq_residual" -> ivfPqResidualSql)
+    "sim33_ivfpq_residual" -> ivfPqResidualSql,
+    "sim34_ivf_append" -> ivfAppendSql)
 }
