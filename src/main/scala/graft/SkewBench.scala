@@ -125,7 +125,7 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     // optional family filter after n:
-    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select / pqgeom / curate
+    // agg / join / aqe / lsh / binq / knn / knn20 / asof / select / pqgeom / curate / drift
     val fams = args.drop(1).toSet
     def want(f: String): Boolean = fams.isEmpty || fams.contains(f)
     val dir = s"/tmp/graft-skew-$n"
@@ -703,6 +703,63 @@ object SkewBench {
             s"frontier not an anti-chain: $a dominates $b")
         println(f"""{"metric":"select_ops","docs":$nSel,"dsir_sec":$dsirSec%.2f,"skyline_sec":$skySec%.2f,"frontier_pairs":${pairs.size},"distinct_scores":${msc.length},"note":"txt39 two-pass DSIR (fixed-k, reproducible) + op17 bucketed skyline (= independent prefix-max sweep, anti-chain)"}""")
       }
+    }
+
+    // --- sim34's staleness audit must actually FIRE (family `drift`):
+    // on the shipped corpus the increment is same-distribution and
+    // drift reads ~1.03 (correctly: no retrain needed). This arm
+    // builds the failure case the audit exists for — history from one
+    // clustered geometry, increment from a DIFFERENT cluster structure
+    // (shifted hash seed ⇒ new centroid locations) — and requires the
+    // drift ratio to separate cleanly from the null case. Both
+    // corpora share size and marginal scale; only the cluster
+    // ASSIGNMENT shifts, which is exactly the drift a frozen
+    // quantizer cannot see without this audit.
+    if (want("drift")) {
+      graft.functions.GraftFunctions.register(spark)
+      def vecExpr(seed: Int) =
+        s"""transform(sequence(0, 63), i -> cast(
+           |  (pmod(hash(cid, i, $seed), 2001) - 1000) / 1000.0
+           |  + 0.3 * (pmod(hash(vec_id, i, 77), 2001) - 1000) / 1000.0
+           |as float))""".stripMargin
+      def corpus(dir: String, incSeed: Int): Unit = {
+        if (new File(s"$dir/embeddings.parquet/_SUCCESS").isFile) return
+        // 100 clusters vs ~141 centroids: the frozen quantizer can
+        // RESOLVE the cluster structure (the pqgeom precondition), so
+        // a same-distribution increment lands near its cluster's
+        // centroid and a shifted one measurably does not — at the
+        // 2000-cluster default the 141 centroids resolve nothing and
+        // both arms read identically (measured before this fix)
+        // cid must NOT alias the %5 hist/inc split (id % 100 does:
+        // 100 ≡ 0 mod 5, so the "null" increment would own 20
+        // clusters history never saw and read as shifted) — a hash
+        // mix decouples cluster identity from the split
+        spark.range(20000L)
+          .select(col("id").as("vec_id"),
+            pmod(hash(col("id"), lit(11)), lit(100)).as("cid"))
+          .select(col("vec_id"),
+            when(col("vec_id") % 5 =!= 0, expr(vecExpr(0)))
+              .otherwise(expr(vecExpr(incSeed))).as("embedding"),
+            lit(0).as("label"))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      def meanDrift(dir: String): (Double, Double) = {
+        val rows = graft.similarity.Similarity.ivfAppend(spark, dir)
+          .where(col("drift").isNotNull)
+          .agg(avg(col("drift")), max(col("drift"))).head
+        (rows.getDouble(0), rows.getDouble(1))
+      }
+      val nullDir = "/tmp/graft-skew-drift-null"
+      val shiftDir = "/tmp/graft-skew-drift-shift"
+      corpus(nullDir, incSeed = 0)
+      corpus(shiftDir, incSeed = 991)
+      val (nullAvg, nullMax) = meanDrift(nullDir)
+      val (shiftAvg, shiftMax) = meanDrift(shiftDir)
+      require(shiftAvg > nullAvg,
+        f"staleness audit failed to separate: shifted $shiftAvg%.3f " +
+          f"vs null $nullAvg%.3f")
+      println(f"""{"metric":"append_drift","vectors":20000,"null_avg_drift":$nullAvg%.3f,"null_max_drift":$nullMax%.3f,"shifted_avg_drift":$shiftAvg%.3f,"shifted_max_drift":$shiftMax%.3f,"note":"sim34 staleness audit on same-distribution vs cluster-shifted increments; separation asserted in-run"}""")
+      GraftSession.resetCaches(spark)
     }
 
     // --- dd24/dd25 curation pipelines at corpus scale (r17 verdict
