@@ -2387,6 +2387,41 @@ object Dedup {
     incrementalCurationSelectedFrom(s, sigStore, keepStore, dd25Inc(s, d))
   }
 
+  /** The MULTI-DAY handoff: fold one increment into the two stores so
+    * tomorrow's increment chains on today's — the API a production
+    * daily pipeline actually loops on. Updated signature store = every
+    * old row with its cluster id REMAPPED through today's merges plus
+    * every increment row under its final cluster (ALL increment docs,
+    * keeper or not: a non-keeper member can be the band bridge a
+    * later increment joins through); updated keeper store = today's
+    * elected keepers. CurationIncSpec pins ASSOCIATIVITY: chaining
+    * day-1 and day-2 increments through this handoff equals one-shot
+    * incremental over their union (which the dd25 gate in turn proves
+    * equal to a full recompute) — the induction step that makes the
+    * daily loop exact on every horizon. */
+  private[graft] def dd25UpdatedStores(s: SparkSession,
+      sigStore: DataFrame, keepStore: DataFrame, inc: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val merged = incrementalCurationMergedFrom(s, sigStore, keepStore, inc)
+    val mapping = merged.select(col("node"), col("cluster_id").as("cl2"))
+    val incSig = withHashedShingles(s, inc)
+      .select(col("doc_id"), col("hsh"))
+      .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+    val sig2 = sigStore
+      .join(mapping.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl2"), col("cluster_id")).as("cluster_id"),
+        col("hsh"), col("sig"))
+      .unionByName(incSig
+        .join(mapping.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cl2"), col("doc_id")).as("cluster_id"),
+          col("hsh"), col("sig")))
+    (sig2, electKeepers(merged))
+  }
+
   /** dd25's gated output: the UPDATED per-(split, shard) manifest plus
     * a `changed` flag vs yesterday's manifest — the exact row set an
     * incremental emitter drives its partition rewrites from

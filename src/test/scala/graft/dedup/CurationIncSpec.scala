@@ -105,6 +105,25 @@ class CurationIncSpec extends AnyFunSuite {
       "parquet store roundtrip changed the selection")
   }
 
+  test("multi-day associativity: day-1 then day-2 through the store " +
+      "handoff equals one-shot incremental over the union") {
+    val (sig0, keep0) = Dedup.dd25Stores(spark, dir)
+    val inc = Dedup.dd25Inc(spark, dir)
+    val inc1 = inc.where(col("doc_id") % 2 === 0)
+    val inc2 = inc.where(col("doc_id") % 2 =!= 0)
+    assert(inc1.count() > 0 && inc2.count() > 0, "degenerate day split")
+    val oneShot = Dedup
+      .incrementalCurationSelectedFrom(spark, sig0, keep0, inc)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val (sig1, keep1) = Dedup.dd25UpdatedStores(spark, sig0, keep0, inc1)
+    val chained = Dedup
+      .incrementalCurationSelectedFrom(spark, sig1, keep1, inc2)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(chained === oneShot,
+      "chained daily increments diverged from the one-shot update — " +
+        "the store handoff lost an edge, an attribute, or a cluster id")
+  }
+
   test("incremental emission rewrites only changed shards; a from-files " +
       "manifest recompute equals the gated updated manifest") {
     val out = Files.createTempDirectory("graft-dd25-emit")
