@@ -41,13 +41,13 @@ class BoundedBufferSpec extends AnyFunSuite {
     *    same ≤ subspaces(4) / ≤ codewords(8) bounds.
     *  - Advanced: per-document token→count map — bounded by one
     *    document's own token count (row-size-bounded).
-    *  - TextAnalysis: txt27's BPE merge-list assembly — exactly the
-    *    top-20 post-limit merge rows reach the aggregate.
+    * (TextAnalysis dropped off this list in r18: txt27's merge-list
+    * assembly became a driver-trained LITERAL array — no in-plan
+    * collect_list at all.)
     */
   private val allow: Map[String, Int] = Map(
     "streaming/StreamedQueries.scala" -> 1,
     "similarity/Similarity.scala" -> 13,
-    "text/TextAnalysis.scala" -> 1,
     "relational/Advanced.scala" -> 1)
 
   test("every collect_list/collect_set site in main is reviewed-bounded") {

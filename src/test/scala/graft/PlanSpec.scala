@@ -564,24 +564,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"sim16 shuffled the corpus:\n$p")
   }
 
-  test("txt27: the merge table is bounded+broadcast; the corpus-side " +
-    "fertility fold never shuffles a join or ranks through a window") {
+  test("txt27: the trained merge table enters as a LITERAL; the " +
+    "corpus-side fertility fold is one map stage into the lang agg") {
     val p = plan("txt27_token_fertility")
-    // the BPE merge TABLE build may explode (vocab-collapsed, Heaps-law
-    // sublinear, then LIMIT 20), but it must reach the corpus as a
-    // bounded broadcast — never a shuffled join against documents
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"txt27 shuffled a join (the merge table is 20 rows):\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"txt27 merge-candidate top-20 is not a bounded partial heap:\n$p")
-    // the corpus-side encode+count is ONE map stage into the lang
-    // aggregate: no Generate may consume the broadcast-joined frame
-    // (the only Generates allowed are the vocab build's, which run
-    // BEFORE the TakeOrdered boundary)
-    val afterJoin = p.split("BroadcastNestedLoopJoin").head
-    assert(!afterJoin.contains("Generate"),
-      s"txt27 exploded tokens on the corpus side instead of folding " +
-        s"in-row:\n$p")
+    // r18: the merge table is a driver-trained artifact (txt46's
+    // loop), so the ENTIRE plan is scan → project(fold) → two-phase
+    // lang aggregate → presentation sort. No join of ANY kind, no
+    // window, no explode, no in-plan top-k — strictly tighter than
+    // the pre-r18 broadcast-join shape this test used to allow.
+    assert(!p.contains("Join"), s"txt27 joined something (the merge " +
+      s"table should be a literal):\n$p")
+    assert(!p.contains("Window"), s"txt27 ranked through a window:\n$p")
+    assert(!p.contains("Generate"),
+      s"txt27 exploded tokens instead of folding in-row:\n$p")
+    // one data scan (documents), one hash-partition exchange for the
+    // lang agg, one range partition for the presentation sort
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"txt27 scanned more than the documents table:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+      "Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"txt27 shuffled beyond agg + presentation sort:\n$p")
   }
 
   test("q56: the rank<=k filter pushes a WindowGroupLimit below the " +
