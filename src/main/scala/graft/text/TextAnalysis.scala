@@ -2229,6 +2229,97 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  // -------------------------------------------------------------- txt47
+  /** txt47 — BPE COMPRESSION CURVE: corpus subword count after each of
+    * txt46's trained merge rounds (round 0 = the character baseline),
+    * the realized per-round saving, and the training-time weighted
+    * pair count next to it — the marginal-utility diagnostic a vocab
+    * size decision reads (when `saved` flattens, stop growing the
+    * vocab; Zipf makes the flattening fast). `saved` is NOT
+    * `trained_n` re-derived: training counts every adjacent pair
+    * occurrence (overlaps included — "aaa" holds two "aa" pairs),
+    * while the greedy leftmost rewrite can apply at most ⌊run/2⌋ of
+    * an overlapping run, so saved ≤ trained_n and the GAP is the
+    * overlap discount — exposing both is the point of the audit.
+    *
+    * Scale shape: ONE corpus scan computes every round's length in
+    * the same projection (round k's fold replays the first k merges,
+    * all literal 2-char replaces in placeholder space), one global
+    * 1-row aggregate, then a 6-row stack + window — corpus-sized work
+    * is a single map stage regardless of rounds. */
+  def bpeCompressionCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = "'[a-z]+|[0-9]+', 0"
+    val trained = bpeTrain(s, d, BpeTrainRounds)
+    val ms = trained.map { case (k, pair, _, _, _) =>
+      pair + (127 + k).toChar }
+    def encCol(k: Int) =
+      if (k == 0)
+        aggregate(expr(s"regexp_extract_all(text, $pre)"), lit(0L),
+          (a, tk) => a + length(tk))
+      else {
+        val msK = array(ms.take(k).map(lit): _*)
+        aggregate(expr(s"regexp_extract_all(text, $pre)"), lit(0L),
+          (a, tk) => a + length(aggregate(msK, tk,
+            (acc, m) => call_function("replace", acc,
+              substring(m, 1, 2), substring(m, 3, 1)))))
+      }
+    val r = BpeTrainRounds
+    val sums = Tables.documents(s, d)
+      .select((0 to r).map(k => encCol(k).as(s"sw$k")): _*)
+      .agg(sum(col("sw0")).as("sw0"),
+        (1 to r).map(k => sum(col(s"sw$k")).as(s"sw$k")): _*)
+    val curve = sums.select(expr(s"stack(${r + 1}, " +
+      (0 to r).map(k => s"$k, sw$k").mkString(", ") +
+      ") as (round, n_subwords)"))
+      .withColumn("saved",
+        lag(col("n_subwords"), 1).over(Window.orderBy(col("round")))
+          - col("n_subwords"))
+    val trainedDf = trained.map { case (k, _, _, _, n) => (k, n) }
+      .toDF("round", "trained_n")
+    curve.join(trainedDf, Seq("round"), "left")
+      .select(col("round"), col("n_subwords"), col("saved"),
+        col("trained_n"))
+      .orderBy(col("round"))
+  }
+
+  val bpeCompressionCurveSql: String = {
+    val r = BpeTrainRounds
+    def msK(k: Int): String =
+      "[" + (1 to k).map(j =>
+        s"(SELECT pair || chr(${127 + j}) FROM b$j)").mkString(", ") + "]"
+    val eks = (0 to r).map { k =>
+      if (k == 0)
+        """e0 AS (
+          |  SELECT 0 AS round, CAST(SUM(length(tk)) AS BIGINT)
+          |    AS n_subwords FROM toks)""".stripMargin
+      else
+        s"""e$k AS (
+           |  SELECT $k AS round,
+           |    CAST(SUM(length(list_reduce(list_prepend(tk, ${msK(k)}),
+           |      (acc, m) -> replace(acc, m[1:2], m[3:3]))))
+           |    AS BIGINT) AS n_subwords
+           |  FROM toks)""".stripMargin
+    }.mkString(",\n")
+    val trainedUnion = (1 to r).map(k =>
+      s"SELECT $k AS round, n FROM b$k").mkString("\nUNION ALL\n")
+    bpeRoundCtes(r) + s""",
+      |toks AS (
+      |  SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tk
+      |  FROM documents),
+      |""".stripMargin + eks + s""",
+      |curve AS (${(0 to r).map(k => s"SELECT * FROM e$k")
+          .mkString(" UNION ALL ")}),
+      |tr AS ($trainedUnion)
+      |SELECT c.round,
+      |  c.n_subwords,
+      |  LAG(c.n_subwords) OVER (ORDER BY c.round) - c.n_subwords
+      |    AS saved,
+      |  tr.n AS trained_n
+      |FROM curve c LEFT JOIN tr USING (round)
+      |ORDER BY round""".stripMargin
+  }
+
   /** The unrolled training-round CTE chain: `v0` (pretoken vocab with
     * seg = tok) then per round k: `p$k` pair counts over `v${k-1}`,
     * `b$k` the 1-row argmax, `v$k` the rewritten vocab. Shared by the
@@ -3412,6 +3503,7 @@ object TextAnalysis {
     "txt35_vocab_coverage" -> (vocabCoverage _),
     "txt36_bpe_merge_stats" -> (bpeMergeStats _),
     "txt46_bpe_train" -> (bpeTrainedMerges _),
+    "txt47_bpe_compression" -> (bpeCompressionCurve _),
     "txt37_repetition" -> (repetitionFilter _),
     "txt38_logistic_quality" -> (logisticQualityGd _),
     "txt39_dsir_select" -> (dsirSelect _),
@@ -3460,6 +3552,7 @@ object TextAnalysis {
     "txt35_vocab_coverage" -> vocabCoverageSql,
     "txt36_bpe_merge_stats" -> bpeMergeStatsSql,
     "txt46_bpe_train" -> bpeTrainedMergesSql,
+    "txt47_bpe_compression" -> bpeCompressionCurveSql,
     "txt37_repetition" -> repetitionFilterSql,
     "txt38_logistic_quality" -> logisticQualityGdSql,
     "txt39_dsir_select" -> dsirSelectSql,
