@@ -1193,6 +1193,80 @@ object StreamedQueries {
       |GROUP BY b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- st19
+  /** st19 — STREAMING CURATION ADMISSION: the ingest front door of the
+    * dd24/dd25 curation pipeline as ONE live verdict per arriving doc,
+    * composing st17's band-claim near-dup fold (stateful,
+    * cross-batch) with dd24's quality gates (stateless, codegen'd) —
+    * dup_reject if ANY of the doc's 4 band keys is owned by an
+    * earlier doc (the wire-side prefilter; the batch verify
+    * adjudicates survivors), else quality_reject on the
+    * MinTokens/MinUniqueRatio gates, else admitted. Output is the
+    * per-(lang, verdict) census with token mass — what an ingest
+    * dashboard actually watches. Same ordered-feed contract and
+    * oracle reasoning as st17 (owner at any arrival = global band
+    * min); the quality arm is per-doc arithmetic, so the batch oracle
+    * composes both with no order sensitivity. Scale: the stateful arm
+    * is st17's O(live bands) state; the quality arm adds zero state;
+    * the census is a |langs|×3-group aggregate. */
+  def streamCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.dedup.Dedup.docsAug(s, d)
+    val verdicts = replayOrdered(s,
+      docs.select(col("doc_id"), col("text")), col("doc_id"))(
+      StreamNearDup.admit(s, _), outputMode = "update")
+    val dup = verdicts.groupBy(col("doc_id"))
+      .agg(sum(when(col("claimed_by") < col("doc_id"), 1L).otherwise(0L))
+        .as("n_claimed"))
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("lang"),
+        size(toks).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"),
+        (size(array_distinct(toks))
+          .cast(org.apache.spark.sql.types.LongType).cast("double")
+          / size(toks)).as("uniq"))
+      .join(dup, Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("n_claimed") > 0, "dup_reject")
+          .when(col("n_tokens") < graft.text.TextAnalysis.MinTokens ||
+            col("uniq") < graft.text.TextAnalysis.MinUniqueRatio,
+            "quality_reject")
+          .otherwise("admitted"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  val streamCurationSql: String = graft.dedup.Dedup.docsAugCte + "," +
+    graft.dedup.Dedup.sigBandCtes + s""",
+      |own AS (SELECT band, bkey, MIN(doc_id) AS owner
+      |  FROM bands GROUP BY band, bkey),
+      |dup AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+      |      AS n_claimed
+      |  FROM bands b JOIN own o ON o.band = b.band AND o.bkey = b.bkey
+      |  GROUP BY b.doc_id),
+      |attrs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS uniq
+      |  FROM docs_aug),
+      |v AS (
+      |  SELECT a.lang, a.n_tokens,
+      |    CASE WHEN d.n_claimed > 0 THEN 'dup_reject'
+      |      WHEN a.n_tokens < ${graft.text.TextAnalysis.MinTokens}
+      |        OR a.uniq < ${graft.text.TextAnalysis.MinUniqueRatio}
+      |        THEN 'quality_reject'
+      |      ELSE 'admitted' END AS verdict
+      |  FROM attrs a JOIN dup d USING (doc_id))
+      |SELECT lang, verdict, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM v GROUP BY lang, verdict
+      |ORDER BY lang, verdict""".stripMargin
+
   // ----------------------------------------------------------------- st18
   /** st18 — STREAMING HEAVY HITTERS ([[StreamHeavyHitters]]): the
     * corpus token stream replayed through the bucket-sharded
@@ -1266,7 +1340,8 @@ object StreamedQueries {
     "st15_stream_queue" -> (streamQueue _),
     "st16_stream_topk" -> (streamTopTickers _),
     "st17_stream_neardup" -> (streamNearDup _),
-    "st18_stream_heavy" -> (streamHeavy _))
+    "st18_stream_heavy" -> (streamHeavy _),
+    "st19_stream_curation" -> (streamCuration _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1286,5 +1361,6 @@ object StreamedQueries {
     "st15_stream_queue" -> streamWireSql,
     "st16_stream_topk" -> streamTopTickersSql,
     "st17_stream_neardup" -> streamNearDupSql,
-    "st18_stream_heavy" -> streamHeavySql)
+    "st18_stream_heavy" -> streamHeavySql,
+    "st19_stream_curation" -> streamCurationSql)
 }
