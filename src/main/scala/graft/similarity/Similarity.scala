@@ -2542,6 +2542,164 @@ object Similarity {
       |FROM rh LEFT JOIN ri ON ri.cell = rh.cell
       |ORDER BY rh.cell""".stripMargin
 
+  // --------------------------------------------------------------- sim35
+  /** sim35 — PARTIAL RETRAIN of the drifted cells: the production
+    * RESPONSE to sim34's staleness signal. Instead of a full reindex
+    * (re-pick + re-Lloyd + reassign everything — the job the daily
+    * append exists to avoid), recompute ONLY the most-drifted cells'
+    * centroids as the mean of their CURRENT members (one Lloyd M-step
+    * under the frozen assignment) and report each cell's mean squared
+    * reconstruction error before/after — the receipt that says how
+    * much of the drift one cheap localized step recovers, per cell,
+    * before anyone pays for the full rebuild. Top-8 by drift (DESC,
+    * cell tiebreak) rather than a fixed threshold so the audit is
+    * live on ANY corpus, including the shipped no-drift one.
+    *
+    * Scale shape: everything through the drift ranking is sim34's
+    * plan (broadcast centroids, one-hash-aggregate assignments); the
+    * retrain touches only the 8 cells' members (cell-keyed semi join
+    * against an 8-row broadcast), the M-step is a (cell, dim)-keyed
+    * aggregate of ≤ 8·64 groups, and the output is 8 rows.
+    *
+    * Float parity: member coordinates and dist² quantize to
+    * DECIMAL(28,6) BEFORE any SUM (exact, order-independent); the
+    * new centroid component is the exact decimal mean cast to double
+    * ONCE, and the after-distance folds (x − c₂)² in fixed order —
+    * IEEE-identical in both engines. */
+  def ivfPartialRetrain(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val hist = n.where(col("vec_id") % 5 =!= 0)
+    val inc = n.where(col("vec_id") % 5 === 0)
+    val cent = centroids(s, hist)
+    def withR2(side: DataFrame): DataFrame =
+      assignCells(side, cent)
+        .join(broadcast(cent), col("cell") === col("pid"))
+        .withColumn("r2", expr(
+          """cast(aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)),
+            |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
+            .stripMargin))
+        .select(col("vec_id"), col("e"), col("cell"), col("r2"))
+    val h = withR2(hist)
+    val i = withR2(inc)
+    val drifted = h.groupBy(col("cell"))
+      .agg(count(lit(1)).as("nh"), sum(col("r2")).as("sh"))
+      .join(i.groupBy(col("cell"))
+        .agg(count(lit(1)).as("ni"), sum(col("r2")).as("si")),
+        Seq("cell"))
+      .where(col("sh") > 0 && col("ni") > 0)
+      .withColumn("drift",
+        (col("si").cast("double") / col("ni"))
+          / (col("sh").cast("double") / col("nh")))
+      .orderBy(col("drift").desc, col("cell")).limit(8)
+      .select(col("cell"))
+    val members = h.unionByName(i)
+      .join(broadcast(drifted), Seq("cell"))
+    // one Lloyd M-step under the frozen assignment: per-(cell, dim)
+    // exact decimal mean of the member coordinates
+    val newCent = members
+      .select(col("cell"), col("vec_id"), posexplode(col("e"))
+        .as(Seq("dim", "x")))
+      .withColumn("xq", col("x").cast("decimal(28,6)"))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1))).as("c2"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c2)))," +
+        " p -> p.c2)").as("ce2")) // bounded: exactly 64 dims per cell
+    members.join(broadcast(newCent), Seq("cell"))
+      .withColumn("r2a", expr(
+        """cast(aggregate(zip_with(e, ce2, (x, c) -> (x - c) * (x - c)),
+          |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
+          .stripMargin))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("r2")).as("sb"), sum(col("r2a")).as("sa"))
+      .select(col("cell"), col("n_members"),
+        (col("sb").cast("double") / col("n_members"))
+          .as("mean_r2_before"),
+        (col("sa").cast("double") / col("n_members"))
+          .as("mean_r2_after"))
+      .orderBy(col("cell"))
+  }
+
+  val ivfPartialRetrainSql: String = normedCte + "," +
+    """hist AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |inc AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      |cellsh AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM hist),
+      |centh AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM hist, cellsh
+      |  WHERE vec_id < cellsh.c),
+      |ah AS (
+      |  SELECT vec_id, e, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM hist v CROSS JOIN centh c) t WHERE rn = 1),
+      |ai AS (
+      |  SELECT vec_id, e, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM inc v CROSS JOIN centh c) t WHERE rn = 1),
+      |hr AS (
+      |  SELECT a.vec_id, a.e, a.cell,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2
+      |  FROM ah a JOIN centh c ON c.pid = a.cell),
+      |ir AS (
+      |  SELECT a.vec_id, a.e, a.cell,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2
+      |  FROM ai a JOIN centh c ON c.pid = a.cell),
+      |drifted AS (
+      |  SELECT h.cell FROM (
+      |    SELECT cell, COUNT(*) AS nh, SUM(r2) AS sh FROM hr
+      |    GROUP BY cell) h
+      |  JOIN (
+      |    SELECT cell, COUNT(*) AS ni, SUM(r2) AS si FROM ir
+      |    GROUP BY cell) i2 USING (cell)
+      |  WHERE h.sh > 0 AND i2.ni > 0
+      |  ORDER BY (CAST(i2.si AS DOUBLE) / i2.ni)
+      |    / (CAST(h.sh AS DOUBLE) / h.nh) DESC, cell
+      |  LIMIT 8),
+      |members AS (
+      |  SELECT * FROM hr WHERE cell IN (SELECT cell FROM drifted)
+      |  UNION ALL
+      |  SELECT * FROM ir WHERE cell IN (SELECT cell FROM drifted)),
+      |nc AS (
+      |  SELECT cell, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c2
+      |  FROM (
+      |    SELECT cell, CAST(i AS INT) - 1 AS dim, e[CAST(i AS INT)] AS x
+      |    FROM members, UNNEST(range(1, len(e) + 1)) AS t(i)) u
+      |  GROUP BY cell, dim),
+      |nca AS (
+      |  SELECT cell, list(c2 ORDER BY dim) AS ce2 FROM nc GROUP BY cell),
+      |after AS (
+      |  SELECT m.cell, m.vec_id, m.r2,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(m.e) + 1),
+      |          i -> (m.e[CAST(i AS INT)] - a.ce2[CAST(i AS INT)])
+      |             * (m.e[CAST(i AS INT)] - a.ce2[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2a
+      |  FROM members m JOIN nca a USING (cell))
+      |SELECT cell, COUNT(*) AS n_members,
+      |  CAST(SUM(r2) AS DOUBLE) / COUNT(*) AS mean_r2_before,
+      |  CAST(SUM(r2a) AS DOUBLE) / COUNT(*) AS mean_r2_after
+      |FROM after GROUP BY cell
+      |ORDER BY cell""".stripMargin
+
   // --------------------------------------------------------------- sim23
   /** Binary (sign-bit) quantization ANN — 1 bit per dimension, 32×
     * smaller than fp32: each vector packs into ONE 64-bit word
@@ -3153,7 +3311,8 @@ object Similarity {
     "sim31_graph_recall" -> (graphRecall _),
     "sim32_consumed_recall" -> (consumedRecall _),
     "sim33_ivfpq_residual" -> (ivfPqResidual _),
-    "sim34_ivf_append" -> (ivfAppend _))
+    "sim34_ivf_append" -> (ivfAppend _),
+    "sim35_ivf_retrain" -> (ivfPartialRetrain _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -3189,5 +3348,6 @@ object Similarity {
     "sim31_graph_recall" -> graphRecallSql,
     "sim32_consumed_recall" -> consumedRecallSql,
     "sim33_ivfpq_residual" -> ivfPqResidualSql,
-    "sim34_ivf_append" -> ivfAppendSql)
+    "sim34_ivf_append" -> ivfAppendSql,
+    "sim35_ivf_retrain" -> ivfPartialRetrainSql)
 }

@@ -38,7 +38,8 @@ class BoundedBufferSpec extends AnyFunSuite {
     *    coarse-centroid updates ≤ dims(64);
     *    token-weight assembly ≤ subvector count (4); sim33's residual
     *    code/LUT assembly duplicates sim21's three sites with the
-    *    same ≤ subspaces(4) / ≤ codewords(8) bounds.
+    *    same ≤ subspaces(4) / ≤ codewords(8) bounds; sim35's new
+    *    centroid assembly ≤ dims(64) per retrained cell.
     *  - Advanced: per-document token→count map — bounded by one
     *    document's own token count (row-size-bounded).
     * (TextAnalysis dropped off this list in r18: txt27's merge-list
@@ -47,7 +48,7 @@ class BoundedBufferSpec extends AnyFunSuite {
     */
   private val allow: Map[String, Int] = Map(
     "streaming/StreamedQueries.scala" -> 1,
-    "similarity/Similarity.scala" -> 13,
+    "similarity/Similarity.scala" -> 14,
     "relational/Advanced.scala" -> 1)
 
   test("every collect_list/collect_set site in main is reviewed-bounded") {
