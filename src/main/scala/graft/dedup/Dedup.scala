@@ -2231,11 +2231,32 @@ object Dedup {
     * history keeper retained, join with it displaced, and in-increment
     * cluster — from the measured merged clustering, not from plant
     * family membership. */
-  private[graft] def dd25Hist(s: SparkSession, d: String): DataFrame =
+  /** The fixture's node-domain disjointness is an ASSUMPTION on the
+    * corpus, not a theorem: planted ids live at base+5e6/6e6/7e6, so
+    * base ids ≥ 1,000,000 would make planted ranges overlap each other
+    * and ids ≥ 5,000,000 would alias history with plants — silently
+    * corrupting the CC contraction (and CurationIncSpec's
+    * isHist(node < 5000000) with it). Guarded loudly here: one
+    * column-pruned MAX scan, cached per (session, corpus). */
+  private val dd25MaxCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]
+  private def dd25GuardIds(s: SparkSession, d: String): Unit = {
+    val mx = dd25MaxCache.computeIfAbsent((s, d), _ =>
+      Tables.documents(s, d).agg(max(col("doc_id"))).first().getLong(0))
+    require(mx < 1000000L,
+      s"dd25 fixture requires max(doc_id) < 1,000,000 (saw $mx): the " +
+        "+5e6/+6e6/+7e6 plant offsets and the <5e6 history test would " +
+        "alias — raise the offsets before using a larger corpus")
+  }
+
+  private[graft] def dd25Hist(s: SparkSession, d: String): DataFrame = {
+    dd25GuardIds(s, d)
     Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
       .where(col("doc_id") % 5 =!= 0)
+  }
 
   private[graft] def dd25Inc(s: SparkSession, d: String): DataFrame = {
+    dd25GuardIds(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"))
     val hist = docs.where(col("doc_id") % 5 =!= 0)
@@ -2475,10 +2496,24 @@ object Dedup {
         .parquet(out)
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     }
-    toDrop.foreach { case (sp, sh) =>
-      val dir = new java.io.File(out, s"split=$sp/shard=$sh")
-      Option(dir.listFiles).foreach(_.foreach(_.delete()))
-      dir.delete()
+    // Emptied partitions go through the Hadoop FileSystem API — the
+    // same abstraction the write path above uses — so the delete works
+    // on ANY filesystem the emission dir lives on (local/HDFS/S3A),
+    // not just java.io-visible paths. A false return (delete refused
+    // on an existing dir) would leave stale files contradicting the
+    // updated manifest, so it fails loudly instead of no-opping.
+    if (toDrop.nonEmpty) {
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      toDrop.foreach { case (sp, sh) =>
+        val dir = new org.apache.hadoop.fs.Path(outPath,
+          s"split=$sp/shard=$sh")
+        if (fs.exists(dir) && !fs.delete(dir, true))
+          throw new java.io.IOException(
+            s"emitCurationIncrement: failed to delete emptied " +
+              s"partition $dir — emission dir would contradict the " +
+              s"updated manifest")
+      }
     }
   }
 

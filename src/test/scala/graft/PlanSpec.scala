@@ -331,6 +331,31 @@ class PlanSpec extends AnyFunSuite {
       s"txt19 offsets are not broadcast back:\n$p")
   }
 
+  test("txt35: the vocabulary is never ranked through an unpartitioned " +
+    "window — bounded-heap topk with map-side partials, no window, no " +
+    "global sort") {
+    // r18 verdict item: row_number().over(Window.orderBy(...)) here
+    // funnels the ENTIRE whitespace vocabulary (Heaps-law ~n^0.5, but
+    // billions of rows at 100 TB) through one task. The rewrite keeps
+    // only the ≤1000-row graft_topk heap; rank is a posexplode ordinal
+    // over that bounded slice, so no Window operator and no global Sort
+    // may appear anywhere in the plan.
+    val p = plan("txt35_vocab_coverage")
+    assert(!p.contains("windowspecdefinition"),
+      s"txt35 regrew a vocabulary rank window:\n$p")
+    // the only Sort allowed is the 3-row output ordering by vocab_k;
+    // a sort keyed on the per-token count or the token itself IS the
+    // vocabulary sort this pin exists to forbid
+    assert(!"Sort \\[(c|tok)#".r.findFirstIn(p).isDefined,
+      s"txt35 sorts the vocabulary:\n$p")
+    assert("ObjectHashAggregate.*functions=\\[graft_topk\\(".r
+      .findFirstIn(p).isDefined,
+      s"txt35 top-1000 has no final graft_topk aggregate:\n$p")
+    assert("ObjectHashAggregate.*partial_graft_topk".r
+      .findFirstIn(p).isDefined,
+      s"txt35 top-1000 heap has no map-side partial stage:\n$p")
+  }
+
   test("q32: existence tests run as ONE aggregation pass — no correlated " +
     "self-join fallback, supplier names broadcast") {
     val p = plan("q32_waiting_supplier")
