@@ -575,6 +575,8 @@ object SkewBench {
         }
         base
       }
+      val geomStats =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
       for ((geom, base) <- Seq(("shipped", sfDir),
           ("clustered2k", clustered(2000L)),
           ("clustered20k", clustered(20000L)))) {
@@ -593,8 +595,27 @@ object SkewBench {
         }
         val (rRaw, sRaw) = recall3(sim.ivfPq(spark, base))
         val (rRes, sRes) = recall3(sim.ivfPqResidual(spark, base))
-        println(f"""{"metric":"pq_geometry","geometry":"$geom","mean_err_vec_raw":${armMean("raw")}%.4f,"mean_err_vec_res":${armMean("res")}%.4f,"recall3_raw":$rRaw%.3f,"recall3_res":$rRes%.3f,"err_sec":$errSec%.2f,"raw_sec":$sRaw%.2f,"res_sec":$sRes%.2f,"note":"sim18 two-arm audit + sim21/sim33 end-to-end recall@3 vs exact; truth = 5-query exact top-3"}""")
+        // sim38's label-free resolution dial on the same geometry:
+        // median per-cell nn_d2/within (median, not mean — a single
+        // near-empty cell's huge ratio must not carry the summary)
+        val resVals = sim.cellResolution(spark, base)
+          .where(col("resolution").isNotNull)
+          .select(col("resolution")).collect().map(_.getDouble(0)).sorted
+        val medRes = resVals(resVals.length / 2)
+        geomStats += ((geom, rRaw, rRes, medRes))
+        println(f"""{"metric":"pq_geometry","geometry":"$geom","mean_err_vec_raw":${armMean("raw")}%.4f,"mean_err_vec_res":${armMean("res")}%.4f,"recall3_raw":$rRaw%.3f,"recall3_res":$rRes%.3f,"median_resolution":$medRes%.3f,"err_sec":$errSec%.2f,"raw_sec":$sRaw%.2f,"res_sec":$sRes%.2f,"note":"sim18 two-arm audit + sim21/sim33 end-to-end recall@3 vs exact (truth = 5-query exact top-3) + sim38 median cell resolution"}""")
         GraftSession.resetCaches(spark)
+      }
+      // the audit must PREDICT the measured winner: the geometry where
+      // residual beats raw is the one whose resolution dial reads
+      // highest (the r18 table: residual wins only on clustered2k)
+      val resWinners = geomStats.filter { case (_, raw, res, _) => res > raw }
+      if (resWinners.nonEmpty) {
+        val maxByRes = geomStats.maxBy(_._4)
+        require(resWinners.exists(_._1 == maxByRes._1),
+          s"sim38 resolution dial failed to predict the residual " +
+            s"winner: winners=${resWinners.map(_._1)} " +
+            s"maxResolution=${maxByRes._1}")
       }
     }
 
@@ -759,6 +780,33 @@ object SkewBench {
         f"staleness audit failed to separate: shifted $shiftAvg%.3f " +
           f"vs null $nullAvg%.3f")
       println(f"""{"metric":"append_drift","vectors":20000,"null_avg_drift":$nullAvg%.3f,"null_max_drift":$nullMax%.3f,"shifted_avg_drift":$shiftAvg%.3f,"shifted_max_drift":$shiftMax%.3f,"note":"sim34 staleness audit on same-distribution vs cluster-shifted increments; separation asserted in-run"}""")
+      // sim37's churn audit on the same two fixtures. First finding
+      // (kept, it reshaped the audit): TOTAL churn does NOT separate
+      // here — on an unconverged prefix-centroid quantizer one M-step
+      // relocates centroids substantially on ANY corpus (measured
+      // 82.6% shifted vs 89.2% null). What separates drift-driven
+      // retrain from mere re-centering is WHO the moved centroid
+      // absorbs: on the shifted append it chases the increment's new
+      // geometry, so the increment's share of n_in rises far above
+      // the increment's corpus share (20%); on the null append it
+      // stays at it. The firing signal asserted here is that share.
+      def churn(dir: String): (Long, Long, Long) = {
+        val r = graft.similarity.Similarity
+          .ivfRetrainReassign(spark, dir)
+          .agg(sum(col("n_out") + col("n_in")).cast("long"),
+            sum(col("n_before")).cast("long"),
+            sum(col("n_in_inc")).cast("long"),
+            sum(col("n_in")).cast("long")).head
+        (r.getLong(0), r.getLong(1),
+          if (r.getLong(3) == 0) 0L
+          else r.getLong(2) * 1000L / r.getLong(3))
+      }
+      val (churnNull, baseNull, incShareNull) = churn(nullDir)
+      val (churnShift, baseShift, incShareShift) = churn(shiftDir)
+      require(incShareShift > incShareNull,
+        s"post-retrain inc-share failed to separate: shifted " +
+          s"${incShareShift}‰ vs null ${incShareNull}‰")
+      println(s"""{"metric":"retrain_churn","vectors":20000,"null_churn":$churnNull,"null_members":$baseNull,"null_inc_share_permille":$incShareNull,"shifted_churn":$churnShift,"shifted_members":$baseShift,"shifted_inc_share_permille":$incShareShift,"note":"sim37 reassignment audit after the top-8 partial retrain: total churn saturates on the unconverged prefix quantizer in BOTH arms; the increment share of absorbed vectors (n_in_inc/n_in) is the drift signal, asserted to separate shifted vs null"}""")
       GraftSession.resetCaches(spark)
     }
 

@@ -2566,7 +2566,8 @@ object Similarity {
     * new centroid component is the exact decimal mean cast to double
     * ONCE, and the after-distance folds (x − c₂)² in fixed order —
     * IEEE-identical in both engines. */
-  def ivfPartialRetrain(s: SparkSession, d: String): DataFrame = {
+  private def retrainState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val n = normed(s, d)
     val hist = n.where(col("vec_id") % 5 =!= 0)
     val inc = n.where(col("vec_id") % 5 === 0)
@@ -2578,7 +2579,8 @@ object Similarity {
           """cast(aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)),
             |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
             .stripMargin))
-        .select(col("vec_id"), col("e"), col("cell"), col("r2"))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"),
+          col("r2"))
     val h = withR2(hist)
     val i = withR2(inc)
     val drifted = h.groupBy(col("cell"))
@@ -2592,11 +2594,10 @@ object Similarity {
           / (col("sh").cast("double") / col("nh")))
       .orderBy(col("drift").desc, col("cell")).limit(8)
       .select(col("cell"))
-    val members = h.unionByName(i)
-      .join(broadcast(drifted), Seq("cell"))
     // one Lloyd M-step under the frozen assignment: per-(cell, dim)
     // exact decimal mean of the member coordinates
-    val newCent = members
+    val all = h.unionByName(i)
+    val newCent = all.join(broadcast(drifted), Seq("cell"))
       .select(col("cell"), col("vec_id"), posexplode(col("e"))
         .as(Seq("dim", "x")))
       .withColumn("xq", col("x").cast("decimal(28,6)"))
@@ -2605,6 +2606,12 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, c2)))," +
         " p -> p.c2)").as("ce2")) // bounded: exactly 64 dims per cell
+    (cent, all, drifted, newCent)
+  }
+
+  def ivfPartialRetrain(s: SparkSession, d: String): DataFrame = {
+    val (_, all, drifted, newCent) = retrainState(s, d)
+    val members = all.join(broadcast(drifted), Seq("cell"))
     members.join(broadcast(newCent), Seq("cell"))
       .withColumn("r2a", expr(
         """cast(aggregate(zip_with(e, ce2, (x, c) -> (x - c) * (x - c)),
@@ -2699,6 +2706,449 @@ object Similarity {
       |  CAST(SUM(r2a) AS DOUBLE) / COUNT(*) AS mean_r2_after
       |FROM after GROUP BY cell
       |ORDER BY cell""".stripMargin
+
+  // --------------------------------------------------------------- sim36
+  /** The durable IVF index store — the production vector-store
+    * lifecycle sim34/sim35's scaladocs pointed at ("a production
+    * system runs once and persists"), mirroring dd25's curation-store
+    * pattern on the ANN side. TWO compact parquet artifacts carry the
+    * index between daily runs:
+    *  - the CENTROID store (pid, ce, cnrm): the frozen coarse
+    *    quantizer, ⌈√n_hist⌉ rows;
+    *  - the ASSIGNMENT store (vec_id, cell, r2): one metadata row per
+    *    indexed vector — its cell and its exact-decimal squared
+    *    residual. History EMBEDDINGS never leave the day they were
+    *    indexed: the daily append reads these two frames plus today's
+    *    increment only (plan-pinned in IvfStoreSpec against
+    *    parquet-backed stores).
+    * Built once per (session, corpus), durable under the seam cache
+    * like dd25's sig/keeper stores. */
+  private val sim36Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+  private[graft] def sim36Stores(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    sim36Cache.computeIfAbsent((s, d), _ => {
+      val centStore = graft.Seams.durable(s, d, "sim36-centstore") {
+        centroids(s, normed(s, d).where(col("vec_id") % 5 =!= 0))
+      }
+      val assignStore = graft.Seams.durable(s, d, "sim36-assignstore") {
+        assignWithR2(normed(s, d).where(col("vec_id") % 5 =!= 0),
+          centStore)
+      }
+      (centStore, assignStore)
+    })
+
+  /** Nearest-cell assignment + exact-decimal squared residual — the
+    * row shape the assignment store persists. Same plan as sim34's
+    * audit arms: broadcast centroids, one-hash-aggregate argmax, the
+    * (x−c)² fold quantized to DECIMAL(28,6) before any SUM. */
+  private def assignWithR2(side: DataFrame, cent: DataFrame): DataFrame =
+    assignCells(side, cent)
+      .join(broadcast(cent), col("cell") === col("pid"))
+      .withColumn("r2", expr(
+        """cast(aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)),
+          |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
+          .stripMargin))
+      .select(col("vec_id"), col("cell"), col("r2"))
+
+  /** The fold-increment-into-store handoff: tomorrow's assignment
+    * store = today's ∪ the increment assigned under the FROZEN
+    * centroid store. Associativity (day-1 then day-2 == one-shot over
+    * the union) is pinned in IvfStoreSpec — trivially true while the
+    * append is a per-vector-deterministic union, and the pin is what
+    * keeps it true if the append ever grows order-dependent logic. */
+  private[graft] def ivfStoreAppendFrom(cent: DataFrame,
+      assignStore: DataFrame, inc: DataFrame): DataFrame =
+    assignStore.unionByName(assignWithR2(inc, cent))
+
+  /** sim36's gated output from explicit store/increment frames: the
+    * per-cell census of the UPDATED index — population, an exact
+    * integer membership checksum (same (id % M · r + 99991) % M sum as
+    * dd24's manifest: it pins the exact assignment SET, not just
+    * counts), and the exact-decimal mean squared residual. */
+  private[graft] def ivfStoreCensusFrom(cent: DataFrame,
+      assignStore: DataFrame, inc: DataFrame): DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
+    ivfStoreAppendFrom(cent, assignStore, inc)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum((col("vec_id") % M * mulRed + 99991L) % M).cast(LongType)
+          .as("id_checksum"),
+        sum(col("r2")).as("s_r2"))
+      .select(col("cell"), col("n_members"), col("id_checksum"),
+        (col("s_r2").cast("double") / col("n_members")).as("mean_r2"))
+      .orderBy(col("cell"))
+  }
+
+  /** sim36 — DURABLE IVF STORE + DAILY APPEND, the dd25 lifecycle on
+    * the ANN side: the registry entry consumes the persisted
+    * (centroid, assignment) artifacts for ALL history — no in-query
+    * history recompute, the gap the r18 verdict named first — assigns
+    * only today's increment (vec_id % 5 = 0, sim34's fixture split),
+    * folds it in, and emits the updated index census.
+    *
+    * Exactness theorem (the dd25 gating pattern): the DuckDB oracle
+    * recomputes FROM SCRATCH — prefix centroids over history, every
+    * vector assigned fresh — so the hash gate proves store-carried
+    * assignments == full reassignment under the frozen quantizer.
+    * That equality rests on one lemma: nearest-centroid assignment is
+    * per-vector deterministic given the centroid set (argmax under
+    * the fixed `csim DESC, pid` tie-break), so WHEN a vector was
+    * assigned cannot matter. The id_checksum column is what makes the
+    * gate see any violation: a single vector in the wrong cell moves
+    * two cells' checksums.
+    *
+    * Scale shape: history cost is a metadata parquet scan (3 columns,
+    * no embeddings); the only vector math is the increment's
+    * broadcast-centroid argmax; the census is one hash aggregate with
+    * map-side partials, ≤ |cells| rows out. At 100 TB the daily
+    * append touches exactly (increment vectors + store metadata),
+    * like dd25 touches (increment text + sig/keeper stores). */
+  def ivfStoreCensus(s: SparkSession, d: String): DataFrame = {
+    val (cent, assigns) = sim36Stores(s, d)
+    ivfStoreCensusFrom(cent, assigns,
+      normed(s, d).where(col("vec_id") % 5 === 0))
+  }
+
+  // --------------------------------------------------------------- sim39
+  /** sim39 — THE DRIFT AUDIT FROM THE STORE: sim34's staleness audit
+    * in the production shape its own scaladoc promised ("a production
+    * system runs once and persists"). The history side of the audit
+    * is ONE metadata aggregate over sim36's assignment store —
+    * (cell, count, exact-decimal Σr2), no history embedding is ever
+    * touched — and only the increment pays the broadcast-centroid
+    * argmax + residual fold. Output is sim34's exact schema and rows;
+    * the oracle is sim34's from-scratch recompute VERBATIM, so the
+    * hash gate proves the store-carried residuals equal recomputed
+    * ones (the r2-determinism lemma under the frozen quantizer).
+    * IvfStoreSpec pins the no-embeddings-scan plan and row equality
+    * with sim34. At 100 TB this is the difference between a daily
+    * drift audit that scans yesterday's whole vector corpus and one
+    * that reads a 3-column metadata parquet. */
+  private[graft] def ivfStoreDriftFrom(cent: DataFrame,
+      assignStore: DataFrame, inc: DataFrame): DataFrame = {
+    val h = assignStore.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_hist"), sum(col("r2")).as("s_hist"))
+    val i = assignWithR2(inc, cent).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_inc0"), sum(col("r2")).as("s_inc"))
+    h.join(i, Seq("cell"), "left")
+      .select(col("cell"), col("n_hist"),
+        coalesce(col("n_inc0"), lit(0L)).as("n_inc"),
+        (col("s_hist").cast("double") / col("n_hist"))
+          .as("mean_r2_hist"),
+        when(col("n_inc0") > 0,
+          col("s_inc").cast("double") / col("n_inc0"))
+          .as("mean_r2_inc"),
+        when(col("n_inc0") > 0 && col("s_hist") > 0,
+          (col("s_inc").cast("double") / col("n_inc0"))
+            / (col("s_hist").cast("double") / col("n_hist")))
+          .as("drift"))
+      .orderBy(col("cell"))
+  }
+
+  def ivfStoreDrift(s: SparkSession, d: String): DataFrame = {
+    val (cent, assigns) = sim36Stores(s, d)
+    ivfStoreDriftFrom(cent, assigns,
+      normed(s, d).where(col("vec_id") % 5 === 0))
+  }
+
+  /** The oracle IS sim34's: the store-based derivation must hash-equal
+    * the full recompute — that equality is the query's entire claim. */
+  val ivfStoreDriftSql: String = ivfAppendSql
+
+  val ivfStoreCensusSql: String = normedCte + "," +
+    """hist AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |cellsh AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM hist),
+      |centh AS (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM hist, cellsh
+      |  WHERE vec_id < cellsh.c),
+      |aa AS MATERIALIZED (
+      |  SELECT vec_id, e, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM n v CROSS JOIN centh c) t WHERE rn = 1),
+      |ar AS (
+      |  SELECT a.vec_id, a.cell,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2
+      |  FROM aa a JOIN centh c ON c.pid = a.cell)
+      |SELECT cell, COUNT(*) AS n_members,
+      |  CAST(SUM((vec_id % 1000003 * (2654435761 % 1000003) + 99991)
+      |    % 1000003) AS BIGINT) AS id_checksum,
+      |  CAST(SUM(r2) AS DOUBLE) / COUNT(*) AS mean_r2
+      |FROM ar GROUP BY cell
+      |ORDER BY cell""".stripMargin
+
+  // --------------------------------------------------------------- sim37
+  /** sim37 — POST-RETRAIN REASSIGNMENT AUDIT: the loop sim35 leaves
+    * open (r18 verdict #2). The M-step moves the top-8 drifted
+    * centroids but the assignment stays frozen — so the retrain
+    * itself INTRODUCES staleness: members whose nearest centroid
+    * changed because of the move are now sitting in the wrong cell,
+    * and that residual is unmeasured. This audit reassigns every
+    * vector against the UPDATED centroid set (the 8 retrained + the
+    * untouched rest) and reports, per retrained cell, the membership
+    * churn the move would cause: `n_before` (frozen members),
+    * `n_stay`, `n_out` (members whose nearest centroid is now
+    * elsewhere), `n_in` (vectors from other cells that now prefer
+    * this one), and `n_in_inc` (how many of those are INCREMENT
+    * vectors — the column that tells drift-driven churn from mere
+    * M-step re-centering). All counts — integer-exact, no
+    * float-parity surface beyond the argmax itself (same `csim DESC,
+    * pid` tie-break as every assignment). Reading the trigger: on an
+    * unconverged quantizer (the deterministic prefix centroids here)
+    * one M-step relocates centroids substantially, so TOTAL churn is
+    * high on ANY corpus — measured at ~83–89% on both the shifted and
+    * the null appends in the SkewBench `drift` arm. What separates a
+    * drift-driven retrain is WHO the moved centroid absorbs: on the
+    * cluster-shifted append it chases the increment's new geometry
+    * and the increment's share of `n_in` rises far above its corpus
+    * share; on the null append it stays at the corpus share.
+    * `n_in_inc / n_in` is the firing signal — high means the frozen
+    * quantizer is being dragged by new data: full reindex now.
+    *
+    * Scale shape: everything through `newCent` is sim35's plan; the
+    * audit adds ONE more broadcast-centroid hash-aggregate argmax
+    * over the corpus (the sim34 assignment shape, one shuffled row
+    * per vector) and two ≤8-row-broadcast-filtered aggregates. Output
+    * ≤ 8 rows. */
+  def ivfRetrainReassign(s: SparkSession, d: String): DataFrame = {
+    val (cent, all, drifted, newCent) = retrainState(s, d)
+    val cent2 = cent
+      .join(broadcast(drifted), col("pid") === col("cell"), "left_anti")
+      .unionByName(newCent.select(col("cell").as("pid"),
+        col("ce2").as("ce"),
+        sqrt(call_function("graft_vec_dot", col("ce2"), col("ce2")))
+          .as("cnrm")))
+    val re = assignCells(
+        all.select(col("vec_id"), col("e"), col("nrm")), cent2)
+      .select(col("vec_id"), col("cell").as("cell2"))
+    val moved = all.select(col("vec_id"), col("cell")).join(re, Seq("vec_id"))
+    val before = moved.join(broadcast(drifted), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("cell2") === col("cell"), 1L).otherwise(0L))
+          .as("n_stay"))
+    val gained = moved.where(col("cell2") =!= col("cell"))
+      .select(col("cell2").as("cell"), col("vec_id"))
+      .join(broadcast(drifted), Seq("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_in"),
+        sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L))
+          .as("n_in_inc"))
+    before.join(gained, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"), col("n_stay"),
+        (col("n_before") - col("n_stay")).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_in_inc"), lit(0L)).as("n_in_inc"))
+      .orderBy(col("cell"))
+  }
+
+  val ivfRetrainReassignSql: String = normedCte + "," +
+    """hist AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |inc AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      |cellsh AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM hist),
+      |centh AS MATERIALIZED (
+      |  SELECT vec_id AS pid, e AS ce, nrm AS cnrm FROM hist, cellsh
+      |  WHERE vec_id < cellsh.c),
+      |ah AS MATERIALIZED (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM hist v CROSS JOIN centh c) t WHERE rn = 1),
+      |ai AS MATERIALIZED (
+      |  SELECT vec_id, e, nrm, pid AS cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM inc v CROSS JOIN centh c) t WHERE rn = 1),
+      |hr AS MATERIALIZED (
+      |  SELECT a.vec_id, a.e, a.nrm, a.cell,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2
+      |  FROM ah a JOIN centh c ON c.pid = a.cell),
+      |ir AS MATERIALIZED (
+      |  SELECT a.vec_id, a.e, a.nrm, a.cell,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6)) AS r2
+      |  FROM ai a JOIN centh c ON c.pid = a.cell),
+      |drifted AS MATERIALIZED (
+      |  SELECT h.cell FROM (
+      |    SELECT cell, COUNT(*) AS nh, SUM(r2) AS sh FROM hr
+      |    GROUP BY cell) h
+      |  JOIN (
+      |    SELECT cell, COUNT(*) AS ni, SUM(r2) AS si FROM ir
+      |    GROUP BY cell) i2 USING (cell)
+      |  WHERE h.sh > 0 AND i2.ni > 0
+      |  ORDER BY (CAST(i2.si AS DOUBLE) / i2.ni)
+      |    / (CAST(h.sh AS DOUBLE) / h.nh) DESC, cell
+      |  LIMIT 8),
+      |members AS MATERIALIZED (
+      |  SELECT * FROM hr WHERE cell IN (SELECT cell FROM drifted)
+      |  UNION ALL
+      |  SELECT * FROM ir WHERE cell IN (SELECT cell FROM drifted)),
+      |nc AS (
+      |  SELECT cell, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c2
+      |  FROM (
+      |    SELECT cell, CAST(i AS INT) - 1 AS dim, e[CAST(i AS INT)] AS x
+      |    FROM members, UNNEST(range(1, len(e) + 1)) AS t(i)) u
+      |  GROUP BY cell, dim),
+      |nca AS MATERIALIZED (
+      |  SELECT cell, list(c2 ORDER BY dim) AS ce2 FROM nc GROUP BY cell),
+      |cent2 AS MATERIALIZED (
+      |  SELECT pid, ce, cnrm FROM centh
+      |  WHERE pid NOT IN (SELECT cell FROM drifted)
+      |  UNION ALL
+      |  SELECT cell AS pid, ce2 AS ce,
+      |    sqrt(list_dot_product(ce2, ce2)) AS cnrm
+      |  FROM nca),
+      |alla AS MATERIALIZED (
+      |  SELECT vec_id, e, nrm, cell FROM ah
+      |  UNION ALL
+      |  SELECT vec_id, e, nrm, cell FROM ai),
+      |renew AS MATERIALIZED (
+      |  SELECT vec_id, pid AS cell2 FROM (
+      |    SELECT v.vec_id, c.pid, ROW_NUMBER() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_dot_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+      |               c.pid) AS rn
+      |    FROM alla v CROSS JOIN cent2 c) t WHERE rn = 1),
+      |bfr AS (
+      |  SELECT a.cell, COUNT(*) AS n_before,
+      |    CAST(SUM(CASE WHEN r.cell2 = a.cell THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_stay
+      |  FROM alla a JOIN renew r USING (vec_id)
+      |  WHERE a.cell IN (SELECT cell FROM drifted)
+      |  GROUP BY a.cell),
+      |gained AS (
+      |  SELECT r.cell2 AS cell, COUNT(*) AS n_in,
+      |    CAST(SUM(CASE WHEN a.vec_id % 5 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_in_inc
+      |  FROM alla a JOIN renew r USING (vec_id)
+      |  WHERE r.cell2 <> a.cell AND r.cell2 IN (SELECT cell FROM drifted)
+      |  GROUP BY r.cell2)
+      |SELECT b.cell, b.n_before, b.n_stay,
+      |  b.n_before - b.n_stay AS n_out,
+      |  COALESCE(g.n_in, 0) AS n_in,
+      |  COALESCE(g.n_in_inc, 0) AS n_in_inc
+      |FROM bfr b LEFT JOIN gained g USING (cell)
+      |ORDER BY b.cell""".stripMargin
+
+  // --------------------------------------------------------------- sim38
+  /** sim38 — CELL-RESOLUTION AUDIT: the r18 `pqgeom` finding
+    * ("residual PQ wins iff cells ≈ cluster count") as a gated,
+    * label-free statistic instead of BASELINE.md prose. Per cell:
+    * `within` = mean squared member distance to the centroid (how
+    * spread the cell's population is) and `nn_d2` = squared distance
+    * to the NEAREST other centroid (how far the next cell sits);
+    * `resolution` = nn_d2 / within. When the coarse quantizer
+    * resolves the corpus's cluster structure, members hug their
+    * centroid while centroids sit apart — resolution high; when each
+    * cell averages many unrelated clusters (the ⌈√n⌉-cells-under-
+    * growth failure), within inflates toward the global variance and
+    * resolution collapses toward ~1. No ground-truth labels anywhere,
+    * so the dial is self-checking on ANY corpus; the SkewBench
+    * `pqgeom` arm re-runs it on the three measured geometries and
+    * asserts it points at the residual-vs-raw winner.
+    *
+    * Scale shape: members pass = the standard broadcast-centroid
+    * argmax + DECIMAL(28,6) r2 fold (one shuffled row per vector);
+    * the centroid-NN pass is the ⌈√n⌉×⌈√n⌉ broadcast self-join —
+    * O(n) total work, ≤ |cells| output rows.
+    *
+    * Float parity: within = exact-decimal sum over the fixed-order
+    * fold, one final double division; nn_d2 = the same fixed-order
+    * fold on centroid pairs (raw double — deterministic in both
+    * engines), min-selected under a (d2, pid) tie-break; resolution =
+    * one double division, NULL-guarded on the single-member cell
+    * whose within is 0. */
+  def cellResolution(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = centroids(s, n)
+    val within = assignCells(n, cent)
+      .join(broadcast(cent), col("cell") === col("pid"))
+      .withColumn("r2", expr(
+        """cast(aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)),
+          |  cast(0 as double), (a, v) -> a + v) as decimal(28,6))"""
+          .stripMargin))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("r2")).as("sw"))
+    val other = cent.select(col("pid").as("pid2"), col("ce").as("ce2"))
+    val nn = cent.crossJoin(broadcast(other))
+      .where(col("pid") =!= col("pid2"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(ce, ce2, (x, c) -> (x - c) * (x - c)),
+          |  cast(0 as double), (a, v) -> a + v)""".stripMargin))
+      .groupBy(col("pid"))
+      .agg(min(struct(col("d2"), col("pid2"))).as("w"))
+      .select(col("pid").as("cell"), col("w").getField("d2").as("nn_d2"))
+    within.join(nn, Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        (col("sw").cast("double") / col("n_members")).as("within"),
+        col("nn_d2"),
+        when(col("sw") > 0,
+          col("nn_d2") / (col("sw").cast("double") / col("n_members")))
+          .as("resolution"))
+      .orderBy(col("cell"))
+  }
+
+  val cellResolutionSql: String = normedCte + "," + centCte + "," +
+    assignedCte + s""",
+      |wr AS (
+      |  SELECT a.cell, COUNT(*) AS n_members,
+      |    SUM(CAST(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.e) + 1),
+      |          i -> (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)])
+      |             * (a.e[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS DECIMAL(28,6))) AS sw
+      |  FROM assigned a JOIN cent c ON c.pid = a.cell
+      |  GROUP BY a.cell),
+      |nn AS (
+      |  SELECT pid AS cell, d2 AS nn_d2 FROM (
+      |    SELECT a.pid, list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(a.ce) + 1),
+      |          i -> (a.ce[CAST(i AS INT)] - b.ce[CAST(i AS INT)])
+      |             * (a.ce[CAST(i AS INT)] - b.ce[CAST(i AS INT)]))),
+      |      (x, y) -> x + y) AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY a.pid
+      |        ORDER BY list_reduce(
+      |          list_prepend(CAST(0 AS DOUBLE),
+      |            list_transform(range(1, len(a.ce) + 1),
+      |              i -> (a.ce[CAST(i AS INT)] - b.ce[CAST(i AS INT)])
+      |                 * (a.ce[CAST(i AS INT)] - b.ce[CAST(i AS INT)]))),
+      |          (x, y) -> x + y), b.pid) AS rn
+      |    FROM cent a JOIN cent b ON b.pid <> a.pid) t
+      |  WHERE rn = 1)
+      |SELECT w.cell, w.n_members,
+      |  CAST(w.sw AS DOUBLE) / w.n_members AS within,
+      |  nn.nn_d2,
+      |  CASE WHEN w.sw > 0
+      |    THEN nn.nn_d2 / (CAST(w.sw AS DOUBLE) / w.n_members)
+      |  END AS resolution
+      |FROM wr w JOIN nn USING (cell)
+      |ORDER BY w.cell""".stripMargin
 
   // --------------------------------------------------------------- sim23
   /** Binary (sign-bit) quantization ANN — 1 bit per dimension, 32×
@@ -3312,7 +3762,11 @@ object Similarity {
     "sim32_consumed_recall" -> (consumedRecall _),
     "sim33_ivfpq_residual" -> (ivfPqResidual _),
     "sim34_ivf_append" -> (ivfAppend _),
-    "sim35_ivf_retrain" -> (ivfPartialRetrain _))
+    "sim35_ivf_retrain" -> (ivfPartialRetrain _),
+    "sim36_ivf_store" -> (ivfStoreCensus _),
+    "sim37_retrain_reassign" -> (ivfRetrainReassign _),
+    "sim38_cell_resolution" -> (cellResolution _),
+    "sim39_store_drift" -> (ivfStoreDrift _))
 
   val oracles: Seq[(String, String)] = Seq(
     "sim01_cosine_topk" -> cosineTopKSql,
@@ -3349,5 +3803,9 @@ object Similarity {
     "sim32_consumed_recall" -> consumedRecallSql,
     "sim33_ivfpq_residual" -> ivfPqResidualSql,
     "sim34_ivf_append" -> ivfAppendSql,
-    "sim35_ivf_retrain" -> ivfPartialRetrainSql)
+    "sim35_ivf_retrain" -> ivfPartialRetrainSql,
+    "sim36_ivf_store" -> ivfStoreCensusSql,
+    "sim37_retrain_reassign" -> ivfRetrainReassignSql,
+    "sim38_cell_resolution" -> cellResolutionSql,
+    "sim39_store_drift" -> ivfStoreDriftSql)
 }

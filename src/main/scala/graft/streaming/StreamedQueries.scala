@@ -369,6 +369,61 @@ object StreamedQueries {
     }
   }
 
+  /** [[replayOrdered]]'s staging/trigger contract, but the topology's
+    * Update-mode output drives a `foreachBatch` WRITER instead of the
+    * memory sink — the harness for sinks whose whole point is their
+    * side effect (st20's exactly-once parquet emitter). Chunking is
+    * deterministic (ntile over the caller's order, fixed mtimes), so
+    * re-running the SAME feed against the same emission dir — with a
+    * fresh checkpoint — is a full redelivery: every batch arrives
+    * again with the same id and content, which is exactly the
+    * at-least-once duplication an idempotent sink must absorb. */
+  private def replayOrderedEmit(s: SparkSession, msgs: DataFrame,
+      order: org.apache.spark.sql.Column)(
+      topology: DataFrame => DataFrame,
+      writer: (DataFrame, Long) => Unit): Unit = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      effProvider(s, HdfsProvider))
+    val in = Files.createTempDirectory("graft-replaye-in")
+    val ckpt = Files.createTempDirectory("graft-replaye-ckpt")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = System.currentTimeMillis() - 600000
+      def stageChunk(rows: DataFrame, i: Int): Unit = {
+        val stage = Files.createTempDirectory("graft-replaye-stage")
+        try {
+          rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = Files.list(stage).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst
+          if (part.isPresent) {
+            val dst = in.resolve(f"chunk-$i%02d.parquet")
+            Files.move(part.get, dst)
+            dst.toFile.setLastModified(base + i * 60000L)
+          }
+        } finally rmTree(stage)
+      }
+      val chunked = msgs.withColumn("__chunk",
+        ntile(3).over(Window.orderBy(order)))
+      (1 to 3).foreach { i =>
+        stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
+      }
+      val q = topology(
+          s.readStream.schema(msgs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in.toString))
+        .writeStream
+        .foreachBatch(writer)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rmTree(in); rmTree(ckpt)
+    }
+  }
+
   private val WmDays = 36500L
 
   /** Max event ts of the delta feed; 0 for an EMPTY (degenerate)
@@ -1267,6 +1322,141 @@ object StreamedQueries {
       |FROM v GROUP BY lang, verdict
       |ORDER BY lang, verdict""".stripMargin
 
+  // ----------------------------------------------------------------- st20
+  /** st20 — STREAMING CURATION EMISSION: the missing back half of st19
+    * (r18 verdict #4). st19 renders the per-doc admission verdict;
+    * this query SHIPS the admitted documents — each micro-batch's
+    * admitted set (band-claim dup filter + quality gates, st19's
+    * exact composition) lands in the dd24 curation layout
+    * (`partitionBy(split, shard)`, the same doc-hash split/shard
+    * formulas) through [[ParquetEmit.emitExactlyOnce]]: staged write,
+    * idempotent deterministic-name promote, commit-marker-last — the
+    * JdbcSink staging discipline on files.
+    *
+    * The gate IS the replay proof: the feed runs TWICE against the
+    * same emission dir — the second pass (fresh checkpoint, identical
+    * deterministic chunking) redelivers every batch, and the
+    * committed markers no-op them all — then the census is computed
+    * over the EMITTED FILES. The oracle recomputes the admitted set
+    * in batch SQL, so any duplicate or lost file moves n_docs /
+    * id_checksum and reds the row. Budget thinning is deliberately
+    * absent: per-lang rates are corpus-global (dd24's batch budgeter
+    * owns them); the streaming emitter ships what admission passes.
+    *
+    * Scale: the stateful arm is st17's O(live bands); the per-batch
+    * emission work is one partial aggregate + broadcast-size joins on
+    * the batch; the census reads metadata columns of the emitted
+    * parquet. At 100 TB the emission dir is the curated corpus
+    * itself, written incrementally with no rewrite of prior batches'
+    * files. */
+  def streamEmitCensus(s: SparkSession, d: String): DataFrame = {
+    val M = 1000003L
+    val mulRed = 2654435761L % M
+    val docs = graft.dedup.Dedup.docsAug(s, d)
+    val toks = split(col("text"), " ")
+    val attrs = docs.select(col("doc_id"), col("lang"),
+      size(toks).cast(org.apache.spark.sql.types.LongType)
+        .as("n_tokens"),
+      (size(array_distinct(toks))
+        .cast(org.apache.spark.sql.types.LongType).cast("double")
+        / size(toks)).as("uniq"))
+    val outDir = Files.createTempDirectory("graft-st20-emit")
+    outDir.toFile.deleteOnExit()
+    def writer(batch: DataFrame, batchId: Long): Unit = {
+      // Spark's state-store commit validation requires foreachBatch to
+      // materialize EVERY partition of the batch exactly once: persist
+      // + count commits all state partitions up front, and the derived
+      // emission work below reads the cache instead of re-executing
+      // the stateful stage (which would double-commit)
+      batch.persist()
+      try {
+        batch.count()
+        emitBatch(batch, batchId)
+      } finally batch.unpersist()
+    }
+    def emitBatch(batch: DataFrame, batchId: Long): Unit = {
+      val admitted = batch.groupBy(col("doc_id"))
+        .agg(sum(when(col("claimed_by") < col("doc_id"), 1L)
+          .otherwise(0L)).as("n_claimed"))
+        .where(col("n_claimed") === 0)
+        .join(attrs, Seq("doc_id"))
+        .where(col("n_tokens") >= graft.text.TextAnalysis.MinTokens &&
+          col("uniq") >= graft.text.TextAnalysis.MinUniqueRatio)
+        .withColumn("split_h", expr(
+          s"(doc_id % $M * $mulRed + 99991) % $M % 100"))
+        .withColumn("split",
+          when(col("split_h") < 80, "train")
+            .when(col("split_h") < 90, "val").otherwise("test"))
+        .withColumn("shard", expr(s"(doc_id % $M * $mulRed + " +
+          s"${graft.operators.Sampling.ShardSeed}) % $M % " +
+          s"${graft.operators.Sampling.ShardN}"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("split"), col("shard"))
+      ParquetEmit.emitExactlyOnce(admitted, outDir.toString, "st20",
+        batchId)
+      ()
+    }
+    val feed = docs.select(col("doc_id"), col("text"))
+    replayOrderedEmit(s, feed, col("doc_id"))(
+      StreamNearDup.admit(s, _), writer)
+    // full redelivery: same feed, fresh checkpoint, same emission dir
+    // — every batch re-arrives and must no-op on its commit marker
+    replayOrderedEmit(s, feed, col("doc_id"))(
+      StreamNearDup.admit(s, _), writer)
+    s.read.parquet(outDir.toString)
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"),
+        sum((col("doc_id") % M * mulRed + 99991L) % M)
+          .cast(org.apache.spark.sql.types.LongType).as("id_checksum"))
+      .select(col("split"),
+        col("shard").cast(org.apache.spark.sql.types.IntegerType)
+          .as("shard"),
+        col("n_docs"), col("n_tokens"), col("id_checksum"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  val streamEmitCensusSql: String = graft.dedup.Dedup.docsAugCte + "," +
+    graft.dedup.Dedup.sigBandCtes + s""",
+      |own AS (SELECT band, bkey, MIN(doc_id) AS owner
+      |  FROM bands GROUP BY band, bkey),
+      |dup AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END)
+      |      AS n_claimed
+      |  FROM bands b JOIN own o ON o.band = b.band AND o.bkey = b.bkey
+      |  GROUP BY b.doc_id),
+      |attrs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS uniq
+      |  FROM docs_aug),
+      |adm AS (
+      |  SELECT a.doc_id, a.lang, a.n_tokens
+      |  FROM attrs a JOIN dup d USING (doc_id)
+      |  WHERE d.n_claimed = 0
+      |    AND a.n_tokens >= ${graft.text.TextAnalysis.MinTokens}
+      |    AND a.uniq >= ${graft.text.TextAnalysis.MinUniqueRatio}),
+      |sl AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN (doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+      |        % 1000003 % 100 < 80 THEN 'train'
+      |      WHEN (doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+      |        % 1000003 % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    CAST((doc_id % 1000003 * (2654435761 % 1000003) +
+      |      ${graft.operators.Sampling.ShardSeed}) % 1000003 %
+      |      ${graft.operators.Sampling.ShardN} AS INTEGER) AS shard
+      |  FROM adm)
+      |SELECT split, shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 1000003 * (2654435761 % 1000003) + 99991)
+      |    % 1000003) AS BIGINT) AS id_checksum
+      |FROM sl GROUP BY split, shard
+      |ORDER BY split, shard""".stripMargin
+
   // ----------------------------------------------------------------- st18
   /** st18 — STREAMING HEAVY HITTERS ([[StreamHeavyHitters]]): the
     * corpus token stream replayed through the bucket-sharded
@@ -1341,7 +1531,8 @@ object StreamedQueries {
     "st16_stream_topk" -> (streamTopTickers _),
     "st17_stream_neardup" -> (streamNearDup _),
     "st18_stream_heavy" -> (streamHeavy _),
-    "st19_stream_curation" -> (streamCuration _))
+    "st19_stream_curation" -> (streamCuration _),
+    "st20_stream_emit" -> (streamEmitCensus _))
 
   val oracles: Seq[(String, String)] = Seq(
     "st01_stream_ivf" -> streamIvfSql,
@@ -1362,5 +1553,6 @@ object StreamedQueries {
     "st16_stream_topk" -> streamTopTickersSql,
     "st17_stream_neardup" -> streamNearDupSql,
     "st18_stream_heavy" -> streamHeavySql,
-    "st19_stream_curation" -> streamCurationSql)
+    "st19_stream_curation" -> streamCurationSql,
+    "st20_stream_emit" -> streamEmitCensusSql)
 }
