@@ -65,7 +65,8 @@ object GraftSession {
     * entry in the JVM-wide operator caches. Returns entries dropped. */
   private[graft] def drainOperatorCaches(): Int =
     graft.dedup.Dedup.drainAllCaches() +
-      graft.text.TextAnalysis.drainAllCaches()
+      graft.text.TextAnalysis.drainAllCaches() +
+      graft.similarity.Similarity.drainAllCaches()
 
   private val drainInstalled =
     java.util.Collections.synchronizedMap(
@@ -107,6 +108,7 @@ object GraftSession {
   def resetCaches(s: SparkSession): Unit = {
     graft.dedup.Dedup.releaseCaches(s)
     graft.text.TextAnalysis.releaseCaches(s)
+    graft.similarity.Similarity.releaseCaches(s)
     s.catalog.clearCache()
     s.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

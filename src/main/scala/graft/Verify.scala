@@ -17,8 +17,16 @@ object Verify {
     * key instead of silently not iterating it. Returns the failed
     * names. Factored out of `main` so VerifySpec can pin the red-row
     * behavior without stopping the shared test session. */
+  /** `resetBetween=false` is for SPECS ONLY: the per-query
+    * GraftSession.resetCaches is main-harness hygiene, and its
+    * context-wide unpersist is safe only when this is the sole thread
+    * using the context — under sbt's parallel suites it races every
+    * OTHER suite's in-flight localCheckpoint blocks (the r19-open
+    * IvfStoreSpec CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND flake). The main
+    * below always runs with the default (true). */
   def dump(spark: SparkSession, sfDir: String, outDir: String,
-      queries: Iterable[(String, (SparkSession, String) => DataFrame)])
+      queries: Iterable[(String, (SparkSession, String) => DataFrame)],
+      resetBetween: Boolean = true)
       : Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -34,7 +42,7 @@ object Verify {
           s"$name\n${e.toString}\n")
       }
       // same per-query cache hygiene as Bench (shared definition)
-      GraftSession.resetCaches(spark)
+      if (resetBetween) GraftSession.resetCaches(spark)
     }
     failed.toSeq
   }

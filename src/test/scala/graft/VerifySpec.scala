@@ -24,10 +24,14 @@ class VerifySpec extends AnyFunSuite {
         Seq("boom").toDF("v").selectExpr(
           "assert_true(v != 'boom', 'deliberate') AS x")
       }
+    // resetBetween=false: the shared test context runs suites in
+    // parallel, and dump's context-wide unpersist would race their
+    // in-flight localCheckpoint blocks (see Verify.dump scaladoc);
+    // the red-row behavior under pin here doesn't involve the reset
     val failed = Verify.dump(spark, sf, out, Seq(
       "vx_good" -> good,
       "vx_analysis_crash" -> analysisCrash,
-      "vx_runtime_crash" -> runtimeCrash))
+      "vx_runtime_crash" -> runtimeCrash), resetBetween = false)
     assert(failed.toSet == Set("vx_analysis_crash", "vx_runtime_crash"))
     // good query: parquet present, no marker
     assert(spark.read.parquet(s"$out/vx_good").count() > 0)
