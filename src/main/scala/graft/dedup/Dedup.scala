@@ -2075,7 +2075,16 @@ object Dedup {
     * composition under this tiebreak is what lets dd25 elect over
     * {history cluster keepers} ∪ {increment docs} and still equal a
     * full-recompute election over all members. */
-  private def electKeepers(clustered: DataFrame): DataFrame = {
+  private def electKeepers(clustered0: DataFrame): DataFrame = {
+    // ONE materialization of the clustered-attrs frame: the election
+    // references it twice (max-score aggregate + the member join
+    // back), and the selection tail's `kept` references the election
+    // twice more — so lazily the caller's attrs/merge subtree (doc
+    // scan + token stats + the 5-gram repetition pass, or dd25's full
+    // band-join/verify merge) re-ran up to 4× per gate run.
+    // localCheckpoint computes it once; the frame is one metadata row
+    // per doc — no text columns.
+    val clustered = clustered0.localCheckpoint()
     val keepers = clustered.groupBy(col("cluster_id"))
       .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id")))
         .as("w"))
@@ -2356,9 +2365,17 @@ object Dedup {
       : DataFrame = {
     GraftFunctions.register(s)
     val incAttrs = curationAttrsOn(s, inc)
+    // ONE materialization: this frame feeds the HI band side, BOTH
+    // legs of the II candidate self-join, the verify hsh lookup, and
+    // the merged sigAll — lazily each reference re-ran the increment's
+    // shingle+minhash scan (4-5 recomputes per gate run, measured).
+    // localCheckpoint is the house "computed artifact" idiom
+    // (trainedCodebook, the CC rounds); it also truncates the lineage,
+    // which this query's ~90 KB analyzed plan pays Catalyst time for.
     val incSig = withHashedShingles(s, inc)
       .select(col("doc_id"), col("hsh"))
       .withColumn("sig", call_function("graft_minhash32", col("hsh")))
+      .localCheckpoint()
     val bh = withBandKeys(sigStore.select(col("doc_id"), col("sig")))
       .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
         col("band"), col("bkey"))

@@ -490,9 +490,13 @@ object Similarity {
     val n = normed(s, d).select(col("vec_id"), col("e"))
     val mx = n.agg(max(expr(
       "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    // reuse seam: `q` feeds two Lloyd training rounds, the encode AND
+    // the query-side LUT — one checkpoint instead of 4 recomputes of
+    // the scan+quantize subtree (see the sim33 note)
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+      .localCheckpoint()
     // codebook: (m, k, csub) — Lloyd-trained, codeword ids stay 0..7
     val cb = trainedCodebook(s, q)
     // encode: nearest codeword per (vector, subspace) by exact int L2²;
@@ -1868,19 +1872,28 @@ object Similarity {
     val n = normed(s, d)
     val mx = n.agg(max(expr(
       "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    // each arm's quantized frame is referenced 3+ times (two Lloyd
+    // training rounds + the encode crossJoin), and `res` twice more
+    // (the residual-max scan + the residual quantize) — lazily every
+    // reference re-ran the scan/assignment subtree. localCheckpoint
+    // computes each once (the trainedCodebook idiom, one artifact per
+    // arm input).
     val q = n.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+      .localCheckpoint()
     val cent = centroids(s, n)
     val res = assignCells(n, cent)
       .join(broadcast(cent), col("cell") === col("pid"))
       .select(col("vec_id"), col("cell"),
         expr("zip_with(e, ce, (x, c) -> x - c)").as("r"))
+      .localCheckpoint()
     val mxr = res.agg(max(expr(
       "aggregate(r, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
     val rq = res.join(broadcast(mxr))
       .select(col("vec_id"),
         expr("transform(r, x -> cast(round(x * 127 / mx) as int))").as("q"))
+      .localCheckpoint()
     def arm(tag: String, qdf: DataFrame, grid: DataFrame): DataFrame = {
       val cb = trainedCodebook(s, qdf)
       qdf.crossJoin(broadcast(cb))
@@ -2127,9 +2140,13 @@ object Similarity {
     val assigned = assignCells(n, cent)
     val mx = nn.agg(max(expr(
       "aggregate(e, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
+    // reuse seam: `q` feeds two Lloyd training rounds, the encode
+    // crossJoin AND the query-side LUT — lazily each re-ran the
+    // scan+quantize subtree (see the sim33 note). One checkpoint.
     val q = nn.join(broadcast(mx))
       .select(col("vec_id"),
         expr("transform(e, x -> cast(round(x * 127 / mx) as int))").as("q"))
+      .localCheckpoint()
     val cb = trainedCodebook(s, q)
     val codes = q.crossJoin(broadcast(cb))
       .withColumn("dist", call_function("graft_int_l2sq",
@@ -2280,15 +2297,24 @@ object Similarity {
     val n = normed(s, d)
     val nn = n.select(col("vec_id"), col("e"), col("nrm"))
     val cent = centroids(s, n)
-    val assigned = assignCells(n, cent)
+    // reuse seams (the trainedCodebook "computed artifact" idiom):
+    // `assigned` feeds the residual derivation AND the probe-cell
+    // candidate join; `res` feeds the residual-max scan AND the
+    // quantize; `rq` feeds two Lloyd training rounds AND the encode —
+    // lazily each reference re-ran the broadcast-centroid argmax /
+    // residual subtree (the analyzed plan was ~100 KB of duplicated
+    // trees). One localCheckpoint per seam computes each once.
+    val assigned = assignCells(n, cent).localCheckpoint()
     val res = assigned.join(broadcast(cent), col("cell") === col("pid"))
       .select(col("vec_id"), col("cell"),
         expr("zip_with(e, ce, (x, c) -> x - c)").as("r"))
+      .localCheckpoint()
     val mxr = res.agg(max(expr(
       "aggregate(r, 0D, (m, x) -> greatest(m, abs(x)))")).as("mx"))
     val rq = res.join(broadcast(mxr))
       .select(col("vec_id"), col("cell"),
         expr("transform(r, x -> cast(round(x * 127 / mx) as int))").as("q"))
+      .localCheckpoint()
     val cb = trainedCodebook(s, rq.select(col("vec_id"), col("q")))
     val codes = rq.crossJoin(broadcast(cb))
       .withColumn("dist", call_function("graft_int_l2sq",
@@ -2581,8 +2607,18 @@ object Similarity {
             .stripMargin))
         .select(col("vec_id"), col("e"), col("nrm"), col("cell"),
           col("r2"))
-    val h = withR2(hist)
-    val i = withR2(inc)
+    // ONE materialization of the per-vector assignment (vec_id, e,
+    // nrm, cell, r2): sim35/sim37 reference this frame 3-5 times
+    // (drift ranking, M-step membership, the post-retrain full
+    // reassignment, both churn joins), and lazily every reference
+    // re-ran the broadcast-centroid argmax + residual fold over the
+    // whole corpus — the duplicated subtrees also blew sim37's
+    // analyzed plan to ~390 KB, with Catalyst/AQE replanning time to
+    // match. localCheckpoint computes it once and truncates the
+    // lineage (the trainedCodebook "computed artifact" idiom).
+    val assigned = withR2(hist).unionByName(withR2(inc)).localCheckpoint()
+    val h = assigned.where(col("vec_id") % 5 =!= 0)
+    val i = assigned.where(col("vec_id") % 5 === 0)
     val drifted = h.groupBy(col("cell"))
       .agg(count(lit(1)).as("nh"), sum(col("r2")).as("sh"))
       .join(i.groupBy(col("cell"))
@@ -2596,7 +2632,7 @@ object Similarity {
       .select(col("cell"))
     // one Lloyd M-step under the frozen assignment: per-(cell, dim)
     // exact decimal mean of the member coordinates
-    val all = h.unionByName(i)
+    val all = assigned
     val newCent = all.join(broadcast(drifted), Seq("cell"))
       .select(col("cell"), col("vec_id"), posexplode(col("e"))
         .as(Seq("dim", "x")))

@@ -343,11 +343,20 @@ object StreamedQueries {
           }
         } finally rmTree(stage)
       }
+      // ONE global-sort pass: the ntile window is the single most
+      // expensive piece of the staging harness, and filtering the
+      // lazy frame three times re-ran it per chunk (3 full sorts of
+      // the feed per replay, measured ~0.2-0.5 s each at sf0.1).
+      // persist() materializes the ranked feed once; the three chunk
+      // writes read the cache. Replay semantics are byte-identical —
+      // same rows, same chunks, same mtime schedule.
       val chunked = msgs.withColumn("__chunk",
-        ntile(3).over(Window.orderBy(order)))
-      (1 to 3).foreach { i =>
-        stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
-      }
+        ntile(3).over(Window.orderBy(order))).persist()
+      try {
+        (1 to 3).foreach { i =>
+          stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
+        }
+      } finally chunked.unpersist(blocking = false)
       // optional flush chunk, scheduled strictly last: event times past
       // the corpus advance every leg's watermark so eviction-driven
       // final emissions (outer-join negatives) fire before termination
@@ -403,11 +412,16 @@ object StreamedQueries {
           }
         } finally rmTree(stage)
       }
+      // same one-sort-pass staging as replayOrdered (see the note
+      // there): persist the ranked feed, write the three chunks from
+      // cache, drop it before the stream starts
       val chunked = msgs.withColumn("__chunk",
-        ntile(3).over(Window.orderBy(order)))
-      (1 to 3).foreach { i =>
-        stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
-      }
+        ntile(3).over(Window.orderBy(order))).persist()
+      try {
+        (1 to 3).foreach { i =>
+          stageChunk(chunked.where(col("__chunk") === i).drop("__chunk"), i)
+        }
+      } finally chunked.unpersist(blocking = false)
       val q = topology(
           s.readStream.schema(msgs.schema)
             .option("maxFilesPerTrigger", 1).parquet(in.toString))
@@ -1354,12 +1368,17 @@ object StreamedQueries {
     val mulRed = 2654435761L % M
     val docs = graft.dedup.Dedup.docsAug(s, d)
     val toks = split(col("text"), " ")
+    // persist: every micro-batch of BOTH replays joins this frame, and
+    // lazily it re-ran the corpus text scan (two split()s +
+    // array_distinct per row) once per batch — 6 recomputations per
+    // gate run. The cache fills on first use; dropped after the
+    // second replay, before the census plan is built.
     val attrs = docs.select(col("doc_id"), col("lang"),
       size(toks).cast(org.apache.spark.sql.types.LongType)
         .as("n_tokens"),
       (size(array_distinct(toks))
         .cast(org.apache.spark.sql.types.LongType).cast("double")
-        / size(toks)).as("uniq"))
+        / size(toks)).as("uniq")).persist()
     val outDir = Files.createTempDirectory("graft-st20-emit")
     outDir.toFile.deleteOnExit()
     def writer(batch: DataFrame, batchId: Long): Unit = {
@@ -1397,12 +1416,14 @@ object StreamedQueries {
       ()
     }
     val feed = docs.select(col("doc_id"), col("text"))
-    replayOrderedEmit(s, feed, col("doc_id"))(
-      StreamNearDup.admit(s, _), writer)
-    // full redelivery: same feed, fresh checkpoint, same emission dir
-    // — every batch re-arrives and must no-op on its commit marker
-    replayOrderedEmit(s, feed, col("doc_id"))(
-      StreamNearDup.admit(s, _), writer)
+    try {
+      replayOrderedEmit(s, feed, col("doc_id"))(
+        StreamNearDup.admit(s, _), writer)
+      // full redelivery: same feed, fresh checkpoint, same emission dir
+      // — every batch re-arrives and must no-op on its commit marker
+      replayOrderedEmit(s, feed, col("doc_id"))(
+        StreamNearDup.admit(s, _), writer)
+    } finally attrs.unpersist(blocking = false)
     s.read.parquet(outDir.toString)
       .groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),

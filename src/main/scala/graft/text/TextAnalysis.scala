@@ -2215,6 +2215,12 @@ object TextAnalysis {
       val out = Seq.newBuilder[(Int, String, String, String, Long)]
       var k = 1
       var dry = false
+      // `anchor` = the last checkpointed vocab (whose blocks we own);
+      // `vocab` may carry up to CkptEvery lazy replace projections on
+      // top of it between checkpoints
+      var anchor = vocab
+      var sinceCkpt = 0
+      val CkptEvery = 8
       while (k <= rounds && !dry) {
         val best = vocab.where(length(col("seg")) >= 2)
           .select(col("cnt"), explode(expr(
@@ -2234,19 +2240,30 @@ object TextAnalysis {
           expansion(ph) = expand(pair(0)) + expand(pair(1))
           out += ((k, pair, expand(pair(0)), expand(pair(1)),
             best(0).getLong(1)))
-          val prev = vocab
+          // the rewrite stays LAZY: a merge is one narrow `replace`
+          // projection over the anchored vocab, so the next round's
+          // collect replays ≤ CkptEvery replaces from the last
+          // checkpoint instead of paying a materialization job per
+          // round (the per-round checkpoint halved nothing but cost a
+          // job each — measured, round 19). Checkpoint every CkptEvery
+          // rounds to keep the replace chain (and any failure-replay)
+          // bounded; round k's anchor materialized ⇒ the previous
+          // anchor's blocks are dead weight — release them instead of
+          // leaving intermediate block sets to the ContextCleaner.
           vocab = vocab.withColumn("seg",
-              call_function("replace", col("seg"), lit(pair),
-                lit(ph.toString)))
-            .localCheckpoint()
-          // round k's checkpoint materialized; round k-1's blocks are
-          // dead weight from here — release them instead of leaving
-          // N-1 intermediate block sets to the ContextCleaner
-          prev.unpersist()
+            call_function("replace", col("seg"), lit(pair),
+              lit(ph.toString)))
+          sinceCkpt += 1
+          if (sinceCkpt >= CkptEvery) {
+            vocab = vocab.localCheckpoint()
+            anchor.unpersist()
+            anchor = vocab
+            sinceCkpt = 0
+          }
         }
         k += 1
       }
-      vocab.unpersist()
+      anchor.unpersist()
       out.result()
   }
 

@@ -81,10 +81,17 @@ class CurationIncSpec extends AnyFunSuite {
       spark.read.parquet(s"$tmp/sig"), spark.read.parquet(s"$tmp/keep"),
       spark.read.parquet(s"$tmp/inc"))
     // analyzed (pre-AQE) plan: collect every file-backed relation.
-    // The CC stage's lineage is localCheckpoint-truncated, but its
-    // inputs were these same frames; every remaining branch's scans
-    // are visible here.
-    val scanned = fromParquet.queryExecution.analyzed.collect {
+    // Pin on the MERGED stage (pre-election): the selection tail's
+    // plan is localCheckpoint-collapsed past the election seam (r19
+    // reuse optimization), so its analyzed plan carries no file scans
+    // at all and the no-documents assertion there would be vacuous.
+    // The merged frame is where every input is still visible — the
+    // CC stage's lineage is checkpoint-truncated, but its inputs were
+    // these same frames; every remaining branch's scans show here.
+    val merged = Dedup.incrementalCurationMergedFrom(spark,
+      spark.read.parquet(s"$tmp/sig"), spark.read.parquet(s"$tmp/keep"),
+      spark.read.parquet(s"$tmp/inc"))
+    val scanned = merged.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
